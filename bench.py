@@ -1,0 +1,54 @@
+"""Benchmark driver: ReadQC throughput on the flagship compute path.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference repo publishes no absolute numbers (BASELINE.md); the
+recorded comparison point is an estimated one-EPYC-core ngs-bits ReadQC
+throughput of ~1.2M reads/min ≈ 20k reads/s at 151bp (measured class of
+C++ streaming QC tools; see BASELINE.md). vs_baseline = ours / that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 20_000.0  # estimated single-core reference ReadQC
+
+
+def main():
+    import jax
+
+    from ngsbits_tpu.ops.readqc import readqc_batch
+
+    rng = np.random.default_rng(0)
+    B, L = 1 << 16, 160  # 64k reads x 151bp padded to 160
+    bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
+    quals = rng.integers(33, 74, size=(B, L)).astype(np.uint8)
+    lengths = np.full((B,), 151, dtype=np.int32)
+
+    db, dq, dl = jax.device_put(bases), jax.device_put(quals), jax.device_put(lengths)
+    # warmup/compile
+    jax.block_until_ready(readqc_batch(db, dq, dl))
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = readqc_batch(db, dq, dl)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    reads_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "readqc_reads_per_sec",
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

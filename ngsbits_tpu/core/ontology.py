@@ -1,0 +1,78 @@
+"""Minimal OBO ontology reader for the qcML term catalogue.
+
+Behavioral reference: ngs-bits ``OntologyTermCollection`` as used by
+``QCCollection::storeToQCML`` (cppNGS/QCCollection.cpp:339-366): every metric
+accession must exist in the ontology, must not be obsolete, and its name must
+match the term name exactly (cppNGS/Statistics.cpp:2904-2941).
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+from functools import lru_cache
+from pathlib import Path
+
+RESOURCE_DIR = Path(__file__).resolve().parent.parent / "resources"
+
+
+@dataclass
+class OboTerm:
+    id: str
+    name: str
+    definition: str = ""
+    obsolete: bool = False
+    term_type: str = ""  # from xref value-type, e.g. xsd:int / xsd:float / xsd:string / png
+
+
+class OntologyTermCollection:
+    def __init__(self, terms: dict[str, OboTerm]):
+        self._terms = terms
+
+    def contains(self, term_id: str) -> bool:
+        return term_id in self._terms
+
+    def get(self, term_id: str) -> OboTerm:
+        return self._terms[term_id]
+
+    @staticmethod
+    def from_obo_text(text: str) -> "OntologyTermCollection":
+        terms: dict[str, OboTerm] = {}
+        cur: OboTerm | None = None
+        in_term = False
+        for raw in text.splitlines():
+            line = raw.strip()
+            if line == "[Term]":
+                if cur is not None:
+                    terms[cur.id] = cur
+                cur = OboTerm(id="", name="")
+                in_term = True
+                continue
+            if line.startswith("[") and line != "[Term]":
+                if cur is not None:
+                    terms[cur.id] = cur
+                    cur = None
+                in_term = False
+                continue
+            if not in_term or cur is None or not line:
+                continue
+            if line.startswith("id:"):
+                cur.id = line[3:].strip()
+            elif line.startswith("name:"):
+                cur.name = line[5:].strip()
+            elif line.startswith("def:"):
+                cur.definition = line[4:].strip()
+            elif line.startswith("is_obsolete:"):
+                cur.obsolete = line.split(":", 1)[1].strip().lower() == "true"
+            elif line.startswith("xref:") and "value-type" in line:
+                cur.term_type = line.split("value-type:", 1)[-1].split()[0].strip('\\"')
+        if cur is not None:
+            terms[cur.id] = cur
+        return OntologyTermCollection(terms)
+
+
+@lru_cache(maxsize=1)
+def qcml_terms() -> OntologyTermCollection:
+    path = RESOURCE_DIR / "qcML.obo.gz"
+    with gzip.open(path, "rt", encoding="utf-8", errors="replace") as fh:
+        return OntologyTermCollection.from_obo_text(fh.read())

@@ -1,0 +1,216 @@
+"""Streaming gzip FASTQ reader/writer producing fixed-width uint8 tensors.
+
+Behavioral reference: ngs-bits ``FastqFileStream``/``FastqEntry``
+(cppNGS/FastqFileStream.{h,cpp}): 4-line records, base alphabet ACGTN,
+quality chars 33..74 (33..126 with long_read), gzip output.
+
+TPU-first design: instead of per-read objects, reads stream in *batches* —
+``FastqBatch`` holds ``bases``/``quals`` as [B, Lmax] uint8 arrays (ASCII
+codes, zero-padded) plus a length vector, ready for ``jax.device_put``.
+Headers are kept as raw bytes only when a consumer (e.g. the trimmer's
+writer) needs them.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+_VALID_BASES = np.zeros(256, dtype=bool)
+for _b in b"ACGTN":
+    _VALID_BASES[_b] = True
+
+
+@dataclass
+class FastqBatch:
+    bases: np.ndarray       # [B, Lmax] uint8 ASCII, zero-padded
+    quals: np.ndarray       # [B, Lmax] uint8 ASCII, zero-padded
+    lengths: np.ndarray     # [B] int32
+    headers: list | None = None   # list[bytes] (without trailing newline)
+    headers2: list | None = None  # list[bytes] ('+' lines)
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+
+def _pad_2d(parts: list, lengths: np.ndarray, pad_to: int | None = None) -> np.ndarray:
+    """Pack a list of byte strings into a zero-padded [B, Lmax] uint8 array."""
+    n = len(parts)
+    lmax = int(lengths.max()) if n else 0
+    if pad_to is not None:
+        lmax = max(lmax, pad_to)
+    if n == 0:
+        return np.zeros((0, lmax), dtype=np.uint8)
+    if lengths.min() == lengths.max() and (pad_to is None or pad_to == lengths.max()):
+        flat = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        return flat.reshape(n, lmax).copy()
+    arr = np.zeros((n, lmax), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    total = int(lengths.sum())
+    rows = np.repeat(np.arange(n), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths[:-1]))) if n > 1 else np.zeros(1, np.int64)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    arr[rows, cols] = flat
+    return arr
+
+
+def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = ""):
+    """Vectorized analogue of FastqEntry::validate (FastqFileStream.cpp:3-42)."""
+    pos = np.arange(batch.bases.shape[1])[None, :]
+    mask = pos < batch.lengths[:, None]
+    bad_base = (~_VALID_BASES[batch.bases]) & mask
+    if bad_base.any():
+        i, j = np.argwhere(bad_base)[0]
+        raise ValueError(
+            f"Invalid Fastq file entry: Invalid base '{chr(batch.bases[i, j])}' encountered"
+            + (f" in '{filename}'" if filename else ""))
+    qmax = 126 if long_read else 74
+    q = batch.quals.astype(np.int16)
+    bad_q = ((q < 33) | (q > qmax)) & mask
+    if bad_q.any():
+        i, j = np.argwhere(bad_q)[0]
+        raise ValueError(
+            f"Invalid Fastq file entry: Invalid quality character with value "
+            f"'{int(q[i, j])}' encountered" + (f" in '{filename}'" if filename else ""))
+    if batch.headers is not None:
+        for h in batch.headers:
+            if not h.startswith(b"@"):
+                raise ValueError("Invalid Fastq file entry: First header line does not start with '@'")
+    if batch.headers2 is not None:
+        for h in batch.headers2:
+            if not h.startswith(b"+"):
+                raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
+
+
+class FastqReader:
+    """Streams a (gzip or plain) FASTQ file as FastqBatch objects.
+
+    The gzip stream is decoded in large chunks and records are split with
+    vectorized byte operations — no per-read Python loop.
+    """
+
+    def __init__(self, filename: str, batch_reads: int = 1 << 16,
+                 keep_headers: bool = False, validate: bool = True,
+                 long_read: bool = False, chunk_bytes: int = 8 << 20):
+        self.filename = filename
+        self.batch_reads = batch_reads
+        self.keep_headers = keep_headers
+        self.validate = validate
+        self.long_read = long_read
+        self.chunk_bytes = chunk_bytes
+        self.reads_seen = 0
+
+    def _open(self):
+        raw = open(self.filename, "rb")
+        head = raw.peek(2) if hasattr(raw, "peek") else b""
+        raw.seek(0)
+        magic = raw.read(2)
+        raw.seek(0)
+        if magic == b"\x1f\x8b":
+            return gzip.open(raw, "rb")
+        return raw
+
+    def __iter__(self):
+        leftover = b""
+        pending_lines: list[bytes] = []
+        with self._open() as fh:
+            while True:
+                chunk = fh.read(self.chunk_bytes)
+                if not chunk:
+                    break
+                data = leftover + chunk
+                nl = data.rfind(b"\n")
+                if nl < 0:
+                    leftover = data
+                    continue
+                leftover = data[nl + 1:]
+                pending_lines.extend(data[:nl].split(b"\n"))
+                while len(pending_lines) >= 4 * self.batch_reads:
+                    take = 4 * self.batch_reads
+                    yield self._make_batch(pending_lines[:take])
+                    del pending_lines[:take]
+            if leftover:
+                pending_lines.append(leftover)
+            # drop trailing empty lines
+            while pending_lines and pending_lines[-1] == b"":
+                pending_lines.pop()
+            if pending_lines:
+                if len(pending_lines) % 4 != 0:
+                    raise ValueError(
+                        f"FASTQ file '{self.filename}' has a line count that is not a multiple of 4")
+                for start in range(0, len(pending_lines), 4 * self.batch_reads):
+                    yield self._make_batch(pending_lines[start:start + 4 * self.batch_reads])
+
+    def _make_batch(self, lines: list) -> FastqBatch:
+        bases = lines[1::4]
+        quals = lines[3::4]
+        n = len(bases)
+        lengths = np.fromiter((len(b) for b in bases), dtype=np.int32, count=n)
+        qlengths = np.fromiter((len(q) for q in quals), dtype=np.int32, count=n)
+        if not np.array_equal(lengths, qlengths):
+            i = int(np.argwhere(lengths != qlengths)[0])
+            raise ValueError(
+                "Invalid Fastq file entry: Differing length of bases and qualities string "
+                f"in sequence '{lines[4 * i].decode(errors='replace')}'.")
+        batch = FastqBatch(
+            bases=_pad_2d(bases, lengths),
+            quals=_pad_2d(quals, lengths),
+            lengths=lengths,
+            headers=lines[0::4] if self.keep_headers else None,
+            headers2=lines[2::4] if self.keep_headers else None,
+        )
+        self.reads_seen += n
+        if self.validate:
+            validate_batch(batch, self.long_read, self.filename)
+        return batch
+
+
+class FastqWriter:
+    """Gzip FASTQ writer. Matches the reference default compression
+    (Z_BEST_SPEED=1, FastqFileStream.cpp:160-193); mtime pinned to 0 for
+    reproducible output bytes."""
+
+    def __init__(self, filename: str, compression_level: int = 1):
+        self.filename = filename
+        self._raw = open(filename, "wb")
+        if filename.endswith(".gz") or True:
+            self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
+                                     compresslevel=compression_level, mtime=0)
+        self._buf = io.BytesIO()
+
+    def write_batch(self, batch: FastqBatch, keep: np.ndarray | None = None,
+                    lengths: np.ndarray | None = None):
+        """Write (a filtered subset of) a batch. `lengths` overrides the batch
+        lengths (e.g. after trimming)."""
+        if batch.headers is None or batch.headers2 is None:
+            raise ValueError("FastqWriter requires batches read with keep_headers=True")
+        lens = batch.lengths if lengths is None else lengths
+        idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
+        parts = []
+        bases = batch.bases
+        quals = batch.quals
+        for i in idx:
+            li = int(lens[i])
+            parts.append(batch.headers[i])
+            parts.append(b"\n")
+            parts.append(bases[i, :li].tobytes())
+            parts.append(b"\n")
+            parts.append(batch.headers2[i])
+            parts.append(b"\n")
+            parts.append(quals[i, :li].tobytes())
+            parts.append(b"\n")
+        self._fh.write(b"".join(parts))
+
+    def close(self):
+        self._fh.close()
+        self._raw.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,63 @@
+"""Device compute for raw-read QC (ReadQC engine inner loops).
+
+Behavioral reference: ngs-bits ``StatisticsReads::update``
+(cppNGS/StatisticsReads.cpp:26-81): per-cycle base pileups, per-cycle quality
+sums, base-quality histogram, per-read quality sums.
+
+TPU-first design: a whole batch of reads is one [B, L] uint8 tensor; the
+per-read C++ loop becomes masked vector reductions (VPU work, fused by XLA):
+  counts5[c, L]   = sum_B onehot(base)        (per-cycle pileups)
+  qsum_cycle[L]   = sum_B qual                (per-cycle quality sums)
+  qhist[Q]        = histogram of all quals    (one-hot matmul)
+  read_qsum[B]    = sum_L qual                (per-read quality sums)
+All masked by position < length. Padding never contributes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# base codes in pileup order A, C, G, T, N (ASCII)
+BASE_CODES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+QHIST_SIZE = 100  # reference base_qualities_ array size (StatisticsReads.h:48)
+
+
+@partial(jax.jit, donate_argnums=())
+def readqc_batch(bases: jax.Array, quals: jax.Array, lengths: jax.Array):
+    """Compute ReadQC partial statistics for one batch.
+
+    Args:
+      bases:   [B, L] uint8 ASCII base codes (zero-padded)
+      quals:   [B, L] uint8 ASCII quality codes (zero-padded)
+      lengths: [B] int32 read lengths
+
+    Returns:
+      counts5:    [5, L] int32 per-cycle base counts (A,C,G,T,N)
+      qsum_cycle: [L] int32 per-cycle quality sums (offset-33 units)
+      qhist:      [QHIST_SIZE] int32 base-quality histogram
+      read_qsum:  [B] int32 per-read quality sums
+    """
+    B, L = bases.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    mask = pos < lengths[:, None]
+    q = jnp.where(mask, quals.astype(jnp.int32) - 33, 0)
+
+    counts5 = jnp.stack([
+        jnp.sum(((bases == code) & mask).astype(jnp.int32), axis=0)
+        for code in BASE_CODES
+    ])  # [5, L]
+
+    qsum_cycle = jnp.sum(q, axis=0, dtype=jnp.int32)  # [L]
+    read_qsum = jnp.sum(q, axis=1, dtype=jnp.int32)   # [B]
+
+    # base-quality histogram via one-hot reduction: padding is masked by
+    # routing it to a sentinel bin that is dropped.
+    q_or_sentinel = jnp.where(mask, q, QHIST_SIZE)
+    onehot = q_or_sentinel[:, :, None] == jnp.arange(QHIST_SIZE + 1)[None, None, :]
+    qhist = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)[:QHIST_SIZE]
+
+    return counts5, qsum_cycle, qhist, read_qsum

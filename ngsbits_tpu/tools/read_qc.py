@@ -1,0 +1,98 @@
+"""ReadQC — QC metrics on unprocessed NGS reads.
+
+Behavioral reference: ngs-bits src/ReadQC/main.cpp:34-116 (streams FASTQ
+file(s) through the raw-read QC engine, writes qcML or TXT).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..io.fastq import FastqReader, FastqWriter
+from ..qc.read_stats import FORWARD, REVERSE, ReadStatistics
+from .toolbase import ToolBase, ToolError
+
+
+class ReadQCTool(ToolBase):
+    name = "ReadQC"
+    description = "Calculates QC metrics on unprocessed NGS reads."
+    changelog = [
+        (2023, 4, 18, "Added support for LongRead"),
+        (2021, 2, 3, "Added option to write out merged input FASTQs (out1/out2)."),
+        (2016, 8, 19, "Added support for multiple input files."),
+    ]
+
+    def setup(self):
+        self.add_infile_list("in1", "Forward input gzipped FASTQ file(s).")
+        self.add_infile_list("in2", "Reverse input gzipped FASTQ file(s) for paired-end mode (same number of cycles/reads as 'in1').", optional=True)
+        self.add_outfile("out", "Output qcML file. If unset, writes to STDOUT.", optional=True)
+        self.add_flag("txt", "Writes TXT format instead of qcML.")
+        self.add_outfile("out1", "If set, writes merged forward FASTQs to this file (gzipped).", optional=True)
+        self.add_outfile("out2", "If set, writes merged reverse FASTQs to this file (gzipped)", optional=True)
+        self.add_int("compression_level", "Output FASTQ compression level from 1 (fastest) to 9 (best compression).", optional=True, default=1)
+        self.add_flag("long_read", "Support long reads (> 1kb).")
+
+    def main(self):
+        in1 = self.get_infile_list("in1")
+        in2 = self.get_infile_list("in2")
+        if in2 and len(in1) != len(in2):
+            raise ToolError("Input file lists 'in1' and 'in2' differ in counts!")
+
+        long_read = self.get_flag("long_read")
+        compression_level = self.get_int("compression_level")
+        out1 = self.get_outfile("out1")
+        out2 = self.get_outfile("out2")
+        w1 = FastqWriter(out1, compression_level) if out1 else None
+        w2 = FastqWriter(out2, compression_level) if out2 else None
+
+        # NOTE reference quirk: StatisticsReads' single_end ctor arg receives
+        # the *long_read* flag (ReadQC/main.cpp: `StatisticsReads stats(long_read)`),
+        # so N50/median/mode extras appear exactly when -long_read is set.
+        stats = ReadStatistics(single_end=long_read)
+
+        infiles = []
+        for i, f1 in enumerate(in1):
+            n1 = 0
+            reader = FastqReader(f1, keep_headers=w1 is not None, long_read=long_read)
+            for batch in reader:
+                stats.update_batch(batch, FORWARD)
+                if w1:
+                    w1.write_batch(batch)
+            n1 = reader.reads_seen
+            infiles.append(f1)
+            if i < len(in2):
+                reader2 = FastqReader(in2[i], keep_headers=w2 is not None, long_read=long_read)
+                for batch in reader2:
+                    stats.update_batch(batch, REVERSE)
+                    if w2:
+                        w2.write_batch(batch)
+                if n1 != reader2.reads_seen:
+                    raise ToolError(f"Differing number of reads in file '{f1}' and '{in2[i]}'!")
+                infiles.append(in2[i])
+
+        metrics = stats.get_result()
+        out = self.get_outfile("out")
+        if self.get_flag("txt"):
+            lines = metrics.to_string_list()
+            text = "".join(line + "\n" for line in lines)
+            if out:
+                with open(out, "w") as fh:
+                    fh.write(text)
+            else:
+                sys.stdout.write(text)
+        else:
+            metrics.store_to_qcml(out if out else None, infiles, self._parameters)
+
+        if w1:
+            w1.close()
+        if w2:
+            w2.close()
+
+    _parameters = ""
+
+    def execute(self, argv):
+        self._parameters = " ".join(argv)
+        return super().execute(argv)
+
+
+TOOLS = {"ReadQC": ReadQCTool}

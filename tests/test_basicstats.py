@@ -1,0 +1,44 @@
+"""Pins kernel math to the reference's pinned values
+(cppCORE-TEST/BasicStatistics_Test.cpp)."""
+
+import math
+
+import pytest
+
+from ngsbits_tpu.core import basicstats as bs
+
+
+def test_match_probability_pinned():
+    assert math.isclose(bs.match_probability(0.1, 1, 1), 0.100, abs_tol=1e-9)
+    assert math.isclose(bs.match_probability(0.1, 1, 2), 0.190, abs_tol=1e-9)
+    assert math.isclose(bs.match_probability(0.1, 1, 3), 0.271, abs_tol=1e-9)
+    assert math.isclose(bs.match_probability(0.1, 1, 5), 0.40951, abs_tol=1e-9)
+    assert math.isclose(bs.match_probability(0.1, 5, 5), 0.00001, abs_tol=1e-9)
+
+
+def test_match_probability_table_matches_scalar():
+    table = bs.match_probability_table(0.25, 50)
+    for count, matches in [(1, 1), (10, 3), (50, 40), (50, 0), (33, 33)]:
+        assert math.isclose(table[count, matches],
+                            bs.match_probability(0.25, matches, count), rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("a,b,c,d,expected", [
+    (1, 2, 3, 0, 0.4),
+    (2, 7, 8, 2, 0.023014),
+    (1, 9, 11, 3, 0.00276),
+    (13, 0, 19, 25, 0.00021),
+    (16, 21, 15, 8, 0.11752),
+    (7, 8, 12, 12, 1.00000),
+    (14, 15, 22, 0, 0.00003),
+])
+def test_fishers_exact_two_sided(a, b, c, d, expected):
+    assert math.isclose(bs.fishers_exact_test(a, b, c, d, "two-sided"), expected, abs_tol=1e-5)
+
+
+def test_round_half_away():
+    assert bs.round_half_away(0.5) == 1.0
+    assert bs.round_half_away(1.5) == 2.0
+    assert bs.round_half_away(2.5) == 3.0
+    assert bs.round_half_away(-0.5) == -1.0
+    assert bs.round_half_away(2.4) == 2.0
