@@ -19,10 +19,10 @@ TOOL_MODULES = {
     "SampleGender": "ngsbits_tpu.tools.sample_gender",
     "SampleAncestry": "ngsbits_tpu.tools.sample_ancestry",
     "RohHunter": "ngsbits_tpu.tools.roh_hunter",
-    "BedCoverage": "ngsbits_tpu.tools.bed_tools",
-    "BedLowCoverage": "ngsbits_tpu.tools.bed_tools",
-    "BedHighCoverage": "ngsbits_tpu.tools.bed_tools",
-    "BedReadCount": "ngsbits_tpu.tools.bed_tools",
+    "BedCoverage": "ngsbits_tpu.tools.coverage_tools",
+    "BedLowCoverage": "ngsbits_tpu.tools.coverage_tools",
+    "BedHighCoverage": "ngsbits_tpu.tools.coverage_tools",
+    "BedReadCount": "ngsbits_tpu.tools.coverage_tools",
     "BedAdd": "ngsbits_tpu.tools.bed_tools",
     "BedMerge": "ngsbits_tpu.tools.bed_tools",
     "BedSort": "ngsbits_tpu.tools.bed_tools",
