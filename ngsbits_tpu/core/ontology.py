@@ -61,7 +61,12 @@ class OntologyTermCollection:
             elif line.startswith("name:"):
                 cur.name = line[5:].strip()
             elif line.startswith("def:"):
-                cur.definition = line[4:].strip()
+                raw = line[4:].strip()
+                # OBO def format: "text" [citations]
+                if raw.startswith('"'):
+                    end = raw.rfind('"')
+                    raw = raw[1:end].replace('\\"', '"')
+                cur.definition = raw
             elif line.startswith("is_obsolete:"):
                 cur.obsolete = line.split(":", 1)[1].strip().lower() == "true"
             elif line.startswith("xref:") and "value-type" in line:
