@@ -313,3 +313,43 @@ class ReadStatistics:
                 "Most frequent Q score of all reads of the sample.", "QC:2000147"))
 
         return out
+
+
+def bam_batch_to_fastq_batch(batch, sel: np.ndarray):
+    """Convert selected BAM records to a FastqBatch-shaped container for the
+    raw-read QC engine (StatisticsReads::update(BamAlignment) semantics:
+    bases as stored, raw qualities)."""
+    from ..io.bam import SEQ_NIBBLE_ASCII
+    from ..io.fastq import FastqBatch, _pad_2d
+    idx = np.flatnonzero(sel)
+    lengths = batch.l_seq[idx].astype(np.int32)
+    n = len(idx)
+    lmax = int(lengths.max()) if n else 0
+    bases = np.zeros((n, lmax), dtype=np.uint8)
+    quals = np.zeros((n, lmax), dtype=np.uint8)
+    for k, i in enumerate(idx):
+        s = batch.seq_off[i]
+        e = batch.seq_off[i + 1]
+        li = e - s
+        bases[k, :li] = SEQ_NIBBLE_ASCII[batch.seq[s:e]]
+        quals[k, :li] = batch.qual[s:e] + 33
+    return FastqBatch(bases=bases, quals=quals, lengths=lengths)
+
+
+def update_from_bam(stats: "ReadStatistics", bam_file: str, single_end: bool):
+    """Stream a BAM through the raw-read QC engine
+    (StatisticsReads::update(BamAlignment), StatisticsReads.cpp:83-158)."""
+    from ..io.bam import BamReader, FLAG_READ1, FLAG_SECONDARY, FLAG_SUPPLEMENTARY
+    reader = BamReader(bam_file)
+    for batch in reader:
+        primary = (batch.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+        if single_end:
+            stats.update_batch(bam_batch_to_fastq_batch(batch, primary), FORWARD)
+        else:
+            fwd = primary & ((batch.flag & FLAG_READ1) != 0)
+            rev = primary & ~((batch.flag & FLAG_READ1) != 0)
+            if fwd.any():
+                stats.update_batch(bam_batch_to_fastq_batch(batch, fwd), FORWARD)
+            if rev.any():
+                stats.update_batch(bam_batch_to_fastq_batch(batch, rev), REVERSE)
+    reader.close()
