@@ -1,0 +1,93 @@
+"""GSvar variant-list TSV reader (minimal).
+
+Behavioral reference: ngs-bits ``VariantList`` GSvar loading
+(cppNGS/VariantList.cpp): '##'-comment headers (##SAMPLE=<ID=...,Status=...>),
+one '#chr start end ref obs [annotations...]' column header, TSV rows with
+1-based start/end.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+from ..core.chromosome import Chromosome
+
+
+@dataclass
+class GSvarVariant:
+    chr: Chromosome
+    start: int
+    end: int
+    ref: bytes
+    obs: bytes
+    annotations: list  # columns after the 5 fixed ones
+
+    def to_string(self) -> str:
+        return f"{self.chr.str}:{self.start}-{self.end} {self.ref.decode()}>{self.obs.decode()}"
+
+
+class GSvarFile:
+    def __init__(self):
+        self.comments: list[bytes] = []
+        self.columns: list[str] = []          # annotation column names (after obs)
+        self.variants: list[GSvarVariant] = []
+        self.samples: list[tuple[str, str]] = []  # (id, status)
+
+    @staticmethod
+    def from_file(filename: str, roi=None) -> "GSvarFile":
+        out = GSvarFile()
+        with open(filename, "rb") as fh:
+            data = fh.read()
+        roi_idx = None
+        if roi is not None and len(roi):
+            from ..core.intervals import BedFile, ChromosomalIndex
+            rs = BedFile()
+            rs.lines = sorted(roi.lines, key=lambda l: l.sort_key())
+            roi_idx = ChromosomalIndex(rs)
+        chr_cache: dict[bytes, Chromosome] = {}
+        for raw in data.split(b"\n"):
+            line = raw.rstrip(b"\r")
+            if not line:
+                continue
+            if line.startswith(b"##"):
+                out.comments.append(line)
+                if line.startswith(b"##SAMPLE=<"):
+                    inner = line[10:].rstrip(b">")
+                    kv = {}
+                    for part in inner.split(b","):
+                        if b"=" in part:
+                            k, v = part.split(b"=", 1)
+                            kv[k.decode()] = v.decode()
+                    out.samples.append((kv.get("ID", ""), kv.get("Status", "")))
+                continue
+            if line.startswith(b"#"):
+                out.columns = [c.decode() for c in line[1:].split(b"\t")[5:]]
+                continue
+            fields = line.split(b"\t")
+            cb = fields[0]
+            if cb not in chr_cache:
+                chr_cache[cb] = Chromosome(cb)
+            v = GSvarVariant(chr_cache[cb], int(fields[1]), int(fields[2]),
+                             fields[3], fields[4], fields[5:])
+            if roi_idx is not None:
+                if len(roi_idx.matching_indices(v.chr, v.start, v.end)) == 0:
+                    continue
+            out.variants.append(v)
+        return out
+
+    def annotation_index(self, name: str) -> int:
+        for i, c in enumerate(self.columns):
+            if c == name:
+                return i
+        raise KeyError(f"Could not find annotation column '{name}'")
+
+    def affected_sample_columns(self) -> list[int]:
+        out = []
+        for sid, status in self.samples:
+            if status.lower() == "affected":
+                try:
+                    out.append(self.annotation_index(sid))
+                except KeyError:
+                    pass
+        return out

@@ -233,6 +233,12 @@ class VcfFile:
             out.format_keys.append(fields[8] if len(fields) > 8 else b"")
             out.samples.append(fields[9:] if len(fields) > 9 else [])
         out.pos = np.array(pos_list, dtype=np.int64)
+        # the reference registers FORMAT ids seen in data lines even when the
+        # header lacks a ##FORMAT declaration — mirror that
+        for fk in set(out.format_keys):
+            if fk:
+                for key in fk.split(b":"):
+                    out.header.format_ids.add(key.decode())
         if not out.column_headers:
             out.column_headers = [b"CHROM", b"POS", b"ID", b"REF", b"ALT",
                                   b"QUAL", b"FILTER", b"INFO"]

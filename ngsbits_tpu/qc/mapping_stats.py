@@ -814,7 +814,8 @@ def contamination(build: str, bam_file: str, roi_file: str = "", min_cov: int = 
     chr_nums = np.array([snps.chr_of(i).num for i in range(n)], dtype=np.int64)
     positions = snps.pos.copy()
     res = pileup_at_positions(bam_file, chr_nums, positions, min_mapq=1,
-                              include_not_properly_paired=include_not_properly_paired)
+                              include_not_properly_paired=include_not_properly_paired,
+                              min_baseq=13)  # getPileup default (BamReader.h:417)
     depth = res.depth()
     from .pileup import BASE2IDX
     ref_idx = np.array([BASE2IDX.get(snps.refs[i][:1], 0) for i in range(n)], dtype=np.int64)
