@@ -26,17 +26,53 @@ class VcfHeaderLine:
     line: bytes  # full '##...' line
 
 
+def _parse_structured_value(line: bytes) -> dict:
+    """Parse '##KEY=<ID=...,Description="...">' fields (quote-aware)."""
+    inner = line.split(b"<", 1)[1].rsplit(b">", 1)[0]
+    out = {}
+    key = b""
+    val = b""
+    in_key = True
+    in_quotes = False
+    i = 0
+    while i < len(inner):
+        c = inner[i:i + 1]
+        if in_key:
+            if c == b"=":
+                in_key = False
+            else:
+                key += c
+        else:
+            if c == b'"':
+                in_quotes = not in_quotes
+            elif c == b"," and not in_quotes:
+                out[key.decode()] = val
+                key = b""
+                val = b""
+                in_key = True
+            else:
+                val += c
+        i += 1
+    if key:
+        out[key.decode()] = val
+    return out
+
+
 class VcfHeader:
     def __init__(self):
         self.lines: list[bytes] = []      # all ## lines in order
         self.info_ids: set[str] = set()
         self.format_ids: set[str] = set()
+        self.info_descriptions: dict[str, bytes] = {}
         self.fileformat: bytes = b""
 
     def add(self, line: bytes):
         self.lines.append(line)
         if line.startswith(b"##INFO=<ID="):
-            self.info_ids.add(line[11:].split(b",", 1)[0].decode())
+            fields = _parse_structured_value(line)
+            iid = fields.get("ID", b"").decode()
+            self.info_ids.add(iid)
+            self.info_descriptions[iid] = fields.get("Description", b"")
         elif line.startswith(b"##FORMAT=<ID="):
             self.format_ids.add(line[13:].split(b",", 1)[0].decode())
         elif line.startswith(b"##fileformat="):
@@ -47,6 +83,23 @@ class VcfHeader:
 
     def format_id_defined(self, key: str) -> bool:
         return key in self.format_ids
+
+    def vep_index_by_name(self, name: str, error_if_not_found: bool = True) -> int:
+        """Index of a field in the CSQ annotation (VcfLine.cpp:125-149:
+        split the CSQ Description on '|', first part is forced to 'Allele')."""
+        desc = self.info_descriptions.get("CSQ")
+        if desc is None:
+            if error_if_not_found:
+                raise ValueError("Info field 'CSQ' containing VEP annotation not found!")
+            return -1
+        parts = desc.strip().split(b"|")
+        parts[0] = b"Allele"
+        try:
+            return parts.index(name.encode())
+        except ValueError:
+            if error_if_not_found:
+                raise ValueError(f"Field '{name}' not found in VEP CSQ field!")
+            return -1
 
 
 class VcfLineView:
@@ -131,6 +184,25 @@ class VcfLineView:
             elif part == kb:
                 return b"TRUE"
         return b""
+
+    def qual_value(self) -> float:
+        """QUAL as float; '.' -> -1 (VcfLine semantics)."""
+        q = self.f.quals[self.i]
+        if q in (b".", b""):
+            return -1.0
+        try:
+            return float(q)
+        except ValueError:
+            return -1.0
+
+    def vep_annotations(self, field_index: int) -> list[bytes]:
+        csq = self.info("CSQ").strip()
+        out = []
+        if csq:
+            for transcript in csq.split(b","):
+                fields = transcript.split(b"|")
+                out.append(fields[field_index])
+        return out
 
     def format_keys(self) -> list[bytes]:
         fk = self.f.format_keys[self.i]
