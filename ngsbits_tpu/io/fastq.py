@@ -135,10 +135,14 @@ class FastqReader:
                     del pending_lines[:take]
             if leftover:
                 pending_lines.append(leftover)
-            # drop trailing empty lines
-            while pending_lines and pending_lines[-1] == b"":
-                pending_lines.pop()
+            # NOTE: empty lines are legitimate (zero-length reads), so no
+            # trailing-blank cleanup — the split logic never produces a
+            # terminator artifact (the final newline ends up in `leftover`).
             if pending_lines:
+                if len(pending_lines) % 4 == 3:
+                    # final empty quality line with no trailing newline —
+                    # the reference's line reader yields it as empty at EOF
+                    pending_lines.append(b"")
                 if len(pending_lines) % 4 != 0:
                     raise ValueError(
                         f"FASTQ file '{self.filename}' has a line count that is not a multiple of 4")

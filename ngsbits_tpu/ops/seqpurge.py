@@ -1,0 +1,102 @@
+"""Device kernels for SeqPurge's trimming scans.
+
+Behavioral reference: ngs-bits SeqPurge AnalysisWorker.cpp:79-457. The
+per-pair O(L²) offset loop becomes a batched band-limited correlation:
+for every (pair, offset) the match/mismatch/N counts are computed as masked
+[B, O, L] reductions on device; the p-value lookups and accept/reject
+decisions run on host in float64 (bit-exact with the reference's doubles).
+
+The reference's early-abort optimization (AnalysisWorker.cpp:143-167) is
+provably outcome-neutral (a partial scan that aborts always fails the
+match-percentage test), so full counts give identical results.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CODE = ord("N")
+
+
+@partial(jax.jit, static_argnums=())
+def insert_scan(seq1: jax.Array, seq2rc: jax.Array, min_len: jax.Array):
+    """Counts for the insert-match offset scan.
+
+    seq1:   [B, L] uint8 ASCII read1 (zero-padded)
+    seq2rc: [B, L] uint8 ASCII revcomp(read2) (zero-padded)
+    min_len: [B] int32
+
+    Returns (matches, mismatches): [B, L] int32 per offset (index=offset).
+    Position j contributes for offset o when o <= j < min_len:
+    compares seq1[j-o] with seq2rc[j] (AnalysisWorker.cpp:150-167).
+    """
+    B, L = seq1.shape
+    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]        # [1, O, 1]
+    j = jnp.arange(L, dtype=jnp.int32)[None, None, :]        # [1, 1, L]
+    idx = jnp.clip(j - o, 0, L - 1)                          # [1, O, L]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    s1 = seq1[b_idx, idx]                                    # [B, O, L]
+    s2 = seq2rc[:, None, :]
+    valid = (j >= o) & (j < min_len[:, None, None])
+    is_n = (s1 == N_CODE) | (s2 == N_CODE)
+    eff = valid & ~is_n
+    matches = jnp.sum(eff & (s1 == s2), axis=2, dtype=jnp.int32)
+    mismatches = jnp.sum(eff & (s1 != s2), axis=2, dtype=jnp.int32)
+    return matches, mismatches
+
+
+@partial(jax.jit, static_argnums=(6,))
+def adapter_evidence(read1: jax.Array, read2: jax.Array,
+                     len1: jax.Array, len2: jax.Array,
+                     a1: jax.Array, a2: jax.Array, overlap: int = 10):
+    """Adapter-presence counts for the insert match (AnalysisWorker.cpp:182-259).
+
+    For each offset o: window1 = read1[len2-o : len2-o+overlap] vs a1,
+    window2 = read2[len2-o : len2-o+min(overlap,o)] vs a2.
+    Returns (m1, mm1, m2, mm2): [B, L] int32.
+    """
+    B, L = read1.shape
+    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    i = jnp.arange(overlap, dtype=jnp.int32)[None, None, :]
+    start = len2[:, None, None] - o
+    pos = start + i
+
+    def window_counts(read, rlen, adapter, extra_valid):
+        valid = (pos >= 0) & (pos < rlen[:, None, None]) & extra_valid
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        b = read[b_idx, jnp.clip(pos, 0, L - 1)]
+        c = adapter[None, None, :]
+        is_n = (b == N_CODE) | (c == N_CODE)
+        eff = valid & ~is_n
+        m = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
+        mm = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
+        return m, mm
+
+    m1, mm1 = window_counts(read1, len1, a1, jnp.bool_(True))
+    # window2 length is additionally capped at o (i < o)
+    m2, mm2 = window_counts(read2, len2, a2, i < o)
+    return m1, mm1, m2, mm2
+
+
+@partial(jax.jit, static_argnums=(3,))
+def adapter_scan(read: jax.Array, length: jax.Array, adapter: jax.Array, a_size: int):
+    """Adapter-prefix scan (steps 2/3, AnalysisWorker.cpp:304-427):
+    for each offset o compare read[o:o+a_size] vs adapter[:a_size]
+    (window truncated at read end). Returns (matches, mismatches): [B, L]."""
+    B, L = read.shape
+    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    i = jnp.arange(a_size, dtype=jnp.int32)[None, None, :]
+    pos = o + i
+    valid = pos < length[:, None, None]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    b = read[b_idx, jnp.clip(pos, 0, L - 1)]
+    c = adapter[None, None, :a_size]
+    is_n = (b == N_CODE) | (c == N_CODE)
+    eff = valid & ~is_n
+    matches = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
+    mismatches = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
+    return matches, mismatches
