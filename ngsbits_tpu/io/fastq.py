@@ -32,9 +32,15 @@ class FastqBatch:
     lengths: np.ndarray     # [B] int32
     headers: list | None = None   # list[bytes] (without trailing newline)
     headers2: list | None = None  # list[bytes] ('+' lines)
+    qual_lengths: np.ndarray | None = None  # differs from lengths only for
+                                            # malformed records read with
+                                            # validation off (ref passthrough)
 
     def __len__(self) -> int:
         return len(self.lengths)
+
+    def qlen(self) -> np.ndarray:
+        return self.lengths if self.qual_lengths is None else self.qual_lengths
 
 
 def _pad_2d(parts: list, lengths: np.ndarray, pad_to: int | None = None) -> np.ndarray:
@@ -123,6 +129,9 @@ class FastqReader:
                 if not chunk:
                     break
                 data = leftover + chunk
+                # NOTE: '\r' is intentionally preserved — the reference's
+                # FastqFileStream keeps it (pinned by the CRLF FastqConcat
+                # golden); validation rejects it, like the reference.
                 nl = data.rfind(b"\n")
                 if nl < 0:
                     leftover = data
@@ -156,16 +165,18 @@ class FastqReader:
         lengths = np.fromiter((len(b) for b in bases), dtype=np.int32, count=n)
         qlengths = np.fromiter((len(q) for q in quals), dtype=np.int32, count=n)
         if not np.array_equal(lengths, qlengths):
-            i = int(np.argwhere(lengths != qlengths)[0])
-            raise ValueError(
-                "Invalid Fastq file entry: Differing length of bases and qualities string "
-                f"in sequence '{lines[4 * i].decode(errors='replace')}'.")
+            if self.validate:
+                i = int(np.argwhere(lengths != qlengths)[0])
+                raise ValueError(
+                    "Invalid Fastq file entry: Differing length of bases and qualities string "
+                    f"in sequence '{lines[4 * i].decode(errors='replace')}'.")
         batch = FastqBatch(
             bases=_pad_2d(bases, lengths),
-            quals=_pad_2d(quals, lengths),
+            quals=_pad_2d(quals, qlengths),
             lengths=lengths,
             headers=lines[0::4] if self.keep_headers else None,
             headers2=lines[2::4] if self.keep_headers else None,
+            qual_lengths=None if np.array_equal(lengths, qlengths) else qlengths,
         )
         self.reads_seen += n
         if self.validate:
@@ -193,6 +204,7 @@ class FastqWriter:
         if batch.headers is None or batch.headers2 is None:
             raise ValueError("FastqWriter requires batches read with keep_headers=True")
         lens = batch.lengths if lengths is None else lengths
+        qlens = batch.qlen() if lengths is None else lengths
         idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
         parts = []
         bases = batch.bases
@@ -205,7 +217,7 @@ class FastqWriter:
             parts.append(b"\n")
             parts.append(batch.headers2[i])
             parts.append(b"\n")
-            parts.append(quals[i, :li].tobytes())
+            parts.append(quals[i, :int(qlens[i])].tobytes())
             parts.append(b"\n")
         self._fh.write(b"".join(parts))
 
@@ -218,3 +230,61 @@ class FastqWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class FastqEntry:
+    """Per-read view for streaming tools (header/bases/header2/quals bytes)."""
+
+    __slots__ = ("header", "bases", "header2", "quals")
+
+    def __init__(self, header: bytes, bases: bytes, header2: bytes, quals: bytes):
+        self.header = header
+        self.bases = bases
+        self.header2 = header2
+        self.quals = quals
+
+    def read_id(self) -> bytes:
+        """Header without '@' and without the comment after the first space."""
+        rid = self.header.strip()[1:]
+        sp = rid.find(b" ")
+        return rid if sp == -1 else rid[:sp]
+
+
+def iter_entries(filename: str, validate: bool = False, long_read: bool = False):
+    """Stream FastqEntry objects (batched decode under the hood)."""
+    reader = FastqReader(filename, keep_headers=True, validate=validate,
+                         long_read=long_read)
+    for batch in reader:
+        bases = batch.bases
+        quals = batch.quals
+        qlens = batch.qlen()
+        for i in range(len(batch)):
+            li = int(batch.lengths[i])
+            qi = int(qlens[i])
+            yield FastqEntry(batch.headers[i], bases[i, :li].tobytes(),
+                             batch.headers2[i], quals[i, :qi].tobytes())
+
+
+class FastqEntryWriter:
+    """Per-entry gzip writer (buffers to batch the compressor)."""
+
+    def __init__(self, filename: str, compression_level: int = 1):
+        self._raw = open(filename, "wb")
+        self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
+                                 compresslevel=compression_level, mtime=0)
+        self._parts = []
+        self._size = 0
+
+    def write(self, e: FastqEntry):
+        self._parts += [e.header, b"\n", e.bases, b"\n", e.header2, b"\n", e.quals, b"\n"]
+        self._size += len(e.bases) * 2
+        if self._size > (4 << 20):
+            self._fh.write(b"".join(self._parts))
+            self._parts = []
+            self._size = 0
+
+    def close(self):
+        if self._parts:
+            self._fh.write(b"".join(self._parts))
+        self._fh.close()
+        self._raw.close()

@@ -46,6 +46,7 @@ TOOL_MODULES = {
     "FastqExtractUMI": "ngsbits_tpu.tools.fastq_tools",
     "FastqAddBarcode": "ngsbits_tpu.tools.fastq_tools",
     "FastqMidParser": "ngsbits_tpu.tools.fastq_tools",
+    "FastqCheckUMI": "ngsbits_tpu.tools.fastq_tools",
     "VcfCheck": "ngsbits_tpu.tools.vcf_tools",
     "VcfSort": "ngsbits_tpu.tools.vcf_tools",
     "VcfLeftNormalize": "ngsbits_tpu.tools.vcf_tools",
