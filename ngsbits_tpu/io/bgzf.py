@@ -17,7 +17,7 @@ def _one_block(data: bytes, level: int = 6) -> bytes:
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = co.compress(data) + co.flush()
     bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+payload+crc(4)+isize(4) -1 stored
-    header = struct.pack("<4BI2B2H2B2H",
+    header = struct.pack("<4BI2BH2B2H",
                          0x1F, 0x8B, 8, 4,  # magic, CM=deflate, FLG=FEXTRA
                          0,                 # MTIME
                          0, 0xFF,           # XFL, OS

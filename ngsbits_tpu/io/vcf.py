@@ -58,25 +58,109 @@ def _parse_structured_value(line: bytes) -> dict:
     return out
 
 
+def _ref_info_format_roundtrip(line: bytes, kind: bytes):
+    """Reproduce the reference's parse+store cycle for ##INFO/##FORMAT lines
+    (VcfHeader::parseInfoFormatLine, VcfLine.cpp:319-377 + storeLine):
+    naive '='/',' splitting — a '=' inside the Description drops the text up
+    to the next ',' (pinned by the VcfSort_out5 golden)."""
+    prefix = b"##" + kind + b"=<"
+    inner = line[len(prefix):]
+    parts = inner.split(b",")
+    if len(parts) < 4:
+        return None
+    try:
+        id_ = parts[0].split(b"=")[1]
+        number = parts[1].split(b"=")[1]
+        type_ = parts[2].split(b"=")[1]
+        desc_first = parts[3].split(b"=")[1]
+    except IndexError:
+        return None
+    desc = b",".join([desc_first] + parts[4:])
+    desc = desc[1:-2]  # remove leading '"' and trailing '">'
+    return (id_, b"##" + kind + b"=<ID=" + id_ + b",Number=" + number
+            + b",Type=" + type_ + b',Description="' + desc + b'">')
+
+
+def _ref_filter_roundtrip(line: bytes):
+    """VcfHeader::setFilterLine + FilterLine::storeLine round trip."""
+    inner = line[13:-2]  # strip '##FILTER=<ID=' and '">'
+    parts = inner.split(b"=")
+    if parts and parts[0].endswith(b"Description"):
+        parts = [parts[0], b"=".join(parts[1:])]
+    if len(parts) != 2:
+        return None
+    first = parts[0].split(b",")
+    if len(first) != 2 or first[1].strip() != b"Description":
+        return None
+    fid = first[0]
+    desc = parts[1][1:]  # remove leading '"'
+    return fid, b"##FILTER=<ID=" + fid + b',Description="' + desc + b'">'
+
+
 class VcfHeader:
     def __init__(self):
         self.lines: list[bytes] = []      # all ## lines in order
         self.info_ids: set[str] = set()
         self.format_ids: set[str] = set()
         self.info_descriptions: dict[str, bytes] = {}
+        self.format_descriptions: dict[str, bytes] = {}
+        self.info_types: dict[str, bytes] = {}
         self.fileformat: bytes = b""
+        # categorized raw lines for reference-order store
+        self.comments: list[bytes] = []
+        self.info_lines: list[tuple[str, bytes]] = []    # (id, raw line)
+        self.format_lines: list[tuple[str, bytes]] = []
+        self.filter_lines: list[tuple[str, bytes]] = []  # (id, raw line)
+        self.filter_descriptions: dict[str, bytes] = {}
 
     def add(self, line: bytes):
         self.lines.append(line)
         if line.startswith(b"##INFO=<ID="):
             fields = _parse_structured_value(line)
             iid = fields.get("ID", b"").decode()
+            rt = _ref_info_format_roundtrip(line, b"INFO")
+            stored = rt[1] if rt else line
+            if iid in self.info_ids:
+                return  # duplicate metadata skipped like the reference
             self.info_ids.add(iid)
             self.info_descriptions[iid] = fields.get("Description", b"")
+            self.info_types[iid] = fields.get("Type", b"")
+            self.info_lines.append((iid, stored))
         elif line.startswith(b"##FORMAT=<ID="):
-            self.format_ids.add(line[13:].split(b",", 1)[0].decode())
+            fields = _parse_structured_value(line)
+            fid = fields.get("ID", b"").decode()
+            rt = _ref_info_format_roundtrip(line, b"FORMAT")
+            stored = rt[1] if rt else line
+            if fid in self.format_ids:
+                return
+            self.format_ids.add(fid)
+            self.format_descriptions[fid] = fields.get("Description", b"")
+            # GT is always moved to the front (VcfHeader::setFormatLine,
+            # VcfLine.cpp:250-254)
+            if fid == "GT" and self.format_lines:
+                self.format_lines.insert(0, (fid, stored))
+            else:
+                self.format_lines.append((fid, stored))
+        elif line.startswith(b"##FILTER=<ID="):
+            fields = _parse_structured_value(line)
+            rt = _ref_filter_roundtrip(line)
+            stored = rt[1] if rt else line
+            self.filter_lines.append((fields.get("ID", b"").decode(), stored))
+            self.filter_descriptions[fields.get("ID", b"").decode()] = fields.get("Description", b"")
         elif line.startswith(b"##fileformat="):
             self.fileformat = line.split(b"=", 1)[1]
+        else:
+            self.comments.append(line)
+
+    def header_text(self) -> bytes:
+        """Reference store order (VcfHeader::storeHeaderInformation,
+        VcfLine.cpp:172-195): fileformat, comments, INFO, FILTER, FORMAT."""
+        out = [b"##fileformat=" + (self.fileformat if self.fileformat else b"VCFv4.2")]
+        out += self.comments
+        out += [l for _i, l in self.info_lines]
+        out += [l for _i, l in self.filter_lines]
+        out += [l for _i, l in self.format_lines]
+        return b"\n".join(out) + b"\n"
 
     def info_id_defined(self, key: str) -> bool:
         return key in self.info_ids
@@ -209,17 +293,18 @@ class VcfLineView:
         return fk.split(b":") if fk else []
 
     def format_value(self, key: str, sample_idx: int = 0) -> bytes:
-        """FORMAT value for a sample; b'.' if the key is missing (matches
-        VcfLine::formatValueFromSample returning an empty/'.'-like value)."""
+        """FORMAT value for a sample; b'' if the key is missing
+        (VcfLine::formatValueFromSample returns Helper::empty(),
+        VcfLine.h:265-277)."""
         keys = self.format_keys()
         kb = key.encode()
         try:
             ki = keys.index(kb)
         except ValueError:
-            return b"."
+            return b""
         vals = self.f.samples[self.i][sample_idx].split(b":")
         if ki >= len(vals):
-            return b"."
+            return b""
         return vals[ki]
 
 
@@ -302,8 +387,20 @@ class VcfFile:
             out.quals.append(fields[5])
             out.filters.append(fields[6])
             out.infos.append(fields[7])
-            out.format_keys.append(fields[8] if len(fields) > 8 else b"")
-            out.samples.append(fields[9:] if len(fields) > 9 else [])
+            fk = fields[8] if len(fields) > 8 else b""
+            samples = fields[9:] if len(fields) > 9 else []
+            # move GT to the front of FORMAT + sample values
+            # (VcfFile.cpp:222-243)
+            if fk and b"GT" in fk.split(b":"):
+                keys = fk.split(b":")
+                gi = keys.index(b"GT")
+                if gi != 0:
+                    order = [gi] + [k for k in range(len(keys)) if k != gi]
+                    fk = b":".join(keys[k] for k in order)
+                    samples = [b":".join((v.split(b":") + [b""] * len(keys))[k] for k in order)
+                               for v in samples]
+            out.format_keys.append(fk)
+            out.samples.append(samples)
         out.pos = np.array(pos_list, dtype=np.int64)
         # the reference registers FORMAT ids seen in data lines even when the
         # header lacks a ##FORMAT declaration — mirror that
@@ -358,3 +455,153 @@ class VcfFile:
             elif g in (b"1/1",):
                 out[i] = 2
         return out
+
+
+def _qt_num(v: float) -> bytes:
+    """QByteArray::number(double) — '%g' with 6 significant digits."""
+    s = f"{v:g}"
+    return s.encode()
+
+
+class _VcfStoreMixin:
+    pass
+
+
+def _vcf_sort_key(f: "VcfFile", i: int):
+    return (f.chr_of(i).num, int(f.pos[i]), f.refs[i], f.alts[i])
+
+
+def vcf_sort(f: "VcfFile"):
+    """Sort lines with VcfLine::operator< semantics (chr, pos, ref, alt)."""
+    order = sorted(range(len(f)), key=lambda i: _vcf_sort_key(f, i))
+    f.chr_strs = [f.chr_strs[i] for i in order]
+    f.pos = f.pos[order] if len(order) else f.pos
+    f.ids = [f.ids[i] for i in order]
+    f.refs = [f.refs[i] for i in order]
+    f.alts = [f.alts[i] for i in order]
+    f.quals = [f.quals[i] for i in order]
+    f.filters = [f.filters[i] for i in order]
+    f.infos = [f.infos[i] for i in order]
+    f.format_keys = [f.format_keys[i] for i in order]
+    f.samples = [f.samples[i] for i in order]
+
+
+def vcf_store(f: "VcfFile", filename: str | None, compression_level: int = 0,
+              remove_unused_contigs: bool = False):
+    """Store with the reference's header order and line formatting
+    (VcfFile::storeLineInformation / storeHeaderColumns)."""
+    header = f.header
+    comments = header.comments
+    if remove_unused_contigs:
+        used = {c.decode() for c in f.chr_strs}
+        kept = []
+        for line in comments:
+            if line.startswith(b"##contig=<ID="):
+                cid = line[13:].split(b",", 1)[0].split(b">", 1)[0].decode()
+                if cid not in used:
+                    continue
+            kept.append(line)
+        comments = kept
+
+    out = [b"##fileformat=" + (header.fileformat if header.fileformat else b"VCFv4.2")]
+    out += comments
+    out += [l for _i, l in header.info_lines]
+    out += [l for _i, l in header.filter_lines]
+    out += [l for _i, l in header.format_lines]
+    cols = b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    has_samples = len(f.sample_ids()) > 0
+    if has_samples:
+        cols += b"\tFORMAT"
+        for s in f.sample_ids():
+            cols += b"\t" + s
+    out.append(cols)
+
+    for i in range(len(f)):
+        q = f.quals[i]
+        if q in (b".", b""):
+            qtxt = b"."
+        else:
+            try:
+                qtxt = _qt_num(float(q))
+            except ValueError:
+                qtxt = q
+        fields = [f.chr_strs[i], str(int(f.pos[i])).encode(),
+                  f.ids[i] if f.ids[i] else b".",
+                  f.refs[i], f.alts[i], qtxt,
+                  f.filters[i] if f.filters[i] not in (b"",) else b".",
+                  f.infos[i] if f.infos[i] else b"."]
+        if has_samples:
+            fields.append(f.format_keys[i])
+            fields.extend(f.samples[i])
+        out.append(b"\t".join(fields))
+    data = b"\n".join(out) + b"\n"
+    if filename in ("", "-", None):
+        sys.stdout.buffer.write(data)
+    elif compression_level > 0 or (filename and filename.endswith(".gz")):
+        from .bgzf import bgzf_compress
+        with open(filename, "wb") as fh:
+            fh.write(bgzf_compress(data, level=max(compression_level, 1)))
+    else:
+        with open(filename, "wb") as fh:
+            fh.write(data)
+
+
+def vcf_store_as_tsv(f: "VcfFile", filename: str | None):
+    """VcfFile::storeAsTsv (VcfFile.cpp:347-428)."""
+    header = f.header
+    out = []
+    out += header.comments
+    out.append(b"##DESCRIPTION=ID=ID of the variant, often dbSNP rsnumber")
+    out.append(b"##DESCRIPTION=QUAL=Phred-scaled quality score")
+    out.append(b"##DESCRIPTION=FILTER=Filter status")
+    for iid, _line in header.info_lines:
+        desc = header.info_descriptions.get(iid, b"")
+        if iid == "." or not desc:
+            continue
+        out.append(b"##DESCRIPTION=" + iid.encode() + b"_info=" + desc)
+    for fid, _line in header.format_lines:
+        desc = header.format_descriptions.get(fid, b"")
+        if fid == "." or not desc:
+            continue
+        out.append(b"##DESCRIPTION=" + fid.encode() + b"_format=" + desc)
+    for flt, _line in header.filter_lines:
+        out.append(b"##FILTER=" + flt.encode() + b"=" + header.filter_descriptions.get(flt, b""))
+
+    cols = b"#chr\tpos\tref\talt\tID\tQUAL\tFILTER"
+    for iid, _l in header.info_lines:
+        if iid == ".":
+            continue
+        cols += b"\t" + iid.encode() + b"_info"
+    for sid in f.sample_ids():
+        for fid, _l in header.format_lines:
+            if fid == ".":
+                continue
+            cols += b"\t" + sid + b"_" + fid.encode() + b"_format"
+    out.append(cols)
+
+    sample_ids = f.sample_ids()
+    for i in range(len(f)):
+        v = f[i]
+        q = f.quals[i]
+        if q in (b".", b""):
+            qtxt = b"."
+        else:
+            try:
+                qtxt = _qt_num(float(q))
+            except ValueError:
+                qtxt = q
+        row = [f.chr_strs[i], str(int(f.pos[i])).encode(), f.refs[i], f.alts[i],
+               f.ids[i], qtxt,
+               f.filters[i] if f.filters[i] not in (b"", b".") else b"."]
+        for iid, _l in header.info_lines:
+            row.append(v.info(iid))
+        for si in range(len(sample_ids)):
+            for fid, _l in header.format_lines:
+                row.append(v.format_value(fid, si))
+        out.append(b"\t".join(row))
+    data = b"\n".join(out) + b"\n"
+    if filename in ("", "-", None):
+        sys.stdout.buffer.write(data)
+    else:
+        with open(filename, "wb") as fh:
+            fh.write(data)
