@@ -74,14 +74,26 @@ def _log_factorials(n: int) -> np.ndarray:
     return np.concatenate([[0.0], np.cumsum(np.log(np.arange(1, n + 1, dtype=np.float64)))])
 
 
+FACTORIAL_LIMIT = 170  # largest n with finite double factorial (reference cache)
+
+
 def match_probability(p: float, matches: int, count: int) -> float:
     """Binomial tail probability P(X >= matches) for X ~ Binom(count, p).
 
     Pinned by reference tests: (0.1,1,1)->0.100, (0.1,1,2)->0.190,
     (0.1,1,3)->0.271, (0.1,1,5)->0.40951, (0.1,5,5)->0.00001.
+
+    For count beyond the reference's factorial table (170! is the largest
+    finite double) the reference halves matches/count until computable
+    (UpdHunter Q-score goldens: exact for one halving, within ~0.1 log10
+    units for repeated halvings — the residual of the reference's linear-
+    space summation is not reproducible without its cppCORE source).
     """
     if matches > count:
         raise ValueError("matches > count")
+    while count > FACTORIAL_LIMIT:
+        matches //= 2
+        count //= 2
     lf = _log_factorials(count)
     log_p = math.log(p)
     log_q = math.log1p(-p) if p < 1.0 else -math.inf

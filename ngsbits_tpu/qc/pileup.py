@@ -30,13 +30,16 @@ _CODE2IDX[8] = 3  # T
 
 
 class PileupResult:
-    """counts[N, 4] = A/C/G/T counts per locus (same order as input loci)."""
+    """counts[N, 4] = A/C/G/T counts per locus (same order as input loci);
+    dels[N] = deletion ('-') counts (Pileup::incDel)."""
 
     def __init__(self, n: int):
         self.counts = np.zeros((n, 4), dtype=np.int64)
+        self.dels = np.zeros(n, dtype=np.int64)
 
-    def depth(self) -> np.ndarray:
-        return self.counts.sum(axis=1)
+    def depth(self, count_del: bool = False) -> np.ndarray:
+        d = self.counts.sum(axis=1)
+        return d + self.dels if count_del else d
 
     def frequency(self, ref_idx: np.ndarray, alt_idx: np.ndarray) -> np.ndarray:
         """mut/(wt+mut) per locus; NaN where wt+mut == 0 (Pileup.h:83-91)."""
@@ -111,7 +114,35 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
 
         sel_mask = np.zeros(len(batch), dtype=bool)
         sel_mask[idx] = True
-        is_m = ((ops == 0) | (ops == 7) | (ops == 8)) & sel_mask[read_of_op]
+        op_sel = sel_mask[read_of_op]
+        is_m = ((ops == 0) | (ops == 7) | (ops == 8)) & op_sel
+
+        # deletion spans: loci inside D ops count as '-' (extractBaseByCIGAR)
+        is_d = (ops == 2) & op_sel
+        if is_d.any() and not count_fragments:
+            d_read = read_of_op[is_d]
+            d_chr = ref_num[batch.ref_id[d_read]]
+            d_start = batch.pos[d_read].astype(np.int64) + 1 + ref_off[is_d]
+            d_end = d_start + lens[is_d] - 1
+            for cn in np.unique(d_chr):
+                sl = chr_bounds.get(int(cn))
+                if sl is None:
+                    continue
+                lo, hi = sl
+                pos_arr = s_pos[lo:hi]
+                seg = np.flatnonzero(d_chr == cn)
+                a = np.searchsorted(pos_arr, d_start[seg], side="left")
+                b = np.searchsorted(pos_arr, d_end[seg], side="right")
+                cnt = b - a
+                nz = cnt > 0
+                if not nz.any():
+                    continue
+                total = int(cnt[nz].sum())
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(cnt[nz][:-1]))), cnt[nz])
+                snp_local = np.repeat(a[nz], cnt[nz]) + within
+                np.add.at(result.dels, order[lo + snp_local], 1)
+
         if not is_m.any():
             continue
         m_read = read_of_op[is_m]
