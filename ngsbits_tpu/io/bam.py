@@ -337,3 +337,112 @@ class _PyBam:
             names=b"".join(name_parts), name_off=name_off,
             tags=np.concatenate(tag_parts) if tag_parts else np.empty(0, np.uint8),
             tags_off=tags_off)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM spec reg2bin (0-based, end exclusive)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+_SEQ_PACK = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
+
+
+class BamWriter:
+    """BAM writer (BGZF blocks, records re-encoded from BamBatch columns)."""
+
+    def __init__(self, filename: str, reader: "BamReader"):
+        from .bgzf import _one_block, _EOF_BLOCK
+        self._one_block = _one_block
+        self._eof = _EOF_BLOCK
+        self._fh = open(filename, "wb")
+        self._buf = bytearray()
+        # header
+        text = reader.header_text.encode()
+        parts = [b"BAM\x01", struct.pack("<i", len(text)), text,
+                 struct.pack("<i", len(reader.ref_names))]
+        for name, length in zip(reader.ref_names, reader.ref_lengths):
+            nb = name.encode() + b"\x00"
+            parts.append(struct.pack("<i", len(nb)))
+            parts.append(nb)
+            parts.append(struct.pack("<i", int(length)))
+        self._write(b"".join(parts))
+
+    def _write(self, data: bytes):
+        self._buf += data
+        while len(self._buf) >= 0xFF00:
+            self._fh.write(self._one_block(bytes(self._buf[:0xFF00]), 6))
+            del self._buf[:0xFF00]
+
+    def write_records(self, batch: BamBatch, keep=None):
+        idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
+        ends = batch.end_positions()
+        out = []
+        for i in idx:
+            i = int(i)
+            name = batch.name(i) + b"\x00"
+            cig = batch.cigar[batch.cigar_off[i]:batch.cigar_off[i + 1]]
+            seq_codes = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]]
+            qual = batch.qual[batch.seq_off[i]:batch.seq_off[i + 1]]
+            tags = batch.tags[batch.tags_off[i]:batch.tags_off[i + 1]]
+            lseq = len(seq_codes)
+            packed = np.zeros((lseq + 1) // 2, dtype=np.uint8)
+            if lseq:
+                packed[:] = seq_codes[0::2] << 4
+                if lseq > 1:
+                    packed[:len(seq_codes[1::2])] |= seq_codes[1::2]
+            pos = int(batch.pos[i])
+            if (batch.flag[i] & FLAG_UNMAPPED) == 0 and pos >= 0:
+                bin_ = _reg2bin(pos, int(ends[i]))
+            else:
+                bin_ = _reg2bin(pos, pos + 1) if pos >= 0 else 4680
+            rec = struct.pack("<iiBBHHHIiii", int(batch.ref_id[i]), pos,
+                              len(name), int(batch.mapq[i]), bin_,
+                              int(batch.n_cigar[i]), int(batch.flag[i]), lseq,
+                              int(batch.mate_ref_id[i]), int(batch.mate_pos[i]),
+                              int(batch.tlen[i]))
+            body = rec + name + cig.tobytes() + packed.tobytes() + qual.tobytes() + tags.tobytes()
+            out.append(struct.pack("<I", len(body)))
+            out.append(body)
+        self._write(b"".join(out))
+
+    def close(self):
+        if self._buf:
+            self._fh.write(self._one_block(bytes(self._buf), 6))
+            self._buf = bytearray()
+        self._fh.write(self._eof)
+        self._fh.close()
+
+
+def batch_to_sam_text(batch: BamBatch, ref_names) -> list:
+    """SAM-like text lines for semantic BAM comparison (BAM_TO_TEXT analogue)."""
+    out = []
+    for i in range(len(batch)):
+        cig = batch.cigar_of(i)
+        cigar_str = "".join(f"{int(c) >> 4}{CIGAR_CHARS[c & 0xF]}" for c in cig) or "*"
+        seq = bytes(SEQ_NIBBLE_ASCII[c] for c in batch.seq_of(i).tolist()).decode() or "*"
+        qual = bytes((q + 33) if q != 0xFF else ord("*") for q in batch.qual_of(i).tolist()).decode() or "*"
+        rid = batch.ref_id[i]
+        mrid = batch.mate_ref_id[i]
+        out.append("\t".join([
+            batch.name(i).decode(),
+            str(int(batch.flag[i])),
+            ref_names[rid] if rid >= 0 else "*",
+            str(int(batch.pos[i]) + 1),
+            str(int(batch.mapq[i])),
+            cigar_str,
+            ref_names[mrid] if mrid >= 0 else "*",
+            str(int(batch.mate_pos[i]) + 1),
+            str(int(batch.tlen[i])),
+            seq, qual]))
+    return out
