@@ -68,6 +68,8 @@ TOOL_MODULES = {
     "FastaMask": "ngsbits_tpu.tools.fasta_tools",
     "FastaFromBam": "ngsbits_tpu.tools.fasta_tools",
     "SomaticQC": "ngsbits_tpu.tools.somatic_qc",
+    "RnaQC": "ngsbits_tpu.tools.rna_qc",
+    "CfDnaQC": "ngsbits_tpu.tools.cfdna_qc",
     "SampleIdentity": "ngsbits_tpu.tools.sample_identity",
     "TrioMendelianErrors": "ngsbits_tpu.tools.trio_tools",
     "TrioMaternalContamination": "ngsbits_tpu.tools.trio_tools",

@@ -1,0 +1,208 @@
+"""FASTA utility tools.
+
+Behavioral reference: ngs-bits src/FastaInfo/main.cpp, src/FastaMask/main.cpp.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.chromosome import Chromosome
+from ..core.intervals import BedFile, BedLine, ChromosomalIndex
+from .toolbase import ToolBase, ToolError
+
+
+def _read_lines(path):
+    if path in ("", "-", None):
+        data = sys.stdin.buffer.read()
+    else:
+        with open(path, "rb") as fh:
+            data = fh.read()
+    return data.split(b"\n")
+
+
+class FastaInfoTool(ToolBase):
+    name = "FastaInfo"
+    description = "Basic info on a FASTA file containing DNA sequences."
+
+    def setup(self):
+        self.add_infile("in", "Input FASTA file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output file. If unset, writes to STDOUT.", optional=True)
+        self.add_outfile("write_n", "Write BED file with N base coordinates", optional=True)
+        self.add_outfile("write_other", "Write BED file with other base coordinates", optional=True)
+
+    def main(self):
+        write_n = self.get("write_n")
+        write_other = self.get("write_other")
+        counts: dict[bytes, list] = {}
+        order: list[bytes] = []
+        bed_n = BedFile()
+        bed_other = BedFile()
+        current = b""
+        pos = 0
+        for raw in _read_lines(self.get("in")):
+            line = raw.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                current = line[1:]
+                sp = current.find(b" ")
+                if sp != -1:
+                    current = current[:sp]
+                order.append(current)
+                counts[current] = [0, 0, 0]  # acgt, n, other
+                pos = 0
+                continue
+            c = counts[current]
+            arr = np.frombuffer(line.upper(), dtype=np.uint8)
+            is_acgt = np.isin(arr, np.frombuffer(b"ACGT", dtype=np.uint8))
+            is_n = arr == ord("N")
+            c[0] += int(is_acgt.sum())
+            c[1] += int(is_n.sum())
+            c[2] += int((~is_acgt & ~is_n).sum())
+            if write_n:
+                for p in np.flatnonzero(is_n):
+                    bp = pos + int(p) + 1
+                    if (len(bed_n) and bed_n.lines[-1].chr.str == current.decode()
+                            and bed_n.lines[-1].end == bp - 1):
+                        bed_n.lines[-1].end = bp
+                    else:
+                        bed_n.append(BedLine(Chromosome(current), bp, bp))
+            if write_other:
+                for p in np.flatnonzero(~is_acgt & ~is_n):
+                    bp = pos + int(p) + 1
+                    if (len(bed_other) and bed_other.lines[-1].chr.str == current.decode()
+                            and bed_other.lines[-1].end == bp - 1):
+                        bed_other.lines[-1].end = bp
+                    else:
+                        bed_other.append(BedLine(Chromosome(current), bp, bp))
+            pos += len(line)
+
+        lines = ["== general info ==",
+                 f"sequences : {len(counts)}",
+                 f"characters: {sum(sum(c) for c in counts.values())}",
+                 "",
+                 "== characters per sequence =="]
+        for seq in order:
+            c = counts[seq]
+            lines.append(f"{seq.decode()}: {sum(c)} (ACGT:{c[0]} N:{c[1]} other:{c[2]})")
+        text = "".join(l + "\n" for l in lines)
+        out = self.get("out")
+        if out:
+            with open(out, "w") as fh:
+                fh.write(text)
+        else:
+            sys.stdout.write(text)
+        if write_n:
+            bed_n.merge()
+            bed_n.store(write_n)
+        if write_other:
+            bed_other.merge()
+            bed_other.store(write_other)
+
+
+class FastaMaskTool(ToolBase):
+    name = "FastaMask"
+    description = "Mask regions in a FASTA file with N bases."
+
+    def setup(self):
+        self.add_infile("in", "Input FASTA file.")
+        self.add_infile("reg", "Input BED file with regions to mask.")
+        self.add_outfile("out", "Output file.")
+
+    def main(self):
+        if self.get("in") == self.get("out"):
+            raise ToolError("'in' and 'out' cannot be the same file!")
+        reg = BedFile.from_file(self.get("reg"))
+        reg.merge()
+        idx = ChromosomalIndex(reg)
+        out_parts = []
+        current = None
+        pos = 1
+        for raw in _read_lines(self.get("in")):
+            line = raw.rstrip(b"\r")
+            if not line:
+                continue
+            if line.startswith(b">"):
+                chr_ = line[1:].strip()
+                sp = chr_.find(b" ")
+                if sp != -1:
+                    chr_ = chr_[:sp]
+                current = Chromosome(chr_)
+                pos = 1
+                out_parts.append(line)
+                continue
+            matches = idx.matching_indices(current, pos, pos + len(line) - 1)
+            if len(matches):
+                arr = bytearray(line)
+                for mi in matches:
+                    r = reg.lines[int(mi)]
+                    s = max(r.start, pos) - pos
+                    e = min(r.end, pos + len(line) - 1) - pos
+                    for k in range(s, e + 1):
+                        arr[k] = ord("N")
+                line = bytes(arr)
+            pos += len(line)
+            out_parts.append(line)
+        with open(self.get("out"), "wb") as fh:
+            fh.write(b"\n".join(out_parts) + b"\n")
+
+
+class FastaFromBamTool(ToolBase):
+    """Behavioral reference: ngs-bits src/FastaFromBam/main.cpp."""
+
+    name = "FastaFromBam"
+    description = "Download the reference genome FASTA file for a BAM/CRAM file."
+
+    def setup(self):
+        self.add_infile("in", "Input BAM/CRAM file.")
+        self.add_outfile("out", "Output reference genome FASTA file.")
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+
+    def main(self):
+        from ..io.bam import BamReader
+
+        reader = BamReader(self.get("in"))
+        try:
+            header_lines = reader.header_text.encode().split(b"\n")
+        finally:
+            reader.close()
+        with open(self.get("out"), "wb") as out:
+            for raw in header_lines:
+                line = raw.strip()
+                if not line.startswith(b"@SQ"):
+                    continue
+                sys.stdout.write(line.decode() + "\n")
+                name = md5 = ""
+                for part in line.split(b"\t"):
+                    part = part.strip()
+                    if part.startswith(b"SN:"):
+                        name = part[3:].decode()
+                    if part.startswith(b"M5:"):
+                        md5 = part[3:].decode()
+                if not name:
+                    raise ToolError("Invalid @SQ line without name found: " + line.decode())
+                if not md5:
+                    sys.stdout.write(f"Skipped chromosome '{name}': @SQ line contains no M5 entry\n")
+                    continue
+                url = "https://www.ebi.ac.uk/ena/cram/md5/" + md5
+                try:
+                    import urllib.request
+
+                    with urllib.request.urlopen(url, timeout=30) as resp:
+                        body = resp.read()
+                    out.write(b">" + name.encode() + b"\n")
+                    out.write(body)
+                    out.write(b"\n")
+                    out.flush()
+                except Exception:
+                    sys.stdout.write(f"Skipped chromosome '{name}': could not download {url}\n")
+
+
+TOOLS = {
+    "FastaInfo": FastaInfoTool,
+    "FastaMask": FastaMaskTool,
+    "FastaFromBam": FastaFromBamTool,
+}
