@@ -36,6 +36,8 @@ def _build() -> bool:
 
 def get_lib():
     global _lib, _tried
+    if os.environ.get("NGSHOST_DISABLE"):
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib

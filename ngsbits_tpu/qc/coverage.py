@@ -51,7 +51,9 @@ class _ChrCoverage:
         self.lo = lo
         self.hi = hi
         self.diff = np.zeros(hi - lo + 3, dtype=np.int64)
-        self._per_base = None  # filled by per-base path
+        self.counts = None  # per-base path (min_baseq) fills this lazily
+        self._cov = None
+        self._ps = None
 
     def add_spans(self, starts: np.ndarray, ends: np.ndarray):
         """Add alignment spans (1-based inclusive), clipped to [lo, hi]."""
@@ -63,41 +65,113 @@ class _ChrCoverage:
         np.add.at(self.diff, s, 1)
         np.add.at(self.diff, e + 1, -1)
 
-    def coverage(self) -> np.ndarray:
-        """Per-base coverage array for positions lo..hi (1-based)."""
+    def add_positions(self, pos: np.ndarray):
+        p = pos[(pos >= self.lo) & (pos <= self.hi)] - self.lo
+        if len(p):
+            if self.counts is None:
+                self.counts = np.zeros(self.hi - self.lo + 1, dtype=np.int64)
+            self.counts += np.bincount(p, minlength=len(self.counts))
+
+    def finalize(self):
         span = self.hi - self.lo + 1
         if span > _DEVICE_SPAN_THRESHOLD:
             import jax.numpy as jnp
             cov = np.asarray(jnp.cumsum(jnp.asarray(self.diff[:span + 1]))[:span])
-            return cov
-        return np.cumsum(self.diff[:span + 1])[:span]
+        else:
+            cov = np.cumsum(self.diff[:span + 1])[:span]
+        if self.counts is not None:
+            cov = cov + self.counts
+        self._cov = cov
+
+    def region_coverage(self, start: int, end: int) -> np.ndarray:
+        """Per-base coverage for a ROI region (1-based inclusive)."""
+        return self._cov[start - self.lo: end - self.lo + 1]
+
+    def region_sum(self, start: int, end: int) -> int:
+        if self._ps is None:
+            self._ps = np.concatenate(([0], np.cumsum(self._cov)))
+        return int(self._ps[end - self.lo + 1] - self._ps[start - self.lo])
 
 
-class _ChrCoveragePerBase(_ChrCoverage):
-    """Per-base accumulator for the min_baseq path (positions, not spans)."""
+class _ChrCoverageSparse:
+    """Coverage accumulator in flattened-ROI coordinates: memory/latency scale
+    with ROI bases, not with the genomic bounding box. Used when the ROI is
+    sparse (e.g. a genome-wide SNP panel with single-base regions)."""
 
-    def __init__(self, lo: int, hi: int):
-        super().__init__(lo, hi)
-        self.counts = np.zeros(hi - lo + 1, dtype=np.int64)
+    def __init__(self, starts: np.ndarray, ends: np.ndarray):
+        # merge the (sorted) ROI intervals into disjoint blocks
+        ms, me = [], []
+        for s, e in zip(starts, ends):
+            if ms and s <= me[-1] + 1:
+                me[-1] = max(me[-1], e)
+            else:
+                ms.append(s)
+                me.append(e)
+        self.ms = np.asarray(ms, dtype=np.int64)
+        self.me = np.asarray(me, dtype=np.int64)
+        self.off = np.concatenate(([0], np.cumsum(self.me - self.ms + 1)))
+        self.total = int(self.off[-1])
+        self.diff = np.zeros(self.total + 1, dtype=np.int64)
+        self.counts = None
+        self._cov = None
+        self._ps = None
 
-    def add_spans(self, starts, ends):
-        s = np.maximum(starts, self.lo)
-        e = np.minimum(ends, self.hi)
-        ok = s <= e
-        s = s[ok] - self.lo
-        e = e[ok] - self.lo
-        diff = np.zeros(len(self.counts) + 1, dtype=np.int64)
-        np.add.at(diff, s, 1)
-        np.add.at(diff, e + 1, -1)
-        self.counts += np.cumsum(diff)[:-1]
+    def add_spans(self, starts: np.ndarray, ends: np.ndarray):
+        n = len(self.ms)
+        if n == 0 or len(starts) == 0:
+            return
+        starts = starts.astype(np.int64)
+        ends = ends.astype(np.int64)
+        # first block whose end >= span start; advance per round until the
+        # block start passes the span end (rounds = max blocks per span)
+        i = np.searchsorted(self.me, starts, side="left")
+        while True:
+            ii = np.minimum(i, n - 1)
+            act = (i < n) & (self.ms[ii] <= ends) & (starts <= self.me[ii])
+            more = (i < n) & (self.ms[ii] <= ends)
+            if not more.any():
+                break
+            j = ii[act]
+            s = np.maximum(starts[act], self.ms[j]) - self.ms[j] + self.off[j]
+            e = np.minimum(ends[act], self.me[j]) - self.ms[j] + self.off[j]
+            np.add.at(self.diff, s, 1)
+            np.add.at(self.diff, e + 1, -1)
+            i = i + more
+        return
 
     def add_positions(self, pos: np.ndarray):
-        p = pos[(pos >= self.lo) & (pos <= self.hi)] - self.lo
-        if len(p):
-            self.counts += np.bincount(p, minlength=len(self.counts))
+        if len(pos) == 0 or len(self.ms) == 0:
+            return
+        pos = pos.astype(np.int64)
+        j = np.searchsorted(self.ms, pos, side="right") - 1
+        ok = (j >= 0) & (pos <= self.me[np.maximum(j, 0)])
+        jj = j[ok]
+        flat = self.off[jj] + pos[ok] - self.ms[jj]
+        if self.counts is None:
+            self.counts = np.zeros(self.total, dtype=np.int64)
+        self.counts += np.bincount(flat, minlength=self.total)
 
-    def coverage(self) -> np.ndarray:
-        return self.counts
+    def finalize(self):
+        cov = np.cumsum(self.diff[: self.total + 1])[: self.total]
+        if self.counts is not None:
+            cov = cov + self.counts
+        self._cov = cov
+
+    def _flat(self, start: int, end: int):
+        # every ROI region is contained in exactly one merged block
+        j = int(np.searchsorted(self.ms, start, side="right")) - 1
+        fs = int(self.off[j]) + start - int(self.ms[j])
+        return fs, fs + (end - start)
+
+    def region_coverage(self, start: int, end: int) -> np.ndarray:
+        fs, fe = self._flat(start, end)
+        return self._cov[fs: fe + 1]
+
+    def region_sum(self, start: int, end: int) -> int:
+        if self._ps is None:
+            self._ps = np.concatenate(([0], np.cumsum(self._cov)))
+        fs, fe = self._flat(start, end)
+        return int(self._ps[fe + 1] - self._ps[fs])
 
 
 def _expand_baseq_positions(batch: BamBatch, idx: np.ndarray, min_baseq: int):
@@ -175,13 +249,28 @@ def _roi_by_chr(bed: BedFile):
     return out
 
 
+def _make_acc(bed: BedFile, idxs, lo: int, hi: int):
+    """Dense accumulator over the bounding box, or sparse (flattened-ROI
+    coordinates) when the ROI covers a small fraction of a large span."""
+    span = hi - lo + 1
+    s = np.array([bed.lines[i].start for i in idxs], dtype=np.int64)
+    e = np.array([bed.lines[i].end for i in idxs], dtype=np.int64)
+    order = np.argsort(s, kind="stable")
+    s, e = s[order], e[order]
+    run_end = np.maximum.accumulate(e)
+    bases = int(np.sum(np.maximum(e - np.maximum(s, np.concatenate(([s[0]], run_end[:-1] + 1))) + 1, 0))) if len(s) else 0
+    if span > 4_000_000 and span > 8 * max(bases, 1):
+        return _ChrCoverageSparse(s, e)
+    return _ChrCoverage(lo, hi)
+
+
 def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq: int,
-                          ref_names_to_num=None):
-    """One sequential pass over the BAM; returns {chr_num: _ChrCoverage}."""
+                          skip_mismapped: bool = False):
+    """One sequential pass over the BAM; returns {chr_num: accumulator}."""
     by_chr = _roi_by_chr(bed)
-    accs: dict[int, _ChrCoverage] = {}
+    accs: dict[int, object] = {}
     for num, (chr_, idxs, lo, hi) in by_chr.items():
-        accs[num] = (_ChrCoveragePerBase(lo, hi) if min_baseq > 0 else _ChrCoverage(lo, hi))
+        accs[num] = _make_acc(bed, idxs, lo, hi)
 
     reader = BamReader(bam_file)
     ref_num = np.array([Chromosome(n).num for n in reader.ref_names], dtype=np.int64)
@@ -189,7 +278,7 @@ def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq:
     for i, rn in enumerate(ref_num):
         want[i] = rn in accs
     for batch in reader:
-        sel = _alignment_filter(batch, min_mapq)
+        sel = _alignment_filter(batch, min_mapq, skip_mismapped)
         rid = batch.ref_id
         sel &= (rid >= 0) & want[np.clip(rid, 0, len(ref_num) - 1)]
         if not sel.any():
@@ -218,10 +307,11 @@ def low_or_high_coverage(bed: BedFile, bam_file: str, cutoff: int, min_mapq: int
     accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, min_baseq)
     output = BedFile()
     for num, (chr_, idxs, lo, hi) in by_chr.items():
-        cov = accs[num].coverage()
+        acc = accs[num]
+        acc.finalize()
         for i in idxs:
             line = bed.lines[i]
-            region = cov[line.start - lo: line.end - lo + 1]
+            region = acc.region_coverage(line.start, line.end)
             mask = region >= cutoff if is_high else region < cutoff
             if not mask.any():
                 continue
@@ -240,37 +330,14 @@ def avg_coverage(bed: BedFile, bam_file: str, min_mapq: int, threads: int,
                  decimals: int, skip_mismapped: bool = False):
     """Appends mean-depth annotation to each region (reference semantics:
     sum of clipped alignment-overlap / region length)."""
-    # coverage prefix-sum per chromosome gives exact overlap sums
-    by_chr = _roi_by_chr(bed)
-    accs: dict[int, _ChrCoverage] = {}
+    accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, 0,
+                                         skip_mismapped=skip_mismapped)
     for num, (chr_, idxs, lo, hi) in by_chr.items():
-        accs[num] = _ChrCoverage(lo, hi)
-
-    reader = BamReader(bam_file)
-    ref_num = np.array([Chromosome(n).num for n in reader.ref_names], dtype=np.int64)
-    want = np.zeros(len(ref_num) + 1, dtype=bool)
-    for i, rn in enumerate(ref_num):
-        want[i] = rn in accs
-    for batch in reader:
-        sel = _alignment_filter(batch, min_mapq, skip_mismapped)
-        rid = batch.ref_id
-        sel &= (rid >= 0) & want[np.clip(rid, 0, len(ref_num) - 1)]
-        if not sel.any():
-            continue
-        ends = batch.end_positions()
-        idx_all = np.flatnonzero(sel)
-        rids = rid[idx_all]
-        for r in np.unique(rids):
-            idx = idx_all[rids == r]
-            accs[int(ref_num[r])].add_spans(batch.pos[idx].astype(np.int64) + 1, ends[idx])
-    reader.close()
-
-    for num, (chr_, idxs, lo, hi) in by_chr.items():
-        cov = accs[num].coverage()
-        ps = np.concatenate(([0], np.cumsum(cov)))
+        acc = accs[num]
+        acc.finalize()
         for i in idxs:
             line = bed.lines[i]
-            total = int(ps[line.end - lo + 1] - ps[line.start - lo])
+            total = acc.region_sum(line.start, line.end)
             line.annotations.append(
                 _fmt_fixed(total / line.length(), decimals).encode())
 

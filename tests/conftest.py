@@ -1,11 +1,10 @@
 import os
 
-# Force a virtual 8-device CPU mesh for all tests (multi-chip sharding is
-# validated on host; the driver separately dry-runs the real TPU path).
+# Tests run on host CPU with a SINGLE device: forcing 8 virtual devices on a
+# 2-core box wedges XLA's CPU runtime mid-suite (async executions starve each
+# other's thread pool). The multi-chip sharding path is validated in its own
+# subprocess (tests/test_multichip.py) and by the driver's dryrun_multichip.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pathlib
 import sys
