@@ -158,3 +158,48 @@ class BarPlot:
 
     def to_base64(self) -> bytes:
         return base64.b64encode(self.to_png())
+
+
+class ScatterPlot:
+    """Point cloud (reference ScatterPlot: cppNGS/ScatterPlot.h); used for
+    allele-frequency and variant-distance plots. Binary content is stripped
+    in golden comparisons, so only the geometry needs to be reasonable."""
+
+    def __init__(self):
+        self._points = []
+        self._xlabel = ""
+        self._ylabel = ""
+        self._yrange = None
+        self._xrange = None
+
+    def set_xlabel(self, s): self._xlabel = s
+    def set_ylabel(self, s): self._ylabel = s
+    def set_yrange(self, lo, hi): self._yrange = (lo, hi)
+    def set_xrange(self, lo, hi): self._xrange = (lo, hi)
+
+    def set_values(self, points):
+        self._points = [(float(x), float(y)) for x, y in points]
+
+    def to_png(self) -> bytes:
+        canvas = _Canvas()
+        if self._points:
+            xs = np.array([p[0] for p in self._points])
+            ys = np.array([p[1] for p in self._points])
+            xlim = self._xrange or (float(xs.min()), float(xs.max()) or 1.0)
+            ylim = self._yrange or (float(ys.min()), float(ys.max()) or 1.0)
+            if xlim[0] == xlim[1]:
+                xlim = (xlim[0] - 0.5, xlim[1] + 0.5)
+            if ylim[0] == ylim[1]:
+                ylim = (ylim[0] - 0.5, ylim[1] + 0.5)
+            px, py = canvas.to_px(xs, ys, xlim, ylim)
+            h, w = canvas.img.shape[:2]
+            for x, y in zip(px, py):
+                xi, yi = int(round(x)), int(round(y))
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if 0 <= yi + dy < h and 0 <= xi + dx < w:
+                            canvas.img[yi + dy, xi + dx] = _COLORS[0]
+        return encode_png(canvas.img)
+
+    def to_base64(self) -> bytes:
+        return base64.b64encode(self.to_png())

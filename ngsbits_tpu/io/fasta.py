@@ -51,6 +51,14 @@ class FastaFileIndex:
     def lengths(self) -> dict[int, int]:
         return {num: e.length for num, e in self.entries.items()}
 
+    def chromosomes(self) -> list[Chromosome]:
+        return [Chromosome(name) for name in self.names.values()]
+
+    def length_of(self, chr_: Chromosome | str) -> int:
+        c = chr_ if isinstance(chr_, Chromosome) else Chromosome(chr_)
+        e = self.entries.get(c.num)
+        return e.length if e else 0
+
     def seq(self, chr_: Chromosome | str, start: int, length: int, to_upper: bool = True) -> bytes:
         """1-based start; clipped to the chromosome like the reference."""
         if not isinstance(chr_, Chromosome):
