@@ -70,6 +70,12 @@ TOOL_MODULES = {
     "SomaticQC": "ngsbits_tpu.tools.somatic_qc",
     "RnaQC": "ngsbits_tpu.tools.rna_qc",
     "CfDnaQC": "ngsbits_tpu.tools.cfdna_qc",
+    "BedpeSort": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeToBed": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeFilter": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeAnnotateFromBed": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeExtractGenotype": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeExtractInfoField": "ngsbits_tpu.tools.bedpe_tools",
     "SampleIdentity": "ngsbits_tpu.tools.sample_identity",
     "TrioMendelianErrors": "ngsbits_tpu.tools.trio_tools",
     "TrioMaternalContamination": "ngsbits_tpu.tools.trio_tools",
