@@ -1,0 +1,169 @@
+"""ClinCNV copy-number variant list (TSV).
+
+Behavioral reference: ngs-bits cppNGS/CnvList.cpp:108-295 (ANALYSISTYPE
+header, per-type column handling, annotation extraction) and
+CopyNumberVariant::copyNumber (CnvList.cpp:47-67).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..core.chromosome import Chromosome
+
+_TYPES = {
+    b"CLINCNV_GERMLINE_SINGLE": "germline_single",
+    b"CLINCNV_GERMLINE_MULTI": "germline_multi",
+    b"CLINCNV_TUMOR_NORMAL_PAIR": "tumor_normal",
+    b"CLINCNV_TUMOR_ONLY": "tumor_only",
+}
+_TYPE_STR = {v: k for k, v in _TYPES.items()}
+
+
+class CopyNumberVariant:
+    __slots__ = ("chr", "start", "end", "num_regs", "genes", "annotations")
+
+    def __init__(self, chr_, start, end, num_regs=0, genes=(), annotations=()):
+        self.chr = chr_ if isinstance(chr_, Chromosome) else Chromosome(chr_)
+        self.start = start
+        self.end = end
+        self.num_regs = num_regs
+        self.genes = list(genes)
+        self.annotations = list(annotations)
+
+    def copy_number(self, annotation_headers: list[bytes],
+                    throw_if_not_found: bool = True) -> int:
+        for i, h in enumerate(annotation_headers):
+            if h in (b"tumor_CN_change", b"CN_change"):
+                return int(self.annotations[i])
+        if throw_if_not_found:
+            raise ValueError("Copy-number could not be determined for CNV!")
+        return -1
+
+    def to_string(self) -> str:
+        return f"{self.chr.str}:{self.start}-{self.end}"
+
+
+class CnvList:
+    def __init__(self):
+        self.type = "invalid"
+        self.comments: list[bytes] = []
+        self.annotation_headers: list[bytes] = []
+        self.annotation_header_desc: dict[bytes, bytes] = {}
+        self.variants: list[CopyNumberVariant] = []
+
+    def __len__(self):
+        return len(self.variants)
+
+    count = __len__
+
+    def __getitem__(self, i) -> CopyNumberVariant:
+        return self.variants[i]
+
+    def annotation_index_by_name(self, name: bytes, throw_on_error: bool = True) -> int:
+        matches = [i for i, h in enumerate(self.annotation_headers) if h == name]
+        if len(matches) != 1:
+            if throw_on_error:
+                raise ValueError(f"Could not find unique column '{name.decode()}' "
+                                 f"in CNV list!")
+            return -1
+        return matches[0]
+
+    @staticmethod
+    def from_file(filename: str, header_only: bool = False) -> "CnvList":
+        out = CnvList()
+        if filename in ("", "-", None):
+            data = sys.stdin.buffer.read()
+        else:
+            with open(filename, "rb") as fh:
+                data = fh.read()
+
+        comments = []
+        header_fields: list[bytes] = []
+        body = []
+        for raw in data.split(b"\n"):
+            line = raw.rstrip(b"\r")
+            if not line.strip():
+                continue
+            if line.startswith(b"##"):
+                comments.append(line)
+            elif line.startswith(b"#") and not header_fields:
+                header_fields = line[1:].split(b"\t")
+            else:
+                body.append(line)
+
+        for line in comments:
+            if line.startswith(b"##ANALYSISTYPE="):
+                t = line[len(b"##ANALYSISTYPE="):].strip()
+                if t not in _TYPES:
+                    raise ValueError(f"CNV file '{filename}' contains unknown "
+                                     f"analysis type: {t.decode()}")
+                out.type = _TYPES[t]
+            elif line.startswith(b"##DESCRIPTION="):
+                parts = line.strip().split(b"=")
+                if len(parts) > 2:
+                    out.annotation_header_desc[parts[1]] = parts[2]
+            else:
+                out.comments.append(line)
+        if out.type == "invalid":
+            raise ValueError(f"CNV file '{filename}' is outdated. It does not "
+                             "contain an ##ANALYSISTYPE header line. "
+                             "Please re-run CNV calling!")
+
+        def col(name: bytes, mandatory: bool) -> int:
+            try:
+                return header_fields.index(name)
+            except ValueError:
+                if mandatory:
+                    raise ValueError(f"Could not find column '{name.decode()}' "
+                                     f"in CNV file!")
+                return -1
+
+        anno_idx = list(range(len(header_fields)))
+
+        def drop(i):
+            if i in anno_idx:
+                anno_idx.remove(i)
+
+        i_chr = col(b"chr", True); drop(i_chr)
+        i_start = col(b"start", True); drop(i_start)
+        i_end = col(b"end", True); drop(i_end)
+        i_genes = col(b"genes", False); drop(i_genes)
+        if out.type == "germline_single":
+            i_region_count = col(b"no_of_regions", False); drop(i_region_count)
+            drop(col(b"length_KB", True))
+        elif out.type == "germline_multi":
+            i_region_count = col(b"no_of_regions", False)
+            if i_region_count < 0:
+                i_region_count = -2
+            drop(col(b"sample", True))
+            drop(col(b"size", True))
+        elif out.type == "tumor_normal":
+            i_region_count = col(b"number_of_regions", False); drop(i_region_count)
+            drop(col(b"sample", True))
+            drop(col(b"size", True))
+        else:  # tumor_only
+            i_region_count = col(b"no_of_regions", False); drop(i_region_count)
+            drop(col(b"length_KB", True))
+        if i_region_count == -1:
+            raise ValueError("No column with region/exon count found!")
+
+        out.annotation_headers = [header_fields[i] for i in anno_idx]
+
+        if not header_only:
+            for line in body:
+                parts = line.split(b"\t")
+                region_count = 0
+                if i_region_count >= 0:
+                    try:
+                        region_count = int(parts[i_region_count])
+                    except ValueError:
+                        pass
+                genes = []
+                if i_genes != -1:
+                    genes = [g.strip() for g in parts[i_genes].split(b",") if g.strip()]
+                annos = [parts[i] for i in anno_idx]
+                out.variants.append(CopyNumberVariant(
+                    parts[i_chr], int(parts[i_start]), int(parts[i_end]),
+                    region_count, genes, annos))
+        return out

@@ -76,6 +76,7 @@ TOOL_MODULES = {
     "BedpeAnnotateFromBed": "ngsbits_tpu.tools.bedpe_tools",
     "BedpeExtractGenotype": "ngsbits_tpu.tools.bedpe_tools",
     "BedpeExtractInfoField": "ngsbits_tpu.tools.bedpe_tools",
+    "BedpeAnnotateCnvOverlap": "ngsbits_tpu.tools.bedpe_tools",
     "SampleIdentity": "ngsbits_tpu.tools.sample_identity",
     "TrioMendelianErrors": "ngsbits_tpu.tools.trio_tools",
     "TrioMaternalContamination": "ngsbits_tpu.tools.trio_tools",

@@ -299,6 +299,71 @@ class BedpeExtractInfoFieldTool(ToolBase):
         _write_buffer(self.get("out"), buf)
 
 
+class BedpeAnnotateCnvOverlapTool(ToolBase):
+    """Behavioral reference: ngs-bits src/BedpeAnnotateCnvOverlap/main.cpp."""
+
+    name = "BedpeAnnotateCnvOverlap"
+    description = "Annotates a SV file with (high-quality) CNV overlap of a given file."
+
+    def setup(self):
+        self.add_infile("in", "Input SV file (in BEDPE format).")
+        self.add_outfile("out", "Output SV file (in BEDPE format).")
+        self.add_infile("cnv", "Input CNV file (in TSV format).")
+
+    def main(self):
+        import numpy as np
+
+        from ..io.cnv import CnvList
+
+        cnvs = CnvList.from_file(self.get("cnv"))
+        svs = BedpeFile.from_file(self.get("in"))
+
+        overlap_idx = svs.annotation_index_by_name(b"CNV_OVERLAP", False)
+        if overlap_idx < 0:
+            svs.annotation_headers = list(svs.annotation_headers) + [b"CNV_OVERLAP"]
+
+        ll_idx = cnvs.annotation_index_by_name(b"loglikelihood", True)
+        cnvs_del = []
+        cnvs_dup = []
+        for cnv in cnvs.variants:
+            try:
+                ll = float(cnv.annotations[ll_idx])
+            except ValueError:
+                ll = 0.0
+            if ll < 20.0:
+                continue
+            if cnv.copy_number(cnvs.annotation_headers) < 2:
+                cnvs_del.append(cnv)
+            else:
+                cnvs_dup.append(cnv)
+
+        for line in svs.lines:
+            overlap_string = b""
+            if line.type in (b"DEL", b"DUP"):
+                current = cnvs_del if line.type == b"DEL" else cnvs_dup
+                sv_region = line.affected_region().lines[0]
+                overlapping = BedFile()
+                for cnv in current:
+                    if sv_region.overlaps(cnv.chr, cnv.start, cnv.end):
+                        overlapping.append(BedLine(cnv.chr, cnv.start, cnv.end))
+                overlapping.sort()
+                overlapping.merge()
+                sv_bed = BedFile()
+                sv_bed.append(BedLine(sv_region.chr, sv_region.start, sv_region.end))
+                overlapping.intersect(sv_bed)
+                overlap = overlapping.base_count()
+                frac = np.float32(overlap) / np.float32(sv_region.end - sv_region.start + 1)
+                overlap_string = f"{float(frac):g}".encode()
+            annotations = list(line.annotations)
+            if overlap_idx < 0:
+                annotations.append(overlap_string)
+            else:
+                annotations[overlap_idx] = overlap_string
+            line.annotations = annotations
+
+        svs.store(self.get("out"))
+
+
 TOOLS = {
     "BedpeSort": BedpeSortTool,
     "BedpeToBed": BedpeToBedTool,
@@ -306,4 +371,5 @@ TOOLS = {
     "BedpeAnnotateFromBed": BedpeAnnotateFromBedTool,
     "BedpeExtractGenotype": BedpeExtractGenotypeTool,
     "BedpeExtractInfoField": BedpeExtractInfoFieldTool,
+    "BedpeAnnotateCnvOverlap": BedpeAnnotateCnvOverlapTool,
 }

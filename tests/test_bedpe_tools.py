@@ -70,3 +70,12 @@ def test_bedpe_extract_info_field(ref_data_in, ref_data_out, tmp_path, inf, extr
                     "-info_fields", "END:SV_END,SUPPORT,AF:allele_frequency,PRECISE",
                     "-out", out] + extra) == 0
     compare_files(out, ref_data_out / f"BedpeExtractInfoField_{golden}.bedpe")
+
+
+def test_bedpe_annotate_cnv_overlap(ref_data_in, ref_data_out, tmp_path):
+    out = tmp_path / "c.bedpe"
+    assert execute("BedpeAnnotateCnvOverlap",
+                   ["-in", ref_data_in / "BedpeAnnotateCnvOverlap_in1.bedpe",
+                    "-cnv", ref_data_in / "BedpeAnnotateCnvOverlap_in_cnv.tsv",
+                    "-out", out]) == 0
+    compare_files(out, ref_data_out / "BedpeAnnotateCnvOverlap_out1.bedpe")
