@@ -23,6 +23,18 @@ _dynamic_lock = threading.Lock()
 _next_num = 1004
 
 
+def reset_dynamic_contigs():
+    """Clear the first-seen registry of non-standard contigs. The reference
+    runs one process per tool, so its registry starts empty per invocation;
+    ToolBase.execute calls this to match that when several tools run in one
+    process (e.g. the test suite). Cached Chromosome objects from before the
+    reset keep their old num — callers must not hold them across resets."""
+    global _next_num
+    with _dynamic_lock:
+        _dynamic.clear()
+        _next_num = 1004
+
+
 def _numeric(s: str) -> int:
     if s in _FIXED:
         return _FIXED[s]

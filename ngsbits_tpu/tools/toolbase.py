@@ -182,6 +182,10 @@ class ToolBase:
                 raise CommandLineError(f"Mandatory parameter '-{a.name}' not set!")
 
     def execute(self, argv: list[str]) -> int:
+        # one tool invocation == one process in the reference: start with a
+        # fresh first-seen registry for non-standard contigs
+        from ..core.chromosome import reset_dynamic_contigs
+        reset_dynamic_contigs()
         try:
             self.parse(argv)
             self.main()

@@ -1,9 +1,12 @@
 import os
+import sys
 
-# Tests run on host CPU with a SINGLE device: forcing 8 virtual devices on a
-# 2-core box wedges XLA's CPU runtime mid-suite (async executions starve each
-# other's thread pool). The multi-chip sharding path is validated in its own
-# subprocess (tests/test_multichip.py) and by the driver's dryrun_multichip.
+# Tests must run on the host CPU backend. In this image a sitecustomize hook
+# registers the 'axon' TPU plugin at interpreter start whenever
+# PALLAS_AXON_POOL_IPS is set, and once registered it hijacks the backend
+# even with JAX_PLATFORMS=cpu — routing every test's jax traffic through the
+# single-chip TPU tunnel (slow, and large transfers can wedge the relay).
+# The root-level conftest.py re-execs with a cleaned environment.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import pathlib

@@ -9,6 +9,7 @@ import sys
 
 def test_dryrun_multichip_subprocess():
     env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon TPU plugin out
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
