@@ -48,6 +48,10 @@ class TsvFile:
             line = raw.rstrip(b"\r")
             if not line:
                 continue
+            if line.startswith(b"##"):
+                # mid-file comment lines are skipped (TSVFileStream::readLine
+                # semantics; only LEADING ## lines end up in comments())
+                continue
             parts = line.split(b"\t")
             if first and header_line is None:
                 out.header = [b""] * len(parts)

@@ -77,6 +77,12 @@ TOOL_MODULES = {
     "BedpeExtractGenotype": "ngsbits_tpu.tools.bedpe_tools",
     "BedpeExtractInfoField": "ngsbits_tpu.tools.bedpe_tools",
     "BedpeAnnotateCnvOverlap": "ngsbits_tpu.tools.bedpe_tools",
+    "VcfSplit": "ngsbits_tpu.tools.vcf_fix_tools",
+    "VcfReplaceSamples": "ngsbits_tpu.tools.vcf_fix_tools",
+    "SnifflesVcfFix": "ngsbits_tpu.tools.vcf_fix_tools",
+    "MantaVcfFix": "ngsbits_tpu.tools.vcf_fix_tools",
+    "VariantFilterRegions": "ngsbits_tpu.tools.variant_tools",
+    "TsvAnnotate": "ngsbits_tpu.tools.tsv_tools",
     "SampleIdentity": "ngsbits_tpu.tools.sample_identity",
     "TrioMendelianErrors": "ngsbits_tpu.tools.trio_tools",
     "TrioMaternalContamination": "ngsbits_tpu.tools.trio_tools",

@@ -190,9 +190,55 @@ class TsvMergeTool(ToolBase):
         write_tsv(self.get("out"), comments, header, rows)
 
 
+class TsvAnnotateTool(ToolBase):
+    """Behavioral reference: ngs-bits src/TsvAnnotate/main.cpp."""
+
+    name = "TsvAnnotate"
+    description = "Extends TSV file by appending columns from a second TSV file."
+
+    def setup(self):
+        self.add_infile("in2", "Input TSV files that is used as source of annotated columns.")
+        self.add_string("c1", "Column in 'in1' that is used for matching lines between files.")
+        self.add_string("anno", "Comma-separated column list from 'in2' that is appended to 'in1'. Order matters.")
+        self.add_infile("in1", "Input TSV files that is annoated. If unset, reads from STDIN.", optional=True)
+        self.add_string("c2", "Column in 'in2' that is used for matching lines between files. If unset, the value of 'c1' is used.", optional=True)
+        self.add_outfile("out", "Output file. If unset, writes to STDOUT.", optional=True)
+        self.add_string("mv", "Missing value, i.e. value that is used when data is missing in 'in2'.", optional=True, default="")
+
+    def main(self):
+        anno = [a.encode() for a in self.get("anno").split(",")]
+        missing_value = b"\t".join([self.get("mv").encode()] * len(anno))
+        c1 = self.get("c1").encode()
+        c2 = (self.get("c2") or "").encode() or c1
+
+        in2 = TsvFile.from_file(self.get("in2"))
+        c2_index = in2.column_index(c2)
+        anno_indices = [in2.column_index(col) for col in anno]
+        in2_data: dict[bytes, bytes] = {}
+        for row in in2.rows:
+            key = row[c2_index]
+            value = b"\t".join(row[i] for i in anno_indices)
+            if key in in2_data and in2_data[key] != value:
+                raise ToolError(f"Key '{key.decode()}' found several times in "
+                                f"'in2' and data in 'anno' columns differs!")
+            in2_data[key] = value
+
+        in1 = TsvFile.from_file(self.get("in1") or "")
+        c1_index = in1.column_index(c1)
+        lines = [c.decode() for c in in1.comments]
+        lines.append("#" + "\t".join(h.decode() for h in in1.header)
+                     + "\t" + "\t".join(a.decode() for a in anno))
+        for row in in1.rows:
+            key = row[c1_index]
+            lines.append(b"\t".join(row).decode() + "\t"
+                         + in2_data.get(key, missing_value).decode())
+        _write_text(self, lines)
+
+
 TOOLS = {
     "TsvInfo": TsvInfoTool,
     "TsvSlice": TsvSliceTool,
     "TsvFilter": TsvFilterTool,
     "TsvMerge": TsvMergeTool,
+    "TsvAnnotate": TsvAnnotateTool,
 }
