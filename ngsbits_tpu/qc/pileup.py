@@ -209,3 +209,92 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
     if own_reader:
         reader.close()
     return result
+
+
+def indel_pileup_at_positions(bam_file: str, chr_nums: np.ndarray,
+                              positions: np.ndarray, window: int = 1,
+                              min_mapq: int = 1,
+                              include_not_properly_paired: bool = False):
+    """Indel sequences at the given loci, per locus as a dict
+    '+SEQ'/'-LEN' -> count.
+
+    Behavioral reference: BamAlignment::extractIndelsByCIGAR
+    (cppNGS/BamReader.cpp:375-438): an I op at genome offset g (1-based start
+    + consumed M/D/N) is reported when |g - pos| <= window as '+<inserted
+    bases>'; a D op as '-<len>'. Window 0 means exact position only.
+    """
+    n = len(positions)
+    out = [dict() for _ in range(n)]
+    if n == 0:
+        return out
+
+    order = np.lexsort((positions, chr_nums))
+    s_chr = chr_nums[order]
+    s_pos = positions[order]
+    chr_bounds = {}
+    change = np.flatnonzero(np.diff(s_chr)) + 1
+    bounds = np.concatenate(([0], change, [n]))
+    for k in range(len(bounds) - 1):
+        chr_bounds[int(s_chr[bounds[k]])] = (int(bounds[k]), int(bounds[k + 1]))
+
+    reader = BamReader(bam_file)
+    ref_num = np.array([Chromosome(nm).num for nm in reader.ref_names], dtype=np.int64)
+    for batch in reader:
+        flag = batch.flag
+        sel = (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUPLICATE | FLAG_UNMAPPED)) == 0
+        if not include_not_properly_paired:
+            sel &= (flag & FLAG_PROPER_PAIR) != 0
+        sel &= batch.mapq >= min_mapq
+        idx = np.flatnonzero(sel)
+        if len(idx) == 0:
+            continue
+        lens = (batch.cigar >> 4).astype(np.int64)
+        ops = (batch.cigar & 0xF).astype(np.int64)
+        co = batch.cigar_off
+        n_ops = co[1:] - co[:-1]
+        read_of_op = np.repeat(np.arange(len(batch)), n_ops)
+        ref_consume = lens * np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int64)[ops]
+        q_consume = lens * np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=np.int64)[ops]
+        ref_before = np.concatenate(([0], np.cumsum(ref_consume)[:-1]))
+        q_before = np.concatenate(([0], np.cumsum(q_consume)[:-1]))
+        first_op = np.minimum(co[:-1], max(len(ops) - 1, 0))
+        ref_off = ref_before - np.repeat(ref_before[first_op], n_ops)
+        q_off = q_before - np.repeat(q_before[first_op], n_ops)
+
+        sel_mask = np.zeros(len(batch), dtype=bool)
+        sel_mask[idx] = True
+        op_sel = sel_mask[read_of_op]
+        is_indel = ((ops == 1) | (ops == 2)) & op_sel
+        if not is_indel.any():
+            continue
+        ii = np.flatnonzero(is_indel)
+        i_read = read_of_op[ii]
+        i_chr = ref_num[batch.ref_id[i_read]]
+        # extractIndelsByCIGAR: genome_pos starts at 1-based start and for an
+        # I/D op the reported position is the consumed-reference offset
+        g_pos = batch.pos[i_read].astype(np.int64) + 1 + ref_off[ii]
+        for t in range(len(ii)):
+            cn = int(i_chr[t])
+            sl = chr_bounds.get(cn)
+            if sl is None:
+                continue
+            lo, hi = sl
+            pos_arr = s_pos[lo:hi]
+            g = int(g_pos[t])
+            a = np.searchsorted(pos_arr, g - window, side="left")
+            b = np.searchsorted(pos_arr, g + window, side="right")
+            if a >= b:
+                continue
+            op_i = int(ii[t])
+            if ops[op_i] == 1:  # insertion
+                from ..io.bam import SEQ_NIBBLE_ASCII
+                qs = int(batch.seq_off[:-1][int(i_read[t])] + q_off[op_i])
+                codes = batch.seq[qs:qs + int(lens[op_i])]
+                key = b"+" + SEQ_NIBBLE_ASCII[codes].tobytes()
+            else:
+                key = b"-" + str(int(lens[op_i])).encode()
+            for snp_local in range(a, b):
+                gi = int(order[lo + snp_local])
+                out[gi][key] = out[gi].get(key, 0) + 1
+    reader.close()
+    return out

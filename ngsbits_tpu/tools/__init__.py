@@ -84,6 +84,7 @@ TOOL_MODULES = {
     "VariantFilterRegions": "ngsbits_tpu.tools.variant_tools",
     "TsvAnnotate": "ngsbits_tpu.tools.tsv_tools",
     "VcfToBedpe": "ngsbits_tpu.tools.vcf_to_bedpe",
+    "VcfMerge": "ngsbits_tpu.tools.vcf_merge",
     "SampleIdentity": "ngsbits_tpu.tools.sample_identity",
     "TrioMendelianErrors": "ngsbits_tpu.tools.trio_tools",
     "TrioMaternalContamination": "ngsbits_tpu.tools.trio_tools",
