@@ -10,7 +10,7 @@ import os
 import sys
 
 from ..core.chromosome import Chromosome
-from ..core.intervals import BedFile
+from ..core.intervals import BedFile, BedLine
 from ..qc import statistics
 from .toolbase import ToolBase, ToolError
 
@@ -244,8 +244,104 @@ class BedInfoTool(ToolBase):
             sys.stdout.write(text)
 
 
+class BedAnnotateFromBedTool(ToolBase):
+    """Behavioral reference: ngs-bits src/BedAnnotateFromBed/main.cpp."""
+
+    name = "BedAnnotateFromBed"
+    description = "Annotates BED file regions with information from a second BED file."
+
+    def setup(self):
+        self.add_infile("in2", "BED file that is used as annotation source.")
+        self.add_infile("in", "Input BED file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output BED file. If unset, writes to STDOUT.", optional=True)
+        self.add_int("col", "Annotation source column (if column number does not exist, 'yes' is used).", optional=True, default=4)
+        self.add_flag("clear", "Clear all annotations present in the 'in' file.")
+        self.add_flag("no_duplicates", "Remove duplicate annotations if several intervals from 'in2' overlap.")
+        self.add_flag("overlap", "Annotate overlap with regions in 'in2'. The regular annotation is appended in brackets.")
+        self.add_flag("url_decode", "Decode URL encoded characters")
+        self.add_string("name", "Use this name as column header of TSV files output files. If unset, the base file name if 'in2' is used.", optional=True)
+
+    def main(self):
+        import os
+        from urllib.parse import unquote
+
+        from ..core.intervals import ChromosomalIndex
+
+        in_ = self.get("in") or ""
+        in2 = self.get("in2")
+        col = self.get_int("col") - 4
+        clear = self.get_flag("clear")
+        no_duplicates = self.get_flag("no_duplicates")
+        overlap = self.get_flag("overlap")
+        url_decode = self.get_flag("url_decode")
+        name = (self.get("name") or "").encode()
+        if not name:
+            name = os.path.basename(in2).split(".")[0].encode()
+
+        anno_file = BedFile.from_file(in2)
+        if not anno_file.is_sorted():
+            anno_file.sort()
+        anno_index = ChromosomalIndex(anno_file)
+
+        f = BedFile.from_file(in_)
+
+        # TSV-mode: overwrite existing columns and extend the header line
+        col_idx = -1
+        if in_.lower().endswith(".tsv"):
+            for hi, raw in enumerate(f.headers):
+                line = raw
+                if line.startswith(b"#") and not line.startswith(b"##") and b"\t" in line:
+                    column_headers = line.split(b"\t")
+                    wanted = (b"overlap " if overlap else b"") + name
+                    try:
+                        col_idx = column_headers.index(wanted) - 3
+                    except ValueError:
+                        col_idx = -1
+                    if col_idx < 0:
+                        f.headers[hi] = line + b"\t" + wanted
+                    if len(f.lines) > 0 and len(f.lines[0].annotations) != len(column_headers) - 3:
+                        raise ToolError("BED/TSV file format error: Number of header columns does not match number of data columns!")
+                    break
+
+        if clear:
+            f.clear_annotations()
+        for line in f.lines:
+            annos = []
+            overlap_regions = BedFile()
+            for mi in anno_index.matching_indices(line.chr, line.start, line.end):
+                match = anno_file.lines[int(mi)]
+                if len(match.annotations) > col:
+                    annos.append(match.annotations[col])
+                elif not overlap:
+                    annos.append(b"yes")
+                if overlap:
+                    overlap_regions.append(BedLine(line.chr,
+                                                   max(line.start, match.start),
+                                                   min(line.end, match.end)))
+            if no_duplicates:
+                annos = sorted(set(annos))
+            if overlap:
+                overlap_regions.merge()
+                from decimal import ROUND_HALF_UP, Decimal
+                frac = 1.0 * overlap_regions.base_count() / line.length()
+                anno = f"{Decimal(frac).quantize(Decimal('0.001'), rounding=ROUND_HALF_UP):.3f}".encode()
+                if annos:
+                    anno += b" (" + b",".join(annos) + b")"
+            else:
+                anno = b",".join(annos)
+            if url_decode:
+                anno = unquote(anno.decode()).encode()
+            if col_idx < 0:
+                line.annotations.append(anno)
+            else:
+                line.annotations[col_idx] = anno
+
+        f.store(self.get("out"))
+
+
 TOOLS = {
     "BedSort": BedSortTool,
+    "BedAnnotateFromBed": BedAnnotateFromBedTool,
     "BedMerge": BedMergeTool,
     "BedAdd": BedAddTool,
     "BedExtend": BedExtendTool,

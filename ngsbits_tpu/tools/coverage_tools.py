@@ -113,7 +113,68 @@ class BedReadCountTool(ToolBase):
         f.store(self.get("out"))
 
 
+class BedAnnotateFreqTool(ToolBase):
+    """Behavioral reference: ngs-bits src/BedAnnotateFreq/main.cpp (pileup at
+    single-base regions; min_baseq default 25, proper pairs unless long_read)."""
+
+    name = "BedAnnotateFreq"
+    description = "Extracts base counts and depth in the given regions from a BAM/CRAM files."
+
+    def setup(self):
+        self.add_infile_list("bam", "Input BAM/CRAM file(s).")
+        self.add_infile("in", "Input BED file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output TSV file. If unset, writes to STDOUT.", optional=True)
+        self.add_infile("ref", "Reference genome for CRAM support (mandatory if CRAM is used).", optional=True)
+        self.add_int("min_mapq", "Minimum mapping quality.", optional=True, default=20)
+        self.add_int("min_baseq", "Minimum base quality.", optional=True, default=25)
+        self.add_flag("long_read", "Support long reads (> 1kb).")
+
+    def main(self):
+        import sys
+
+        import numpy as np
+
+        from ..qc import pileup as pm
+
+        bams = self.get_infile_list("bam")
+        min_mapq = self.get_int("min_mapq")
+        min_baseq = self.get_int("min_baseq")
+        long_read = self.get_flag("long_read")
+
+        f = BedFile.from_file(self.get("in"))
+        for line in f.lines:
+            if line.length() != 1:
+                raise ToolError("BED file contains region with length > 1, "
+                                "which is not supported: " + line.to_string(True))
+        chr_nums = np.array([l.chr.num for l in f.lines], dtype=np.int64)
+        positions = np.array([l.end for l in f.lines], dtype=np.int64)
+
+        rows = ["#chr\tstart\tend\tsample\tA\tC\tG\tT\ttotal"]
+        per_bam = []
+        for bam in bams:
+            per_bam.append(pm.pileup_at_positions(
+                bam, chr_nums, positions, min_mapq=min_mapq,
+                include_not_properly_paired=long_read, min_baseq=min_baseq))
+        for i, line in enumerate(f.lines):
+            for j, bam in enumerate(bams):
+                counts = per_bam[j].counts[i]
+                sample = os.path.basename(bam).split(".")[0]
+                # reference writes BedLine::toString(false) = 'chr:start-end'
+                # as ONE field (header has separate chr/start/end — quirk kept)
+                rows.append(f"{line.chr.str}:{line.start}-{line.end}\t{sample}"
+                            f"\t{counts[0]}\t{counts[1]}\t{counts[2]}\t{counts[3]}"
+                            f"\t{int(counts.sum())}")
+        text = "".join(r + "\n" for r in rows)
+        out = self.get("out")
+        if out:
+            with open(out, "w") as fh:
+                fh.write(text)
+        else:
+            sys.stdout.write(text)
+
+
 TOOLS = {
+    "BedAnnotateFreq": BedAnnotateFreqTool,
     "BedCoverage": BedCoverageTool,
     "BedLowCoverage": BedLowCoverageTool,
     "BedHighCoverage": BedHighCoverageTool,

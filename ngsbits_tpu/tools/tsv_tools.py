@@ -235,8 +235,332 @@ class TsvAnnotateTool(ToolBase):
         _write_text(self, lines)
 
 
+class TsvToTool(ToolBase):
+    """Behavioral reference: ngs-bits src/TsvTo/main.cpp."""
+
+    name = "TsvTo"
+    description = "Converts TSV file to different table formats."
+    extended_description = ["Comment lines are not written to the output."]
+
+    def setup(self):
+        self.add_enum("format", "Output format.", valid=("txt", "md", "html"))
+        self.add_infile("in", "Input TSV file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output file. If unset, writes to STDOUT.", optional=True)
+
+    def main(self):
+        f = TsvFile.from_file(self.get("in") or "")
+        fmt = self.get_enum("format")
+        headers = f.header
+        ncols = len(headers)
+
+        def cell(parts, i, pad=False):
+            v = parts[i] if i < len(parts) else b""
+            if fmt == "html":
+                v = (v.replace(b"&", b"&amp;").replace(b"<", b"&lt;")
+                     .replace(b">", b"&gt;").replace(b'"', b"&quot;"))
+            elif fmt == "md":
+                v = v.replace(b"|", b"\\|")
+            if pad:
+                v = v.ljust(col_size[i])
+            return v
+
+        col_size = {}
+        if fmt in ("txt", "md"):
+            for i in range(ncols):
+                col_size[i] = len(cell(headers, i))
+            for row in f.rows:
+                for i in range(ncols):
+                    col_size[i] = max(col_size[i], len(cell(row, i)))
+
+        out = []
+        indent = 0
+
+        def w(text, newline=False):
+            if indent > 0:
+                out.append(b" " * indent)
+            out.append(text)
+            if newline:
+                out.append(b"\n")
+
+        if fmt == "html":
+            w(b"<html>", True)
+            indent += 2
+            w(b"<head>", True)
+            indent += 2
+            w(b"<style>", True)
+            indent += 2
+            w(b"table { border-collapse: collapse; width: auto; border: 1px solid #444; }", True)
+            w(b"table td { border: 1px solid #444; padding: 2px; }", True)
+            w(b"table th { border: 1px solid #444; text-align: left; padding: 2px; background: #ccc; font-weight: 600; }", True)
+            w(b"table tr:nth-child(even) td { background: #f3f3f3; }", True)
+            w(b"table tr:hover td { background: #d0d7df; }", True)
+            indent -= 2
+            w(b"</style>", True)
+            indent -= 2
+            w(b"</head>", True)
+            w(b"<body>", True)
+            indent += 2
+            w(b"<table>", True)
+            indent += 2
+
+        if headers:
+            if fmt == "html":
+                w(b"<tr>", True)
+                indent += 2
+                for i in range(ncols):
+                    w(b"<th>" + cell(headers, i) + b"</th>", True)
+                indent -= 2
+                w(b"</tr>", True)
+            elif fmt == "txt":
+                for i in range(ncols):
+                    if i != 0:
+                        w(b" ")
+                    w(cell(headers, i, True))
+                w(b"\n")
+                for i in range(ncols):
+                    if i != 0:
+                        w(b" ")
+                    w(b"-" * col_size[i])
+                w(b"\n")
+            else:
+                for i in range(ncols):
+                    w(b"|")
+                    w(cell(headers, i, True))
+                w(b"|\n")
+                for i in range(ncols):
+                    w(b"|")
+                    w(b"-" * col_size[i])
+                w(b"|\n")
+
+        for row in f.rows:
+            if fmt == "html":
+                w(b"<tr>", True)
+                indent += 2
+                for i in range(ncols):
+                    w(b"<td>" + cell(row, i) + b"</td>", True)
+                indent -= 2
+                w(b"</tr>", True)
+            elif fmt == "txt":
+                for i in range(ncols):
+                    if i != 0:
+                        w(b" ")
+                    w(cell(row, i, True))
+                w(b"\n")
+            else:
+                for i in range(ncols):
+                    w(b"|")
+                    w(cell(row, i, True))
+                w(b"|\n")
+
+        if fmt == "html":
+            indent -= 2
+            w(b"</table>", True)
+            indent -= 2
+            w(b"</body>", True)
+            indent -= 2
+            w(b"</html>", True)
+
+        data = b"".join(out)
+        path = self.get("out")
+        if path:
+            with open(path, "wb") as fh:
+                fh.write(data)
+        else:
+            sys.stdout.buffer.write(data)
+
+
+class TsvDiffTool(ToolBase):
+    """Behavioral reference: ngs-bits src/TsvDiff/main.cpp (LCS diff over
+    retained columns; tie directions read back as TOP in backtracking)."""
+
+    name = "TsvDiff"
+    description = "Compares TSV files."
+
+    def setup(self):
+        self.add_infile("in1", "First input TSV file.")
+        self.add_infile("in2", "Second input TSV file.")
+        self.add_outfile("out", "Output file with differences. If unset, writes to stdout.", optional=True)
+        self.add_flag("skip_comments", "Do not compare comment lines starting with '##'.")
+        self.add_string("skip_comments_matching", "Comma-separated list of sub-strings for skipping comment lines (case-sensitive matching).", optional=True)
+        self.add_string("skip_cols", "Comma-separated list of colums to skip during line comparison.", optional=True)
+        self.add_string("comp", "Comma-separated list of columns to use for comparison (all other columns are ignored).", optional=True)
+        self.add_string("diff_abs", "Comma-separated list of column=difference tuples for defining maximum allowed numeric difference of columns.", optional=True)
+        self.add_flag("no_error", "Do not exit with error state if differences are detected.")
+        self.add_int("debug", "Debug level (0=none, 1=basic, 2=extended", optional=True, default=0)
+
+    @staticmethod
+    def _lcs_diff(lines1, lines2, eq, out, summary):
+        n, m = len(lines1), len(lines2)
+        if n == 0 and m == 0:
+            return
+        if n > 0 and m == 0:
+            for l in lines1:
+                out.append(b"-" + b"\t".join(l))
+            return
+        if n == 0 and m > 0:
+            for l in lines2:
+                out.append(b"+" + b"\t".join(l))
+            return
+
+        # LCS DP; directions: 0=diagonal, 1=left, 2=top (ties read as TOP)
+        D = [bytearray(m + 1) for _ in range(n + 1)]
+        before = [0] * (m + 1)
+        current = [0] * (m + 1)
+        for i in range(1, n + 1):
+            row = D[i]
+            a = lines1[i - 1]
+            for j in range(1, m + 1):
+                if eq(a, lines2[j - 1]):
+                    current[j] = before[j - 1] + 1
+                    row[j] = 0
+                else:
+                    left = current[j - 1]
+                    top = before[j]
+                    if left > top:
+                        current[j] = left
+                        row[j] = 1
+                    else:  # ties behave as TOP (DirectionVector::get order)
+                        current[j] = top
+                        row[j] = 2
+            before, current = current, before
+            current = [0] * (m + 1)
+
+        matches = []
+        i = n
+        j = m
+        while j > 0 and i > 0:
+            d = D[i][j]
+            if d == 1:
+                j -= 1
+                continue
+            if d == 2:
+                i -= 1
+                continue
+            matches.insert(0, (i - 1, j - 1))
+            i -= 1
+            j -= 1
+
+        if not matches:
+            for l in lines1:
+                out.append(b"-" + b"\t".join(l))
+                summary[1] += 1
+            for l in lines2:
+                out.append(b"+" + b"\t".join(l))
+                summary[0] += 1
+            return
+
+        def emit(rm_range, add_range):
+            for i2 in rm_range:
+                out.append(b"-" + b"\t".join(lines1[i2]))
+                summary[1] += 1
+            for i2 in add_range:
+                out.append(b"+" + b"\t".join(lines2[i2]))
+                summary[0] += 1
+
+        emit(range(0, matches[0][0]), range(0, matches[0][1]))
+        for k in range(1, len(matches)):
+            emit(range(matches[k - 1][0] + 1, matches[k][0]),
+                 range(matches[k - 1][1] + 1, matches[k][1]))
+        emit(range(matches[-1][0] + 1, len(lines1)),
+             range(matches[-1][1] + 1, len(lines2)))
+
+    def main(self):
+        skip_comments = self.get_flag("skip_comments")
+        skip_matching = [s for s in (self.get("skip_comments_matching") or "").split(",") if s]
+        skip_cols = {s for s in (self.get("skip_cols") or "").split(",") if s}
+        no_error = self.get_flag("no_error")
+
+        in1 = TsvFile.from_file(self.get("in1"))
+        in2 = TsvFile.from_file(self.get("in2"))
+
+        comp_cols = {s for s in (self.get("comp") or "").split(",") if s}
+        if not comp_cols:
+            comp_cols = {h.decode() for h in in1.header} | {h.decode() for h in in2.header}
+        comp_cols -= skip_cols
+
+        def restrict(f):
+            keep = [i for i, h in enumerate(f.header) if h.decode() in comp_cols]
+            headers = [f.header[i] for i in keep]
+            rows = [[r[i] if i < len(r) else b"" for i in keep] for r in f.rows]
+            return headers, rows
+
+        if comp_cols:
+            h1, rows1 = restrict(in1)
+            h2, rows2 = restrict(in2)
+        else:
+            h1, rows1 = in1.header, in1.rows
+            h2, rows2 = in2.header, in2.rows
+
+        if h1 != h2:
+            raise ToolError("Cannot compare files with differing columns!\nin1: "
+                            + ", ".join(h.decode() for h in h1) + "\nin2: "
+                            + ", ".join(h.decode() for h in h2))
+
+        diff_abs = {}
+        for entry in [s for s in (self.get("diff_abs") or "").split(",") if s]:
+            parts = entry.split("=")
+            if len(parts) != 2 or not _is_valid_float(parts[1].encode()):
+                raise ToolError(f"Absolute column difference entry '{entry}' not valid!")
+            try:
+                ci = h1.index(parts[0].encode())
+            except ValueError:
+                raise ToolError(f"Could not find column '{parts[0]}'!")
+            diff_abs[ci] = float(parts[1])
+
+        def rows_eq(a, b):
+            for i in range(len(a)):
+                if a[i] == b[i]:
+                    continue
+                if i in diff_abs:
+                    try:
+                        if abs(float(a[i]) - float(b[i])) > diff_abs[i]:
+                            return False
+                    except ValueError:
+                        return False
+                else:
+                    return False
+            return True
+
+        out_lines: list[bytes] = []
+        summary_comments = [0, 0]  # added, removed
+        summary_content = [0, 0]
+        if not skip_comments:
+            c1 = [c for c in in1.comments
+                  if not any(s in c.decode() for s in skip_matching)]
+            c2 = [c for c in in2.comments
+                  if not any(s in c.decode() for s in skip_matching)]
+            self._lcs_diff([[c] for c in c1], [[c] for c in c2],
+                           lambda a, b: a == b, out_lines, summary_comments)
+        self._lcs_diff(rows1, rows2, rows_eq, out_lines, summary_content)
+
+        has_diff = sum(summary_comments) + sum(summary_content) > 0
+        if has_diff:
+            out_lines.append(b"Difference summary:")
+            if summary_comments[0]:
+                out_lines.append(b"comment lines added: " + str(summary_comments[0]).encode())
+            if summary_comments[1]:
+                out_lines.append(b"comment lines removed: " + str(summary_comments[1]).encode())
+            if summary_content[0]:
+                out_lines.append(b"content lines added: " + str(summary_content[0]).encode())
+            if summary_content[1]:
+                out_lines.append(b"content lines removed: " + str(summary_content[1]).encode())
+
+        data = b"".join(l + b"\n" for l in out_lines)
+        out = self.get("out")
+        if out:
+            with open(out, "wb") as fh:
+                fh.write(data)
+        else:
+            sys.stdout.buffer.write(data)
+
+        if has_diff and not no_error:
+            raise SystemExit(1)
+
+
 TOOLS = {
     "TsvInfo": TsvInfoTool,
+    "TsvTo": TsvToTool,
+    "TsvDiff": TsvDiffTool,
     "TsvSlice": TsvSliceTool,
     "TsvFilter": TsvFilterTool,
     "TsvMerge": TsvMergeTool,
