@@ -1,0 +1,58 @@
+"""VcfAnnotateFromBed / VcfAnnotateFromVcf golden parity
+(reference: src/tools-TEST/VcfAnnotateFrom*_Test.cpp). The config files use
+paths relative to the reference build dir, so they are rewritten to absolute
+paths in tmp."""
+
+import pytest
+
+from helpers import execute, compare_files
+
+
+def test_vcf_annotate_from_bed(ref_data_in, ref_data_out, tmp_path):
+    out = tmp_path / "o.vcf"
+    assert execute("VcfAnnotateFromBed",
+                   ["-in", ref_data_in / "VcfAnnotateFromBed_in1.vcf",
+                    "-desc", "Custom_header_description!",
+                    "-out", out, "-name", "OMIM",
+                    "-bed", ref_data_in / "VcfAnnotateFromBed_in1.bed"]) == 0
+    compare_files(out, ref_data_out / "VcfAnnotateFromBed_out1.vcf")
+
+
+def _abs_config(ref_data_in, tmp_path, name):
+    cfg = (ref_data_in / name).read_text()
+    cfg = cfg.replace("../src/tools-TEST/data_in", str(ref_data_in))
+    p = tmp_path / name
+    p.write_text(cfg)
+    return p
+
+
+@pytest.mark.parametrize("args,golden", [
+    (["-config_file", "CONFIG:VcfAnnotateFromVcf_config.tsv"], "VcfAnnotateFromVcf_out1.vcf"),
+    (["-source", "VcfAnnotateFromVcf_an2_NGSD.vcf.gz", "-info_keys",
+      "COUNTS,GSC01=GROUP,HAF,CLAS,CLAS_COM,COM", "-id_column", "ID",
+      "-prefix", "NGSD"], "VcfAnnotateFromVcf_out2.vcf"),
+    (["-source", "VcfAnnotateFromVcf_an2_NGSD.vcf.gz", "-info_keys",
+      "GSC01=GROUP,CLAS,COM,CLAS_COM,COUNTS,HAF", "-id_column", "ID",
+      "-prefix", "NGSD"], "VcfAnnotateFromVcf_out3.vcf"),
+    (["-source", "VcfAnnotateFromVcf_an2_NGSD.vcf.gz", "-id_column", "ID",
+      "-prefix", "NGSD"], "VcfAnnotateFromVcf_out4.vcf"),
+    (["-config_file", "CONFIG:VcfAnnotateFromVcf_config2.tsv"], "VcfAnnotateFromVcf_out5.vcf"),
+    (["-source", "VcfAnnotateFromVcf_an3_ExOnly.vcf.gz", "-existence_only"],
+     "VcfAnnotateFromVcf_out6.vcf"),
+])
+def test_vcf_annotate_from_vcf(ref_data_in, ref_data_out, tmp_path, args, golden):
+    out = tmp_path / "o.vcf"
+    full = []
+    it = iter(args)
+    for a in it:
+        full.append(a)
+        if a == "-config_file":
+            full.append(_abs_config(ref_data_in, tmp_path, next(it)[7:]))
+        elif a == "-source":
+            full.append(ref_data_in / next(it))
+        elif a in ("-info_keys", "-id_column", "-prefix"):
+            full.append(next(it))
+    assert execute("VcfAnnotateFromVcf",
+                   ["-in", ref_data_in / "VcfAnnotateFromVcf_in1.vcf",
+                    "-out", out] + full) == 0
+    compare_files(out, ref_data_out / golden)
