@@ -446,3 +446,85 @@ def batch_to_sam_text(batch: BamBatch, ref_names) -> list:
             str(int(batch.tlen[i])),
             seq, qual]))
     return out
+
+
+class BamRecord:
+    """Mutable single-record view for read-modify-write tools
+    (BamClipOverlap etc.). Fields mirror the BAM record layout; seq is
+    stored as 4-bit codes like BamBatch."""
+
+    __slots__ = ("ref_id", "pos", "mapq", "flag", "mate_ref_id", "mate_pos",
+                 "tlen", "name", "cigar", "seq", "qual", "tags")
+
+    @staticmethod
+    def from_batch(batch: BamBatch, i: int) -> "BamRecord":
+        r = BamRecord()
+        r.ref_id = int(batch.ref_id[i])
+        r.pos = int(batch.pos[i])
+        r.mapq = int(batch.mapq[i])
+        r.flag = int(batch.flag[i])
+        r.mate_ref_id = int(batch.mate_ref_id[i])
+        r.mate_pos = int(batch.mate_pos[i])
+        r.tlen = int(batch.tlen[i])
+        r.name = batch.name(i)
+        r.cigar = batch.cigar[batch.cigar_off[i]:batch.cigar_off[i + 1]].copy()
+        r.seq = batch.seq[batch.seq_off[i]:batch.seq_off[i + 1]].copy()
+        r.qual = batch.qual[batch.seq_off[i]:batch.seq_off[i + 1]].copy()
+        r.tags = bytes(batch.tags[batch.tags_off[i]:batch.tags_off[i + 1]])
+        return r
+
+    # 1-based start (BamAlignment::start)
+    def start(self) -> int:
+        return self.pos + 1
+
+    def end(self) -> int:
+        """1-based inclusive end (sum of ref-consuming CIGAR ops)."""
+        ops = self.cigar & 0xF
+        lens = self.cigar >> 4
+        span = int((lens * CIGAR_CONSUMES_REF[ops]).sum())
+        return self.pos + span
+
+    def length(self) -> int:
+        return len(self.seq)
+
+    def cigar_string(self, expanded: bool = False) -> bytes:
+        parts = []
+        for c in self.cigar:
+            n = int(c) >> 4
+            ch = CIGAR_CHARS[int(c) & 0xF].encode()
+            parts.append(ch * n if expanded else str(n).encode() + ch)
+        return b"".join(parts)
+
+    def bases(self) -> bytes:
+        return SEQ_NIBBLE_ASCII[self.seq].tobytes()
+
+    def qualities_ascii(self) -> bytes:
+        return bytes((int(q) + 33) for q in self.qual)
+
+    def is_only_insertion(self) -> bool:
+        ops = self.cigar & 0xF
+        return len(ops) > 0 and bool((CIGAR_CONSUMES_REF[ops] == 0).all())
+
+    def add_tag(self, tag: bytes, type_char: bytes, value: bytes):
+        self.tags = self.tags + tag + type_char + value + b"\x00"
+
+
+def write_record(writer: "BamWriter", r: BamRecord):
+    """Append one BamRecord through a BamWriter."""
+    name = r.name + b"\x00"
+    lseq = len(r.seq)
+    packed = np.zeros((lseq + 1) // 2, dtype=np.uint8)
+    if lseq:
+        packed[:] = r.seq[0::2] << 4
+        if lseq > 1:
+            packed[:len(r.seq[1::2])] |= r.seq[1::2]
+    if (r.flag & FLAG_UNMAPPED) == 0 and r.pos >= 0:
+        bin_ = _reg2bin(r.pos, r.end())
+    else:
+        bin_ = _reg2bin(r.pos, r.pos + 1) if r.pos >= 0 else 4680
+    rec = struct.pack("<iiBBHHHIiii", r.ref_id, r.pos, len(name), r.mapq, bin_,
+                      len(r.cigar), r.flag, lseq, r.mate_ref_id, r.mate_pos,
+                      r.tlen)
+    body = (rec + name + r.cigar.astype("<u4").tobytes() + packed.tobytes()
+            + r.qual.tobytes() + r.tags)
+    writer._write(struct.pack("<I", len(body)) + body)

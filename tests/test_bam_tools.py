@@ -90,3 +90,30 @@ def test_bam_info(ref_data_in, ref_data_out, tmp_path):
     lines = out.read_text().splitlines()
     assert lines[0].startswith("#filename")
     assert lines[1].startswith("MappingQC_in1.bam\tBAM\thg38")
+
+
+@pytest.mark.parametrize("n,extra,clipped", [
+    ("1", [], 256), ("2", [], 42), ("3", [], 434), ("5", [], 5624),
+    ("4", ["-overlap_mismatch_basen"], 446),
+])
+def test_bam_clip_overlap(ref_data_in, tmp_path, capsys, n, extra, clipped):
+    # reference tests are smoke tests without golden comparison; we pin the
+    # softclip statistics and verify the output BAM parses with all reads
+    out = tmp_path / "c.bam"
+    assert execute("BamClipOverlap", ["-in", ref_data_in / f"BamClipOverlap_in{n}.bam",
+                                      "-out", out] + extra) == 0
+    err = capsys.readouterr().err
+    assert f"Softclipped {clipped} of" in err
+    n_in = sum(1 for _ in bam_text(ref_data_in / f"BamClipOverlap_in{n}.bam"))
+    lines = bam_text(out)
+    assert len(lines) == n_in
+
+
+def test_bam_remove_variants(ref_data_in, ref_data_out, tmp_path, capsys):
+    out = tmp_path / "rv.bam"
+    assert execute("BamRemoveVariants",
+                   ["-in", ref_data_in / "BamRemoveVariants_in1.bam",
+                    "-vcf", ref_data_in / "BamRemoveVariants_in1.vcf.gz",
+                    "-out", out]) == 0
+    assert bam_text(out) == bam_text(ref_data_out / "BamRemoveVariants_out1.bam")
+    assert "pairs passed: 7933" in capsys.readouterr().out
