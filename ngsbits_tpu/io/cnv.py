@@ -167,3 +167,77 @@ class CnvList:
                     parts[i_chr], int(parts[i_start]), int(parts[i_end]),
                     region_count, genes, annos))
         return out
+
+
+def _store_cnv_list(self, filename: str | None):
+    """CnvList::store (CnvList.cpp:255-366): reinsert the type-specific
+    derived columns (regions/length/genes) into the annotation layout."""
+    if self.type == "invalid":
+        raise ValueError("Invalid CnvListType! Cannot create file.")
+    lines = [b"##ANALYSISTYPE=" + _TYPE_STR[self.type]]
+    lines.extend(self.comments)
+    for header in self.annotation_headers:
+        desc = self.annotation_header_desc.get(header, b"")
+        if desc.strip():
+            lines.append(b"##DESCRIPTION=" + header + b"=" + desc)
+
+    header_line = list(self.annotation_headers)
+    if self.type == "germline_single":
+        header_line.insert(2, b"no_of_regions")
+        header_line.insert(3, b"length_KB")
+        header_line.insert(5, b"genes")
+    elif self.type == "germline_multi":
+        header_line.insert(0, b"sample")
+        header_line.insert(1, b"size")
+        header_line.insert(9, b"genes")
+    elif self.type == "tumor_normal":
+        header_line.insert(0, b"sample")
+        header_line.insert(1, b"size")
+        header_line.insert(9, b"number_of_regions")
+        header_line.insert(10, b"genes")
+    else:  # tumor_only
+        header_line.insert(5, b"no_of_regions")
+        header_line.insert(6, b"length_KB")
+        header_line.insert(8, b"genes")
+    lines.append(b"#chr\tstart\tend\t" + b"\t".join(header_line))
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def kb(v):
+        d = Decimal(v).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP)
+        return f"{d:.3f}".rjust(8).encode()
+
+    for v in self.variants:
+        annos = list(v.annotations)
+        size = v.end - v.start + 1
+        if self.type == "germline_single":
+            annos.insert(2, str(v.num_regs).encode())
+            annos.insert(3, kb((size - 1) / 1000.0))
+            annos.insert(5, b",".join(v.genes))
+        elif self.type == "germline_multi":
+            annos.insert(0, b"multi")
+            annos.insert(1, str(size - 1).encode())
+            annos.insert(9, b", ".join(v.genes))
+        elif self.type == "tumor_normal":
+            annos.insert(0, b"somatic")
+            annos.insert(1, str(size).encode())
+            annos.insert(9, str(v.num_regs).encode())
+            annos.insert(10, b",".join(v.genes))
+        else:
+            annos.insert(5, str(v.num_regs).encode())
+            annos.insert(6, kb((size - 1) / 1000.0))
+            annos.insert(8, b",".join(v.genes))
+        lines.append(v.chr.str_normalized(True).encode() + b"\t"
+                     + str(v.start).encode() + b"\t" + str(v.end).encode()
+                     + b"\t" + b"\t".join(annos))
+
+    import sys as _sys
+    data = b"".join(l + b"\n" for l in lines)
+    if filename:
+        with open(filename, "wb") as fh:
+            fh.write(data)
+    else:
+        _sys.stdout.buffer.write(data)
+
+
+CnvList.store = _store_cnv_list

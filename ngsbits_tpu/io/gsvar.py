@@ -91,3 +91,55 @@ class GSvarFile:
                 except KeyError:
                     pass
         return out
+
+
+    def sample_columns(self, affected: bool) -> list[int]:
+        """Annotation-column indices of affected/control samples
+        (SampleHeaderInfo::sampleColumns, NGSHelper.cpp:1177-1188; affected =
+        Status/DiseaseStatus == 'affected', ##SAMPLE headers)."""
+        out = []
+        for raw in self.comments:
+            line = raw.strip()
+            if not line.startswith(b"##SAMPLE=<"):
+                continue
+            parts = line[10:-1].split(b",")
+            i = 1
+            while i < len(parts):
+                if b"=" not in parts[i]:
+                    parts[i - 1] += b"," + parts[i]
+                    del parts[i]
+                else:
+                    i += 1
+            props = {}
+            name = ""
+            for part in parts:
+                sep = part.find(b"=")
+                k = part[:sep].decode()
+                v = part[sep + 1:].decode()
+                if k == "ID":
+                    name = v
+                else:
+                    props[k.lower()] = v.lower()
+            is_affected = props.get("status") == "affected" or props.get("diseasestatus") == "affected"
+            if is_affected == affected:
+                try:
+                    out.append(self.annotation_index(name))
+                except KeyError:
+                    pass
+        return out
+
+    def store(self, filename: str | None):
+        import sys as _sys
+        lines = list(self.comments)
+        lines.append(b"#chr\tstart\tend\tref\tobs\t"
+                     + b"\t".join(c.encode() for c in self.columns))
+        for v in self.variants:
+            lines.append(b"\t".join([v.chr.str.encode(), str(v.start).encode(),
+                                     str(v.end).encode(), v.ref, v.obs]
+                                    + list(v.annotations)))
+        data = b"".join(l + b"\n" for l in lines)
+        if filename:
+            with open(filename, "wb") as fh:
+                fh.write(data)
+        else:
+            _sys.stdout.buffer.write(data)
