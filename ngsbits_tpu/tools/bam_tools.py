@@ -363,10 +363,51 @@ class BamToFastqTool(ToolBase):
             print(f"Duplicate name reads (skipped)  : {c_fixed}")
 
 
+class BamCleanHaloplexTool(ToolBase):
+    name = "BamCleanHaloplex"
+    description = "BAM cleaning for Haloplex."
+
+    def setup(self):
+        self.add_infile("in", "Input BAM/CRAM file.")
+        self.add_outfile("out", "Output BAM/CRAM file.")
+        self.add_int("min_match", "Minimum number of CIGAR matches (M).", optional=True, default=30)
+        self.add_infile("ref", "Reference genome for CRAM support (mandatory if CRAM is used).", optional=True)
+
+    def main(self):
+        # BamCleanHaloplex/main.cpp:28-69: unmap reads whose summed CIGAR-M
+        # length is below min_match; mark them secondary as well.
+        min_match = self.get_int("min_match")
+        c_reads = c_mapped = c_failed = 0
+        reader = BamReader(self.get_infile("in"))
+        writer = BamWriter(self.get_outfile("out"), reader)
+        for batch in reader:
+            n = len(batch)
+            c_reads += n
+            considered = (batch.flag & (FLAG_UNMAPPED | FLAG_SECONDARY |
+                                        FLAG_SUPPLEMENTARY | FLAG_DUPLICATE)) == 0
+            c_mapped += int(considered.sum())
+            # segment-sum of M op lengths per record
+            rec_idx = np.repeat(np.arange(n), batch.n_cigar)
+            ops = batch.cigar & 0xF
+            lens = (batch.cigar >> 4).astype(np.int64)
+            sum_m = np.bincount(rec_idx, weights=np.where(ops == 0, lens, 0),
+                                minlength=n).astype(np.int64)
+            failed = considered & (sum_m < min_match)
+            c_failed += int(failed.sum())
+            batch.flag = batch.flag | np.where(failed, FLAG_UNMAPPED | FLAG_SECONDARY, 0).astype(np.uint16)
+            writer.write_records(batch)
+        writer.close()
+        reader.close()
+        sys.stdout.write(f"overall reads: {c_reads}\n")
+        sys.stdout.write(f"mapped reads : {c_mapped} ({100.0 * c_mapped / c_reads:.2f}%)\n")
+        sys.stdout.write(f"removed reads: {c_failed} ({100.0 * c_failed / c_reads:.2f}%)\n")
+
+
 TOOLS = {
     "BamInfo": BamInfoTool,
     "BamExtract": BamExtractTool,
     "BamFilter": BamFilterTool,
     "BamDownsample": BamDownsampleTool,
     "BamToFastq": BamToFastqTool,
+    "BamCleanHaloplex": BamCleanHaloplexTool,
 }

@@ -201,8 +201,70 @@ class FastaFromBamTool(ToolBase):
                     sys.stdout.write(f"Skipped chromosome '{name}': could not download {url}\n")
 
 
+class FastaChecksumUpdateTool(ToolBase):
+    name = "FastaChecksumUpdate"
+    description = "Fixes MD5 checksums in FASTA sequence headers."
+
+    def setup(self):
+        self.add_infile("in", "Input FASTA file.")
+        self.add_outfile("out", "Output file.")
+        self.add_flag("debug", "Write debug statements")
+
+    def main(self):
+        # FastaChecksumUpdate/main.cpp:27-108: stream through, write corrected
+        # checksum back at the remembered M5: offset when it mismatches.
+        import hashlib
+        if self.get_infile("in") == self.get_outfile("out"):
+            raise ToolError("'in' and 'out' cannot be the same file!")
+        debug = self.get_flag("debug")
+        md5 = None
+        md5_pos = -1
+        stored = b""
+        with open(self.get_infile("in"), "rb") as fin, \
+                open(self.get_outfile("out"), "wb+") as fout:
+            def flush_previous():
+                nonlocal md5_pos
+                if md5_pos == -1:
+                    return
+                checksum = md5.hexdigest().encode()
+                if debug:
+                    sys.stdout.write(f"original checksum: {stored.decode()}\n")
+                    sys.stdout.write(f"calculated checksum: {checksum.decode()}\n")
+                if checksum != stored:
+                    if debug:
+                        sys.stdout.write("checksum mismatch! Rewriting.\n")
+                    fout.seek(md5_pos)
+                    fout.write(checksum)
+                    fout.seek(0, 2)
+                md5_pos = -1
+
+            for raw in fin:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    flush_previous()
+                    md5 = hashlib.md5()
+                    header = line[1:].strip()
+                    # writeHeader: word-wise copy, remembering the M5: offset
+                    fout.write(b">")
+                    words = header.split(b" ")
+                    for i, w in enumerate(words):
+                        if len(w) > 3 and w[:3] == b"M5:":
+                            md5_pos = fout.tell() + 3
+                            stored = w[3:]
+                        fout.write(w)
+                        fout.write(b"\n" if i == len(words) - 1 else b" ")
+                else:
+                    md5.update(line)
+                    fout.write(line)
+                    fout.write(b"\n")
+            flush_previous()
+
+
 TOOLS = {
     "FastaInfo": FastaInfoTool,
     "FastaMask": FastaMaskTool,
     "FastaFromBam": FastaFromBamTool,
+    "FastaChecksumUpdate": FastaChecksumUpdateTool,
 }
