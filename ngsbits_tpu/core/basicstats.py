@@ -76,6 +76,18 @@ def _log_factorials(n: int) -> np.ndarray:
 
 FACTORIAL_LIMIT = 170  # largest n with finite double factorial (reference cache)
 
+# double-precision factorial table (BasicStatistics::precalculateFactorials:
+# iterative double multiplication; values overflow to inf above 170!)
+with np.errstate(over="ignore"):
+    _FACTORIALS = np.concatenate([[1.0], np.cumprod(np.arange(1, 200, dtype=np.float64))])
+
+
+def factorial(n: int) -> float:
+    """BasicStatistics::factorial — inf beyond the finite-double range."""
+    if n < len(_FACTORIALS):
+        return float(_FACTORIALS[n])
+    return float("inf")
+
 
 def match_probability(p: float, matches: int, count: int) -> float:
     """Binomial tail probability P(X >= matches) for X ~ Binom(count, p).

@@ -147,7 +147,7 @@ class VcfHeader:
             stored = rt[1] if rt else line
             self.filter_lines.append((fields.get("ID", b"").decode(), stored))
             self.filter_descriptions[fields.get("ID", b"").decode()] = fields.get("Description", b"")
-        elif line.startswith(b"##fileformat="):
+        elif line.startswith(b"##fileformat=") and not self.fileformat:
             self.fileformat = line.split(b"=", 1)[1]
         else:
             self.comments.append(line)
@@ -465,6 +465,47 @@ def _qt_num(v: float) -> bytes:
 
 class _VcfStoreMixin:
     pass
+
+
+def add_missing_header_lines(f: "VcfFile"):
+    """VcfFile::parseVcfEntry (VcfFile.cpp:160-245): FILTER/INFO/FORMAT keys
+    seen in data lines but not declared in the header get auto-added lines
+    with Description "no description available" (first-seen order)."""
+    header = f.header
+    filter_ids = {i for i, _l in header.filter_lines}
+    info_ids = set(header.info_ids)
+    format_ids = {i for i, _l in header.format_lines}
+    for i in range(len(f)):
+        for filt in f.filters[i].split(b";"):
+            fid = filt.decode()
+            if fid and fid not in filter_ids and filt not in (b"PASS", b"."):
+                header.filter_lines.append(
+                    (fid, b"##FILTER=<ID=" + filt + b',Description="no description available">'))
+                header.filter_descriptions[fid] = b"no description available"
+                filter_ids.add(fid)
+        if f.infos[i] != b".":
+            for item in f.infos[i].split(b";"):
+                key = item.split(b"=", 1)[0]
+                kid = key.decode()
+                if kid and kid not in info_ids:
+                    header.info_lines.append(
+                        (kid, b"##INFO=<ID=" + key +
+                         b',Number=1,Type=String,Description="no description available">'))
+                    header.info_ids.add(kid)
+                    header.info_descriptions[kid] = b"no description available"
+                    header.info_types[kid] = b"String"
+                    info_ids.add(kid)
+        if f.format_keys[i]:
+            for key in f.format_keys[i].split(b":"):
+                kid = key.decode()
+                if kid and kid not in format_ids and key != b".":
+                    line = (kid, b"##FORMAT=<ID=" + key +
+                            b',Number=1,Type=String,Description="no description available">')
+                    if key == b"GT":
+                        header.format_lines.insert(0, line)
+                    else:
+                        header.format_lines.append(line)
+                    format_ids.add(kid)
 
 
 def _vcf_sort_key(f: "VcfFile", i: int):

@@ -36,6 +36,15 @@ class PileupResult:
     def __init__(self, n: int):
         self.counts = np.zeros((n, 4), dtype=np.int64)
         self.dels = np.zeros(n, dtype=np.int64)
+        # filled when track_mapq0=True: flag-passing reads overlapping each
+        # locus, and how many of them have mapq 0 (BamReader::getPileup
+        # reads_mapped/reads_mapq0)
+        self.mapped = np.zeros(n, dtype=np.int64)
+        self.mapq0 = np.zeros(n, dtype=np.int64)
+
+    def mapq0_frac(self) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.mapq0 / self.mapped
 
     def depth(self, count_del: bool = False) -> np.ndarray:
         d = self.counts.sum(axis=1)
@@ -60,7 +69,8 @@ def base_index(seq: bytes) -> int:
 def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarray,
                         min_mapq: int = 1, include_not_properly_paired: bool = False,
                         min_baseq: int = 0, count_fragments: bool = False,
-                        reader: BamReader | None = None) -> PileupResult:
+                        reader: BamReader | None = None,
+                        track_mapq0: bool = False) -> PileupResult:
     """Pileup base counts at the given loci.
 
     chr_nums: [N] chromosome numbers, positions: [N] 1-based positions.
@@ -93,6 +103,31 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
         sel = (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUPLICATE | FLAG_UNMAPPED)) == 0
         if not include_not_properly_paired:
             sel &= (flag & FLAG_PROPER_PAIR) != 0
+        if track_mapq0 and sel.any():
+            # count overlapping flag-passing reads (before the mapq cut) and
+            # the mapq0 subset, per locus (getPileup reads_mapped/reads_mapq0)
+            r_start = batch.pos.astype(np.int64) + 1
+            r_end = batch.end_positions().astype(np.int64)
+            r_chr = ref_num[np.maximum(batch.ref_id, 0)]
+            for which, mask in (("mapped", sel), ("mapq0", sel & (batch.mapq == 0))):
+                rr = np.flatnonzero(mask)
+                if len(rr) == 0:
+                    continue
+                arr = result.mapped if which == "mapped" else result.mapq0
+                for cn in np.unique(r_chr[rr]):
+                    sl = chr_bounds.get(int(cn))
+                    if sl is None:
+                        continue
+                    lo, hi = sl
+                    pos_arr = s_pos[lo:hi]
+                    seg = rr[r_chr[rr] == cn]
+                    a = np.searchsorted(pos_arr, r_start[seg], side="left")
+                    b = np.searchsorted(pos_arr, r_end[seg], side="right")
+                    events = np.zeros(hi - lo + 1, dtype=np.int64)
+                    np.add.at(events, a, 1)
+                    np.add.at(events, b, -1)
+                    cum = np.cumsum(events[:-1])
+                    arr[order[lo:hi]] += cum
         sel &= batch.mapq >= min_mapq
         idx = np.flatnonzero(sel)
         if len(idx) == 0:
