@@ -364,6 +364,74 @@ class BedpeAnnotateCnvOverlapTool(ToolBase):
         svs.store(self.get("out"))
 
 
+class BedpeAnnotateBreakpointDensityTool(ToolBase):
+    """Behavioral reference: ngs-bits src/BedpeAnnotateBreakpointDensity/main.cpp."""
+
+    name = "BedpeAnnotateBreakpointDensity"
+    description = "Annotates a BEDPE file with breakpoint density."
+
+    def setup(self):
+        self.add_infile("density", "IGV density file containing break point density.")
+        self.add_infile("density_sys", "Optional IGV density file containing break point density for a specific processing system.", optional=True)
+        self.add_infile("in", "Input BEDPE file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output BEDPE file. If unset, writes to STDOUT.", optional=True)
+
+    def main(self):
+        sys_path = self.get_infile("density_sys")
+
+        def load_density(path):
+            bed = BedFile.from_file(path)
+            if not bed.is_sorted():
+                bed.sort()
+            return bed, ChromosomalIndex(bed)
+
+        density_file, anno_index = load_density(self.get_infile("density"))
+        if sys_path:
+            sys_file, sys_index = load_density(sys_path)
+
+        f = BedpeFile.from_file(self.get("in"))
+        i_anno = f.annotation_index_by_name(b"NGSD_SV_BREAKPOINT_DENSITY", False)
+        i_anno_sys = f.annotation_index_by_name(b"NGSD_SV_BREAKPOINT_DENSITY_SYS", False) if sys_path else -1
+
+        buf = list(f.headers)
+        header = list(f.annotation_headers)
+        if i_anno < 0:
+            header.append(b"NGSD_SV_BREAKPOINT_DENSITY")
+        if sys_path and i_anno_sys < 0:
+            header.append(b"NGSD_SV_BREAKPOINT_DENSITY_SYS")
+        buf.append(b"#CHROM_A\tSTART_A\tEND_A\tCHROM_B\tSTART_B\tEND_B\t" + b"\t".join(header))
+
+        def density_of(bed, index, line):
+            vals = []
+            for mi in index.matching_indices(line.chr1, line.start1 + 1, line.end1 + 1):
+                vals.append(int(bed.lines[int(mi)].annotations[1]))
+            out = [str(max(vals) if vals else 0).encode()]
+            if line.type != b"INS":
+                vals = []
+                for mi in index.matching_indices(line.chr2, line.start2 + 1, line.end2 + 1):
+                    vals.append(int(bed.lines[int(mi)].annotations[1]))
+                out.append(str(max(vals) if vals else 0).encode())
+            return b" / ".join(out)
+
+        for line in f.lines:
+            annotations = list(line.annotations)
+            value = density_of(density_file, anno_index, line)
+            if i_anno > -1:
+                annotations[i_anno] = value
+            else:
+                annotations.append(value)
+            if sys_path:
+                value = density_of(sys_file, sys_index, line)
+                if i_anno_sys > -1:
+                    annotations[i_anno_sys] = value
+                else:
+                    annotations.append(value)
+            line.annotations = annotations
+            buf.append(line.to_tsv())
+
+        _write_buffer(self.get("out"), buf)
+
+
 TOOLS = {
     "BedpeSort": BedpeSortTool,
     "BedpeToBed": BedpeToBedTool,
@@ -372,4 +440,5 @@ TOOLS = {
     "BedpeExtractGenotype": BedpeExtractGenotypeTool,
     "BedpeExtractInfoField": BedpeExtractInfoFieldTool,
     "BedpeAnnotateCnvOverlap": BedpeAnnotateCnvOverlapTool,
+    "BedpeAnnotateBreakpointDensity": BedpeAnnotateBreakpointDensityTool,
 }
