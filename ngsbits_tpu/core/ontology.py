@@ -26,8 +26,9 @@ class OboTerm:
 
 
 class OntologyTermCollection:
-    def __init__(self, terms: dict[str, OboTerm]):
+    def __init__(self, terms: dict[str, OboTerm], version: str = ""):
         self._terms = terms
+        self.version = version
 
     def contains(self, term_id: str) -> bool:
         return term_id in self._terms
@@ -35,13 +36,22 @@ class OntologyTermCollection:
     def get(self, term_id: str) -> OboTerm:
         return self._terms[term_id]
 
+    def __len__(self):
+        return len(self._terms)
+
+    def __iter__(self):
+        return iter(self._terms.values())
+
     @staticmethod
     def from_obo_text(text: str) -> "OntologyTermCollection":
         terms: dict[str, OboTerm] = {}
         cur: OboTerm | None = None
         in_term = False
+        version = ""
         for raw in text.splitlines():
             line = raw.strip()
+            if line.startswith("data-version:"):
+                version = line[13:].strip()
             if line == "[Term]":
                 if cur is not None:
                     terms[cur.id] = cur
@@ -69,11 +79,12 @@ class OntologyTermCollection:
                 cur.definition = raw
             elif line.startswith("is_obsolete:"):
                 cur.obsolete = line.split(":", 1)[1].strip().lower() == "true"
-            elif line.startswith("xref:") and "value-type" in line:
-                cur.term_type = line.split("value-type:", 1)[-1].split()[0].strip('\\"')
+            elif line.startswith("xref: value-type:xsd\\:"):
+                # OntologyTermCollection.cpp:81-87: 'xref: value-type:xsd\:int "..."'
+                cur.term_type = (line + ":").replace('"', ":").split(":")[3].strip()
         if cur is not None:
             terms[cur.id] = cur
-        return OntologyTermCollection(terms)
+        return OntologyTermCollection(terms, version)
 
 
 @lru_cache(maxsize=1)

@@ -1,0 +1,192 @@
+"""NGSD database access (SQLite).
+
+Behavioral reference: ngs-bits cppNGSD/NGSD.{h,cpp}. The reference talks to
+MySQL using credentials from settings.ini; this build keeps the same schema
+and query surface on a single-file SQLite database. The database location
+comes from the environment:
+
+  NGSBITS_NGSD       — production database path
+  NGSBITS_NGSD_TEST  — test database path (used by tools' '-test' flag)
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import os
+import re
+import sqlite3
+
+from .sqlconvert import convert_literals, mysql_to_sqlite
+
+_RES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources")
+
+
+class NgsdError(Exception):
+    pass
+
+
+def _regexp(pattern, value):
+    if value is None:
+        return False
+    return re.search(pattern, str(value)) is not None
+
+
+class NGSD:
+    def __init__(self, test_db: bool = False, path: str | None = None):
+        self.test_db = test_db
+        if path is None:
+            env = "NGSBITS_NGSD_TEST" if test_db else "NGSBITS_NGSD"
+            path = os.environ.get(env, "")
+            if not path:
+                raise NgsdError(
+                    f"NGSD {'test ' if test_db else ''}database not configured — set the {env} environment variable to a SQLite file path!")
+        self.path = path
+        self.conn = sqlite3.connect(path)
+        self.conn.create_function("REGEXP", 2, _regexp)
+        self.conn.execute("PRAGMA foreign_keys = OFF")
+
+    def close(self):
+        self.conn.commit()
+        self.conn.close()
+
+    def commit(self):
+        self.conn.commit()
+
+    # ---- generic query API (NGSD::getValue/getValues/execute) ----
+    def execute(self, query: str, params=()):
+        return self.conn.execute(query, params)
+
+    def executemany(self, query: str, seq):
+        return self.conn.executemany(query, seq)
+
+    def get_value(self, query: str, no_value_is_ok: bool = True, params=()):
+        cur = self.conn.execute(query, params)
+        row = cur.fetchone()
+        if row is None:
+            if no_value_is_ok:
+                return None
+            raise NgsdError(f"NGSD single value query returned no value: {query}")
+        return row[0]
+
+    def get_values(self, query: str, params=()) -> list:
+        return [r[0] for r in self.conn.execute(query, params).fetchall()]
+
+    def get_rows(self, query: str, params=()) -> list[tuple]:
+        return self.conn.execute(query, params).fetchall()
+
+    def last_insert_id(self) -> int:
+        return int(self.get_value("SELECT last_insert_rowid()"))
+
+    def table_exists(self, name: str) -> bool:
+        return self.get_value(
+            "SELECT count(*) FROM sqlite_master WHERE type='table' AND name=?",
+            params=(name,)) > 0
+
+    def tables(self) -> list[str]:
+        return self.get_values(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name NOT LIKE 'sqlite_%'")
+
+    # ---- init (NGSD::init, NGSD.cpp:4440-4500) ----
+    def init(self):
+        for t in self.tables():
+            self.conn.execute(f"DROP TABLE {t}")
+        self.run_sql_resource("ngsd_schema.sql.gz")
+        self.run_sql_resource("ngsd_initial_data.sql.gz")
+        self.conn.execute(
+            "INSERT INTO db_info (name, value) VALUES ('init_timestamp', ?)",
+            (datetime.datetime.now().isoformat(),))
+        self.conn.execute(
+            "INSERT INTO db_info (name, value) VALUES ('is_production', ?)",
+            ("no" if self.test_db else "yes",))
+        self.conn.commit()
+
+    def run_sql_resource(self, name: str):
+        with gzip.open(os.path.join(_RES_DIR, name), "rt") as fh:
+            sql = fh.read()
+        self.run_mysql_script(sql)
+
+    def run_mysql_script(self, sql: str):
+        """Execute a MySQL-dialect script (schema or test dump)."""
+        for stmt in mysql_to_sqlite(sql):
+            try:
+                self.conn.execute(stmt)
+            except sqlite3.Error as e:
+                raise NgsdError(f"SQL error '{e}' in statement: {stmt[:300]}")
+        self.conn.commit()
+
+    def run_mysql_file(self, path: str):
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as fh:
+            self.run_mysql_script(fh.read())
+
+    def get_enum(self, table: str, column: str) -> list[str]:
+        """Enum values of a column (from the translated schema's side table)."""
+        return self.get_values(
+            "SELECT value FROM _enum_values WHERE table_name=? AND column_name=? ORDER BY position",
+            params=(table, column))
+
+    def set_database_info(self, name: str, version: str):
+        """NGSD::setDatabaseInfo — upsert into db_import_info with today's date."""
+        self.execute(
+            "INSERT INTO db_import_info (name, version, import_date) VALUES (?, ?, DATE('now')) "
+            "ON CONFLICT(name) DO UPDATE SET version=excluded.version, import_date=excluded.import_date",
+            (name, version))
+        self.commit()
+
+    def update_qc(self, obo_file: str, debug: bool = False):
+        """NGSD::updateQC (NGSD.cpp:5927-5977)."""
+        from ..core.ontology import OntologyTermCollection
+        valid_types = self.get_enum("qc_terms", "type")
+        with open(obo_file) as fh:
+            terms = OntologyTermCollection.from_obo_text(fh.read())
+        for term in terms:
+            if not term.id.startswith("QC:2"):
+                continue
+            if term.term_type not in valid_types:
+                continue
+            self.execute(
+                "INSERT INTO qc_terms (qcml_id, name, description, type, obsolete) VALUES (?, ?, ?, ?, ?) "
+                "ON CONFLICT(qcml_id) DO UPDATE SET name=excluded.name, description=excluded.description, "
+                "type=excluded.type, obsolete=excluded.obsolete",
+                (term.id, term.name, term.definition, term.term_type, int(term.obsolete)))
+        self.commit()
+        version = terms.version or os.path.basename(obo_file)
+        self.set_database_info("QC terms", version)
+
+    # ---- domain helpers (grown as tools need them) ----
+    def gene_id(self, symbol: str) -> int:
+        """geneToApprovedID: approved symbol or alias -> gene.id, -1 if none
+        (NGSD.cpp geneToApprovedID)."""
+        v = self.get_value("SELECT id FROM gene WHERE symbol=?", params=(symbol,))
+        if v is not None:
+            return int(v)
+        ids = self.get_values(
+            "SELECT gene_id FROM gene_alias WHERE symbol=?", params=(symbol,))
+        if len(ids) == 1:
+            return int(ids[0])
+        return -1
+
+    def gene_symbol(self, gene_id: int) -> str:
+        v = self.get_value("SELECT symbol FROM gene WHERE id=?", params=(gene_id,))
+        return v if v is not None else ""
+
+    def gene_to_approved(self, symbol: str) -> str:
+        gid = self.gene_id(symbol)
+        return self.gene_symbol(gid) if gid != -1 else ""
+
+    def gene_to_approved_with_message(self, symbol: str) -> tuple[str, str]:
+        """NGSD::geneToApprovedWithMessage — (approved symbol, message)."""
+        v = self.get_value("SELECT id FROM gene WHERE symbol=?", params=(symbol,))
+        if v is not None:
+            return symbol, "KEPT: " + symbol + " is an approved symbol"
+        rows = self.get_rows(
+            "SELECT g.symbol, ga.type FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=?",
+            params=(symbol,))
+        if len(rows) == 1:
+            sym, type_ = rows[0]
+            return sym, f"REPLACED: {symbol} is a {type_} symbol of {sym}"
+        if len(rows) > 1:
+            return symbol, f"ERROR: {symbol} is a synonymous/previous symbol of the genes " + ", ".join(
+                sorted(r[0] for r in rows))
+        return symbol, f"ERROR: {symbol} is unknown symbol"
