@@ -155,38 +155,94 @@ class NGSD:
         self.set_database_info("QC terms", version)
 
     # ---- domain helpers (grown as tools need them) ----
-    def gene_id(self, symbol: str) -> int:
-        """geneToApprovedID: approved symbol or alias -> gene.id, -1 if none
-        (NGSD.cpp geneToApprovedID)."""
+    def table_empty(self, name: str) -> bool:
+        return self.get_value(f"SELECT count(*) FROM {name}") == 0
+
+    def clear_table(self, name: str):
+        self.execute(f"DELETE FROM {name}")
+        self.execute("DELETE FROM sqlite_sequence WHERE name=?", (name,))
+
+    def approved_gene_names(self) -> set:
+        return set(self.get_values("SELECT symbol FROM gene"))
+
+    def gene_to_approved_id(self, symbol: str) -> int:
+        """NGSD::geneId — approved symbol, else unique previous, else unique
+        synonym, else -1."""
         v = self.get_value("SELECT id FROM gene WHERE symbol=?", params=(symbol,))
         if v is not None:
             return int(v)
-        ids = self.get_values(
-            "SELECT gene_id FROM gene_alias WHERE symbol=?", params=(symbol,))
-        if len(ids) == 1:
-            return int(ids[0])
+        for type_ in ("previous", "synonym"):
+            ids = self.get_values(
+                "SELECT g.id FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=? "
+                "AND ga.type=? ORDER BY g.id", params=(symbol, type_))
+            if len(ids) == 1:
+                return int(ids[0])
+            if len(ids) > 1:
+                return -1
         return -1
 
     def gene_symbol(self, gene_id: int) -> str:
         v = self.get_value("SELECT symbol FROM gene WHERE id=?", params=(gene_id,))
         return v if v is not None else ""
 
-    def gene_to_approved(self, symbol: str) -> str:
-        gid = self.gene_id(symbol)
-        return self.gene_symbol(gid) if gid != -1 else ""
+    def gene_to_approved(self, symbol: str, return_input_when_unconvertable: bool = False) -> str:
+        gid = self.gene_to_approved_id(symbol)
+        if gid != -1:
+            return self.gene_symbol(gid)
+        return symbol if return_input_when_unconvertable else ""
 
-    def gene_to_approved_with_message(self, symbol: str) -> tuple[str, str]:
-        """NGSD::geneToApprovedWithMessage — (approved symbol, message)."""
-        v = self.get_value("SELECT id FROM gene WHERE symbol=?", params=(symbol,))
-        if v is not None:
-            return symbol, "KEPT: " + symbol + " is an approved symbol"
-        rows = self.get_rows(
-            "SELECT g.symbol, ga.type FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=?",
-            params=(symbol,))
-        if len(rows) == 1:
-            sym, type_ = rows[0]
-            return sym, f"REPLACED: {symbol} is a {type_} symbol of {sym}"
-        if len(rows) > 1:
-            return symbol, f"ERROR: {symbol} is a synonymous/previous symbol of the genes " + ", ".join(
-                sorted(r[0] for r in rows))
-        return symbol, f"ERROR: {symbol} is unknown symbol"
+    def gene_to_approved_with_message(self, gene: str) -> tuple[str, str]:
+        """NGSD::geneToApprovedWithMessage (NGSD.cpp) — exact messages."""
+        if self.get_value("SELECT id FROM gene WHERE symbol=?", params=(gene,)) is not None:
+            return gene, f"KEPT: {gene} is an approved symbol"
+        prev = self.get_values(
+            "SELECT g.symbol FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=? "
+            "AND ga.type='previous' ORDER BY g.id", params=(gene,))
+        if len(prev) == 1:
+            return prev[0], f"REPLACED: {gene} is a previous symbol"
+        if len(prev) > 1:
+            return gene, f"ERROR: {gene} is a previous symbol of the genes " + ", ".join(prev)
+        syn = self.get_values(
+            "SELECT g.symbol FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=? "
+            "AND ga.type='synonym' ORDER BY g.id", params=(gene,))
+        if len(syn) == 1:
+            return syn[0], f"REPLACED: {gene} is a synonymous symbol"
+        if len(syn) > 1:
+            return gene, f"ERROR: {gene} is a synonymous symbol of the genes " + ", ".join(syn)
+        return gene, f"ERROR: {gene} is unknown symbol"
+
+    def gene_to_approved_with_message_and_ambiguous(self, gene: str) -> list[tuple[str, str]]:
+        """NGSD::geneToApprovedWithMessageAndAmbiguous."""
+        if self.get_value("SELECT id FROM gene WHERE symbol=?", params=(gene,)) is not None:
+            return [(gene, f"KEPT: {gene} is an approved symbol")]
+        prev = self.get_values(
+            "SELECT g.symbol FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=? "
+            "AND ga.type='previous' ORDER BY g.id", params=(gene,))
+        if prev:
+            return [(p, f"REPLACED: {gene} is a previous symbol") for p in prev]
+        syn = self.get_values(
+            "SELECT g.symbol FROM gene g, gene_alias ga WHERE g.id=ga.gene_id AND ga.symbol=? "
+            "AND ga.type='synonym' ORDER BY g.id", params=(gene,))
+        if syn:
+            return [(s, f"REPLACED: {gene} is a synonymous symbol") for s in syn]
+        return [(gene, f"ERROR: {gene} is an unknown symbol")]
+
+    def transcript_id(self, name: str, throw_on_error: bool = True) -> int:
+        """NGSD::transcriptId — lookup by name, retry without version suffix."""
+        v = self.get_value("SELECT id FROM gene_transcript WHERE name=?", params=(name,))
+        if v is None and "." in name:
+            v = self.get_value("SELECT id FROM gene_transcript WHERE name=?",
+                               params=(name.split(".")[0],))
+        if v is None:
+            if not throw_on_error:
+                return -1
+            raise NgsdError(f"No transcript with name '{name}' found in NGSD!")
+        return int(v)
+
+    def previous_symbols(self, gene_id: int) -> list[str]:
+        return sorted(set(self.get_values(
+            "SELECT symbol FROM gene_alias WHERE gene_id=? AND type='previous'", params=(gene_id,))))
+
+    def synonymous_symbols(self, gene_id: int) -> list[str]:
+        return sorted(set(self.get_values(
+            "SELECT symbol FROM gene_alias WHERE gene_id=? AND type='synonym'", params=(gene_id,))))

@@ -49,3 +49,90 @@ def test_ngsd_import_qc(ngsd, monkeypatch):
     assert ngsd.get_value("SELECT count(*) FROM qc_terms") == 43
     assert ngsd.get_value("SELECT count(*) FROM qc_terms WHERE obsolete=0") == 39
     assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='QC terms'") == "2025-11-19"
+
+
+@pytest.fixture
+def ngsd_with_hgnc(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    ngsd.run_mysql_file(f"{din}/NGSDImportHGNC_init.sql")
+    assert execute("NGSDImportHGNC", [
+        "-test", "-in", f"{din}/NGSDImportHGNC_in1.txt",
+        "-ensembl", f"{din}/NGSDImportEnsembl_in.gff3"]) == 0
+    return ngsd
+
+
+def test_ngsd_import_hgnc(ngsd_with_hgnc):
+    # assertions from NGSDImportHGNC_Test.cpp
+    db = ngsd_with_hgnc
+    assert db.get_value("SELECT count(*) FROM gene") == 8
+    assert db.get_value("SELECT count(*) FROM gene_alias") == 39
+    for sym, ncbi in (("TP53", 7157), ("CA8", 767), ("BRCA1", 672), ("BRCA2", 675)):
+        assert db.get_value(f"SELECT ncbi_id FROM gene WHERE symbol='{sym}'") == ncbi
+    gid = db.get_value("SELECT id FROM gene WHERE symbol='TP53'")
+    assert db.previous_symbols(gid) == []
+    assert db.synonymous_symbols(gid) == ["LFS1", "P53"]
+    assert db.get_value("SELECT name FROM gene WHERE symbol='TP53'") == "tumor protein p53"
+    assert db.get_value("SELECT type FROM gene WHERE symbol='TP53'") == "protein-coding gene"
+    gid = db.get_value("SELECT id FROM gene WHERE symbol='CA8'")
+    assert db.previous_symbols(gid) == ["CALS"]
+    assert db.synonymous_symbols(gid) == ["CARP"]
+    assert sorted(db.get_values("SELECT symbol FROM geneinfo_germline")) == ["BRCA1", "BRCA2"]
+    assert sorted(db.get_values("SELECT symbol FROM somatic_gene_role")) == ["BRCA1", "BRCA2"]
+    rows = db.get_rows("SELECT spg.symbol, sp.name FROM somatic_pathway_gene spg, somatic_pathway sp "
+                       "WHERE sp.id=spg.pathway_id ORDER BY spg.symbol ASC, sp.name ASC")
+    assert rows == [("BRCA1", "DNA Damage Repair"), ("BRCA2", "DNA Damage Repair"),
+                    ("BRCA2", "alternative pathway")]
+    assert db.get_value("SELECT version FROM db_import_info WHERE name='HGNC'") == "NGSDImportHGNC_in1.txt"
+
+
+@pytest.mark.parametrize("extra,golden", [
+    ([], "GenesToApproved_out1.txt"),
+    (["-report_ambiguous"], "GenesToApproved_out2.txt"),
+])
+def test_genes_to_approved(ngsd_with_hgnc, tmp_path, ref_data_in, ref_data_out, extra, golden):
+    from helpers import compare_files
+    out = tmp_path / "out.txt"
+    assert execute("GenesToApproved", ["-test", "-in", ref_data_in / "GenesToApproved_in1.txt",
+                                       "-out", out] + extra) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.fixture
+def ngsd_with_transcripts(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    ngsd.run_mysql_file(f"{din}/NGSDImportEnsembl_init.sql")
+    assert execute("NGSDImportEnsembl", ["-test", "-in", f"{din}/NGSDImportEnsembl_in.gff3"]) == 0
+    return ngsd
+
+
+def test_ngsd_import_ensembl(ngsd_with_transcripts):
+    # assertions from NGSDImportEnsembl_Test.cpp (default_parameters)
+    db = ngsd_with_transcripts
+    assert db.get_value("SELECT count(*) FROM gene_transcript") == 14
+    assert db.get_value("SELECT count(*) FROM gene_transcript WHERE source='ensembl'") == 10
+    assert db.get_value("SELECT count(*) FROM gene_transcript WHERE source='ccds'") == 4
+    assert db.get_value("SELECT count(*) FROM gene_transcript WHERE start_coding IS NULL AND end_coding IS NULL") == 3
+    assert db.get_value("SELECT biotype FROM gene_transcript WHERE name='ENST00000456328'") == "processed transcript"
+    assert db.get_value("SELECT biotype FROM gene_transcript WHERE name='ENST00000306125'") == "protein coding"
+    assert db.get_value("SELECT count(ge.start) FROM gene_exon ge, gene_transcript gt, gene g "
+                        "WHERE g.id=gt.gene_id AND ge.transcript_id=gt.id AND g.symbol='DDX11L1'") == 9
+    assert db.get_value("SELECT count(ge.start) FROM gene_exon ge, gene_transcript gt "
+                        "WHERE ge.transcript_id=gt.id AND gt.name='CCDS9344'") == 26
+    assert db.get_value("SELECT version FROM db_import_info WHERE name='Ensembl'") == "NGSDImportEnsembl_in.gff3"
+
+
+def test_ngsd_import_ensembl_pseudogenes(ngsd):
+    # NGSDImportEnsembl_Test.cpp (with_pseudogenes + duplicates)
+    din = "/root/reference/src/tools-TEST/data_in"
+    ngsd.run_mysql_file(f"{din}/NGSDImportEnsembl_init.sql")
+    assert execute("NGSDImportEnsembl", [
+        "-test", "-in", f"{din}/NGSDImportEnsembl_in.gff3",
+        "-pseudogenes", f"{din}/NGSDImportEnsembl_in_pseudogenes.txt",
+        f"{din}/NGSDImportEnsembl_in_pseudogenes.txt"]) == 0
+    db = ngsd
+    assert db.get_value("SELECT COUNT(*) FROM gene_pseudogene_relation") == 2
+    pid = db.get_value("SELECT id FROM gene WHERE symbol='ABCD1'")
+    pgid = db.get_value(f"SELECT pseudogene_gene_id FROM gene_pseudogene_relation WHERE parent_gene_id={pid}")
+    assert db.gene_symbol(pgid) == "ABCD1P2"
+    pid = db.get_value("SELECT id FROM gene WHERE symbol='AARS1'")
+    assert db.get_value(f"SELECT gene_name FROM gene_pseudogene_relation WHERE parent_gene_id={pid}") == "ENSG00000249038;RP11-149A7"
