@@ -85,6 +85,24 @@ class Transcript:
     regions: BedFile = field(default_factory=BedFile)
     coding_start: int = 0     # ATG position (> coding_end on '-' strand)
     coding_end: int = 0
+    is_preferred: bool = False  # from NGSD preferred_transcripts
+
+    def flags(self, add_square_brackets: bool = False) -> list[str]:
+        """Transcript::flags (Transcript.cpp:22-41)."""
+        out = []
+        if self.is_preferred:
+            out.append("NGSD preferred transcript")
+        if self.is_gencode_primary:
+            out.append("GENCODE primary")
+        if self.is_ensembl_canonical:
+            out.append("Ensembl canonical")
+        if self.is_mane_select:
+            out.append("MANE select")
+        if self.is_mane_plus_clinical:
+            out.append("MANE plus clinical")
+        if add_square_brackets:
+            out = [f"[{f}]" for f in out]
+        return out
 
     def start(self) -> int:
         return min(l.start for l in self.regions.lines) if len(self.regions) else 0

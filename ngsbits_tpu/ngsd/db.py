@@ -239,6 +239,178 @@ class NGSD:
             raise NgsdError(f"No transcript with name '{name}' found in NGSD!")
         return int(v)
 
+    # ---- transcript cache (NGSD::initTranscriptCache, NGSD.cpp:10998-11100) ----
+    def _transcript_cache(self):
+        if getattr(self, "_tcache", None) is not None:
+            return self._tcache
+        from ..core.chromosome import Chromosome
+        from ..core.intervals import BedFile, BedLine
+        from ..core.transcripts import Transcript
+        pts = set(self.get_values("SELECT DISTINCT name FROM preferred_transcripts"))
+        coords: dict[int, list[tuple[int, int]]] = {}
+        for tid, s, e in self.get_rows("SELECT transcript_id, start, end FROM gene_exon ORDER BY start, end"):
+            coords.setdefault(tid, []).append((s, e))
+        transcripts = []
+        name2id = {}
+        for row in self.get_rows(
+                "SELECT t.id, g.symbol, t.name, t.source, t.strand, t.chromosome, "
+                "t.start_coding, t.end_coding, t.biotype, t.is_gencode_basic, "
+                "t.is_gencode_primary, t.is_ensembl_canonical, t.is_mane_select, "
+                "t.is_mane_plus_clinical, t.version, g.ensembl_id, t.gene_id "
+                "FROM gene_transcript t, gene g WHERE t.gene_id=g.id"):
+            (tid, symbol, name, source, strand, chrom, cs, ce, biotype,
+             basic, primary, canonical, mane_sel, mane_plus, version, ensg, gene_db_id) = row
+            chr_ = Chromosome("chr" + str(chrom))
+            regions = BedFile()
+            for s, e in coords.get(tid, []):
+                regions.append(BedLine(chr_, s, e))
+            cs = cs or 0
+            ce = ce or 0
+            if strand == "-":
+                cs, ce = ce, cs
+            t = Transcript(name=name, version=version or 0, gene=symbol,
+                           gene_id=ensg or "", source=source, chr=chr_, strand=strand,
+                           biotype=biotype, regions=regions,
+                           coding_start=cs, coding_end=ce,
+                           is_gencode_basic=bool(basic), is_gencode_primary=bool(primary),
+                           is_ensembl_canonical=bool(canonical),
+                           is_mane_select=bool(mane_sel),
+                           is_mane_plus_clinical=bool(mane_plus))
+            t.is_preferred = name in pts
+            t.db_id = tid
+            t.gene_db_id = gene_db_id
+            transcripts.append(t)
+            name2id[name] = tid
+        transcripts.sort(key=lambda t: (t.chr.num, t.start(), t.end(), t.name))
+        id2trans = {t.db_id: t for t in transcripts}
+        symbol2trans: dict[str, list] = {}
+        for t in transcripts:
+            symbol2trans.setdefault(t.gene, []).append(t)
+        self._tcache = (transcripts, name2id, id2trans, symbol2trans)
+        return self._tcache
+
+    def clear_transcript_cache(self):
+        self._tcache = None
+
+    def transcript(self, tid: int):
+        return self._transcript_cache()[2][tid]
+
+    def transcripts(self, gene_id: int, source: str, coding_only: bool = False) -> list:
+        """NGSD::transcripts — all transcripts of a gene from one source,
+        sorted by position."""
+        symbol = self.gene_symbol(gene_id)
+        out = [t for t in self._transcript_cache()[3].get(symbol, [])
+               if t.source == source and (not coding_only or t.is_coding())]
+        return out
+
+    def transcripts_overlapping(self, chr_, start: int, end: int, extend: int = 0,
+                                source: str = "ensembl") -> list:
+        out = []
+        for t in self._transcript_cache()[0]:
+            if t.source != source:
+                continue
+            if t.chr == chr_ and t.start() - extend <= end and t.end() + extend >= start:
+                out.append(t)
+        return out
+
+    def gene_to_regions(self, gene: str, source: str, mode: str, fallback: bool = False,
+                        annotate_transcript_names: bool = False, messages=None):
+        """NGSD::geneToRegions."""
+        from ..core.intervals import BedFile, BedLine
+        if mode not in ("gene", "exon"):
+            raise NgsdError(f"Invalid mode '{mode}'. Valid modes are: gene, exon.")
+        output = BedFile()
+        gid = self.gene_to_approved_id(gene)
+        if gid == -1:
+            if messages:
+                messages.write(f"Gene name '{gene}' is no HGNC-approved symbol. Skipping it!\n")
+            return output
+        annos = [self.gene_symbol(gid).encode()]
+        sources = [source] + ([("ccds" if source == "ensembl" else "ensembl")] if fallback else [])
+        for cur in sources:
+            for trans in self.transcripts(gid, cur, False):
+                if annotate_transcript_names:
+                    annos = [(trans.gene + " " + trans.name_with_version()).encode()]
+                if mode == "gene":
+                    output.append(BedLine(trans.chr, trans.start(), trans.end(), list(annos)))
+                else:
+                    regs = trans.coding_regions() if trans.is_coding() else trans.regions
+                    for l in regs.lines:
+                        output.append(BedLine(l.chr, l.start, l.end, list(annos)))
+            if cur == source and len(output):
+                break
+        if not len(output) and messages is not None:
+            messages.write(f"No transcripts found for gene '{gene}'. Skipping it!\n")
+        if not output.is_sorted():
+            output.sort()
+        if not annotate_transcript_names:
+            output.remove_duplicates()
+        return output
+
+    def genes_to_regions(self, genes, source: str, mode: str, fallback: bool = False,
+                         annotate_transcript_names: bool = False, messages=None):
+        """NGSD::genesToRegions."""
+        from ..core.intervals import BedFile
+        output = BedFile()
+        for gene in genes:
+            output.add(self.gene_to_regions(gene, source, mode, fallback,
+                                            annotate_transcript_names, messages))
+        if not output.is_sorted():
+            output.sort()
+        if not annotate_transcript_names:
+            output.remove_duplicates()
+        return output
+
+    def best_transcript(self, gene_id: int):
+        """NGSD::bestTranscript(gene_id) — preferred > MANE select > MANE plus
+        clinical > Ensembl canonical > longest coding > longest; None if no
+        transcripts."""
+        trans = self.transcripts(gene_id, "ensembl", False)
+        for pred in (lambda t: t.is_preferred, lambda t: t.is_mane_select,
+                     lambda t: t.is_mane_plus_clinical, lambda t: t.is_ensembl_canonical):
+            tmp = [t for t in trans if pred(t)]
+            if tmp:
+                return tmp[0]
+        by_coding = sorted(trans, key=lambda t: -t.coding_regions().base_count())
+        tmp = [t for t in by_coding if t.is_coding()]
+        if tmp:
+            return tmp[0]
+        by_bases = sorted(trans, key=lambda t: -t.regions.base_count())
+        return by_bases[0] if by_bases else None
+
+    def relevant_transcripts(self, gene_id: int) -> list:
+        """NGSD::relevantTranscripts."""
+        tmp = self.transcripts(gene_id, "ensembl", False)
+        out = []
+        for pred in (lambda t: t.is_preferred, lambda t: t.is_mane_select,
+                     lambda t: t.is_mane_plus_clinical, lambda t: t.is_ensembl_canonical):
+            for t in tmp:
+                if pred(t) and t not in out:
+                    out.append(t)
+        if not out:
+            best = self.best_transcript(gene_id)
+            if best is not None:
+                out.append(best)
+        return out
+
+    def transcript_to_regions(self, name: str, mode: str):
+        tid = self.transcript_id(name, True)
+        t = self.transcript(tid)
+        from ..core.intervals import BedFile, BedLine
+        out = BedFile()
+        annos = [(t.gene + " " + t.name_with_version()).encode()]
+        if mode == "gene":
+            out.append(BedLine(t.chr, t.start(), t.end(), annos))
+        elif mode == "exon":
+            regs = t.coding_regions() if t.is_coding() else t.regions
+            for l in regs.lines:
+                out.append(BedLine(l.chr, l.start, l.end, list(annos)))
+        else:
+            raise NgsdError(f"Invalid mode for convertring transcript to region: '{mode}'. Valid modes are: gene, exon.")
+        if not out.is_sorted():
+            out.sort()
+        return out
+
     def previous_symbols(self, gene_id: int) -> list[str]:
         return sorted(set(self.get_values(
             "SELECT symbol FROM gene_alias WHERE gene_id=? AND type='previous'", params=(gene_id,))))

@@ -241,9 +241,10 @@ def convert_create_table(stmt: str) -> str | None:
         mm = re.match(r"`?(\w+)`?\s*(.*)", line, re.DOTALL)
         name, rest = mm.group(1), mm.group(2)
         em = re.search(r"ENUM\s*\(((?:[^)(]|\([^)]*\))*)\)", rest, re.IGNORECASE | re.DOTALL)
+        enum_values = None
         if em:
-            values = [v.strip()[1:-1] for v in _split_top_level(em.group(1)) if v.strip()]
-            enums.append((table, name, values))
+            enum_values = [v.strip()[1:-1] for v in _split_top_level(em.group(1)) if v.strip()]
+            enums.append((table, name, enum_values))
         rest = re.sub(r"ENUM\s*\(((?:[^)(]|\([^)]*\))*)\)", "TEXT", rest,
                       flags=re.IGNORECASE | re.DOTALL)
         rest = re.sub(r"\bSET\s*\(((?:[^)(]|\([^)]*\))*)\)", "TEXT", rest,
@@ -260,6 +261,21 @@ def convert_create_table(stmt: str) -> str | None:
             # remove an earlier PRIMARY KEY clause for this col if added
             cols = [c for c in cols if c != f"PRIMARY KEY ({name})"]
         rest = re.sub(r"\s+", " ", rest).strip()
+        # MySQL non-strict implicit defaults for NOT NULL columns without an
+        # explicit DEFAULT (the NGSD test dumps rely on them): first enum
+        # value, 0 for numerics, '' for strings
+        if (re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE)
+                and not re.search(r"\bDEFAULT\b", rest, re.IGNORECASE)
+                and not re.search(r"AUTOINCREMENT", rest)):
+            type_word = rest.split()[0].upper()
+            if enum_values:
+                rest += " DEFAULT '" + _convert_string_literal(enum_values[0]) + "'"
+            elif re.match(r"(INT|TINYINT|SMALLINT|MEDIUMINT|BIGINT|FLOAT|DOUBLE|DECIMAL|NUMERIC|BOOL)", type_word):
+                rest += " DEFAULT 0"
+            elif re.match(r"(VARCHAR|CHAR|TEXT|TINYTEXT|MEDIUMTEXT|LONGTEXT|BLOB)", type_word):
+                rest += " DEFAULT ''"
+            elif re.match(r"(DATE|DATETIME|TIMESTAMP|TIME|YEAR)", type_word):
+                rest += " DEFAULT '0000-00-00'"
         cols.append(f"{name} {rest}")
     _ = has_autoinc_pk
     sql = f"CREATE TABLE IF NOT EXISTS {table} (\n  " + ",\n  ".join(cols) + "\n)"

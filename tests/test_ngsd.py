@@ -136,3 +136,55 @@ def test_ngsd_import_ensembl_pseudogenes(ngsd):
     assert db.gene_symbol(pgid) == "ABCD1P2"
     pid = db.get_value("SELECT id FROM gene WHERE symbol='AARS1'")
     assert db.get_value(f"SELECT gene_name FROM gene_pseudogene_relation WHERE parent_gene_id={pid}") == "ENSG00000249038;RP11-149A7"
+
+
+def _init_from(ngsd, name):
+    ngsd.run_mysql_file(f"/root/reference/src/tools-TEST/data_in/{name}")
+    return ngsd
+
+
+@pytest.mark.parametrize("args,golden", [
+    (["-source", "ensembl", "-mode", "gene"], "GenesToBed_out1.bed"),
+    (["-source", "ensembl", "-mode", "exon"], "GenesToBed_out2.bed"),
+    (["-source", "ccds", "-mode", "gene", "-anno"], "GenesToBed_out3.bed"),
+    (["-source", "ccds", "-mode", "exon", "-anno"], "GenesToBed_out4.bed"),
+])
+def test_genes_to_bed(ngsd, tmp_path, ref_data_in, ref_data_out, args, golden):
+    from helpers import compare_files, read_lines
+    _init_from(ngsd, "GenesToBed_init.sql")
+    out = tmp_path / "out.bed"
+    assert execute("GenesToBed", ["-test", "-in", ref_data_in / "GenesToBed_in1.txt",
+                                  "-out", out] + args) == 0
+    if golden == "GenesToBed_out4.bed":
+        # the reference golden's order of equal-coordinate lines comes from
+        # libstdc++'s unstable std::sort — compare as a multiset
+        assert sorted(read_lines(out)) == sorted(read_lines(ref_data_out / golden))
+    else:
+        compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("args,golden", [
+    (["-mode", "best"], "GenesToTranscripts_out1.tsv"),
+    (["-version", "-mode", "best"], "GenesToTranscripts_out2.tsv"),
+    (["-mode", "relevant"], "GenesToTranscripts_out3.tsv"),
+    (["-mode", "all"], "GenesToTranscripts_out4.tsv"),
+    (["-mode", "mane_select"], "GenesToTranscripts_out5.tsv"),
+])
+def test_genes_to_transcripts(ngsd, tmp_path, ref_data_in, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "GenesToTranscripts_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("GenesToTranscripts", ["-test", "-in", ref_data_in / "GenesToTranscripts_in1.txt",
+                                          "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("mode,golden", [("gene", "TranscriptsToBed_out1.bed"),
+                                         ("exon", "TranscriptsToBed_out2.bed")])
+def test_transcripts_to_bed(ngsd, tmp_path, ref_data_in, ref_data_out, mode, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "TranscriptsToBed_init.sql")
+    out = tmp_path / "out.bed"
+    assert execute("TranscriptsToBed", ["-test", "-in", ref_data_in / "TranscriptsToBed_in1.txt",
+                                        "-out", out, "-mode", mode]) == 0
+    compare_files(out, ref_data_out / golden)
