@@ -129,6 +129,74 @@ class Transcript:
     def name_with_version(self) -> str:
         return f"{self.name}.{self.version}" if self.version else self.name
 
+    def protein_sequence(self, genome_idx, use_three_letter_code: bool = False,
+                         end_at_stop: bool = True) -> str:
+        """Transcript::proteinSequence (Transcript.cpp:152-167)."""
+        dna = b""
+        is_mito = False
+        for line in self.coding_regions().lines:
+            if line.chr.is_m():
+                is_mito = True
+            dna += genome_idx.seq(line.chr, line.start, line.end - line.start + 1, True)
+        if self.strand != "+":
+            dna = reverse_complement(dna)
+        return translate_sequence(dna, use_three_letter_code, is_mito, end_at_stop)
+
+
+CODON_TABLE = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L", "CTT": "L", "CTC": "L",
+    "CTA": "L", "CTG": "L", "TCT": "S", "TCC": "S", "TCA": "S", "TCG": "S",
+    "AGT": "S", "AGC": "S", "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "TGA": "*", "TGT": "C", "TGC": "C", "TGG": "W", "CCT": "P", "CCC": "P",
+    "CCA": "P", "CCG": "P", "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q",
+    "CGT": "R", "CGC": "R", "CGA": "R", "CGG": "R", "AGA": "R", "AGG": "R",
+    "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M", "ACT": "T", "ACC": "T",
+    "ACA": "T", "ACG": "T", "AAT": "N", "AAC": "N", "AAA": "K", "AAG": "K",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V", "GCT": "A", "GCC": "A",
+    "GCA": "A", "GCG": "A", "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+
+THREE_LETTER = {
+    "A": "Ala", "R": "Arg", "N": "Asn", "D": "Asp", "C": "Cys", "E": "Glu",
+    "Q": "Gln", "G": "Gly", "H": "His", "I": "Ile", "L": "Leu", "K": "Lys",
+    "M": "Met", "F": "Phe", "P": "Pro", "S": "Ser", "T": "Thr", "W": "Trp",
+    "Y": "Tyr", "V": "Val", "*": "Ter",
+}
+
+_RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def reverse_complement(seq: bytes) -> bytes:
+    return seq.translate(_RC)[::-1]
+
+
+def translate_codon(codon: str, use_mito_table: bool = False) -> str:
+    """NGSHelper::translateCodon (NGSHelper.cpp:324-352)."""
+    if codon not in CODON_TABLE:
+        raise ValueError(f"Invalid codon: '{codon}'")
+    if use_mito_table:
+        if codon in ("AGA", "AGG"):
+            return "*"
+        if codon == "ATA":
+            return "M"
+        if codon == "TGA":
+            return "W"
+    return CODON_TABLE[codon]
+
+
+def translate_sequence(dna: bytes, use_three_letter_code: bool = False,
+                       is_mito: bool = False, end_at_stop: bool = True) -> str:
+    """NGSHelper::translateSequence — codon-wise translation."""
+    out = []
+    seq = dna.decode().upper()
+    for i in range(0, len(seq) - 2, 3):
+        aa = translate_codon(seq[i:i + 3], is_mito)
+        out.append(THREE_LETTER[aa] if use_three_letter_code else aa)
+        if aa == "*" and end_at_stop:
+            break
+    return "".join(out)
+
 
 class GffData:
     def __init__(self):

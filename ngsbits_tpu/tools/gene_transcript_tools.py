@@ -120,8 +120,58 @@ class TranscriptsToBedTool(ToolBase):
         db.close()
 
 
+class TranscriptToProteinTool(ToolBase):
+    """Behavioral reference: src/TranscriptToProtein/main.cpp."""
+
+    name = "TranscriptToProtein"
+    description = "Computes the protein sequence for each transcript name given."
+
+    def setup(self):
+        self.add_outfile("out", "Output TSV file.")
+        self.add_infile("in", "Input file. If unset, reads from STDIN. Expects one transcript ID (ENSEMBLE or REFSEQ) per line.", optional=True)
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+        self.add_enum("build", "Genome build", optional=True, valid=("hg19", "hg38"), default="hg38")
+
+    def main(self):
+        from ..io.fasta import FastaFileIndex
+        ref_file = self.get_infile("ref")
+        if not ref_file:
+            raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+        ref_index = FastaFileIndex(ref_file)
+        if self.get_enum("build") == "hg19":
+            sys.stderr.write("Warning: When using the hg19 build, it is neccessary to also use a NGSD instance containing hg19 data and a hg19 reference genome.\n")
+        db = NGSD(self.get_flag("test"))
+        in_path = self.get_infile("in")
+        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        out = open(self.get_outfile("out"), "w")
+        for raw in fh:
+            line = raw.rstrip(b"\r\n").decode()
+            if not line.strip() or line.startswith("#"):
+                continue
+            tid = db.transcript_id(line, False)
+            if tid == -1:
+                sys.stderr.write(f"{line}\t Skipped: no matching transcript found in NGSD\n")
+                continue
+            t = db.transcript(tid)
+            if t.biotype != "protein coding":
+                sys.stderr.write(f"{line}\t Skipped: Transcript is not protein coding\n")
+                continue
+            try:
+                protein = t.protein_sequence(ref_index, False, True)
+            except Exception as e:
+                sys.stderr.write(f"{line}\t Skipped: Error converting dna sequence to protein sequence: {e}\n")
+                continue
+            out.write(f"{line}\t{protein}\n")
+        out.close()
+        if in_path:
+            fh.close()
+        db.close()
+
+
 TOOLS = {
     "GenesToBed": GenesToBedTool,
     "GenesToTranscripts": GenesToTranscriptsTool,
     "TranscriptsToBed": TranscriptsToBedTool,
+    "TranscriptToProtein": TranscriptToProteinTool,
 }

@@ -188,3 +188,28 @@ def test_transcripts_to_bed(ngsd, tmp_path, ref_data_in, ref_data_out, mode, gol
     assert execute("TranscriptsToBed", ["-test", "-in", ref_data_in / "TranscriptsToBed_in1.txt",
                                         "-out", out, "-mode", mode]) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_transcript_to_protein(ngsd, tmp_path, capsys):
+    # synthetic mini-genome: gene with 2 coding exons on '+' strand encoding
+    # M-K-F-* and a '-'-strand copy of the reverse complement
+    ngsd.run_mysql_script("""
+INSERT INTO gene VALUES (NULL, 1, 'GENEA', 'gene A', 'protein-coding gene', NULL, NULL);
+INSERT INTO gene_transcript VALUES (NULL, 1, 'ENST00000000001', 1, 'ensembl', '1', 11, 22, '+', 'protein coding', 1, 0, 0, 0, 0);
+INSERT INTO gene_exon (transcript_id, start, end) VALUES (1, 5, 16), (1, 20, 30);
+INSERT INTO gene_transcript VALUES (NULL, 1, 'ENST00000000002', 1, 'ensembl', '1', 11, 22, '+', 'lncRNA', 1, 0, 0, 0, 0);
+INSERT INTO gene_exon (transcript_id, start, end) VALUES (2, 5, 30);
+""")
+    # coding: 11-16 (ATGAAA) + 20-22 (TTT) then TAA stop needs 12 coding bases:
+    # use coding 11..22 -> exon1 11-16 ATGAAA, exon2 20-22 TTT; no stop -> protein MKF
+    seq = "N" * 10 + "ATGAAA" + "NNN" + "TTTTAANNNN" + "N" * 10
+    ref = tmp_path / "g.fa"
+    ref.write_text(">chr1\n" + seq + "\n")
+    (tmp_path / "g.fa.fai").write_text(f"chr1\t{len(seq)}\t6\t{len(seq)}\t{len(seq)+1}\n")
+    infile = tmp_path / "in.txt"
+    infile.write_text("ENST00000000001\nENST00000000002\nENST9\n")
+    out = tmp_path / "out.tsv"
+    assert execute("TranscriptToProtein", ["-test", "-in", infile, "-out", out, "-ref", ref]) == 0
+    assert open(out).read() == "ENST00000000001\tMKF\n"
+    err = capsys.readouterr().err
+    assert "not protein coding" in err and "no matching transcript" in err
