@@ -411,6 +411,34 @@ class NGSD:
             out.sort()
         return out
 
+    def gene_info(self, symbol: str) -> dict:
+        """NGSD::geneInfo (NGSD.cpp:9922+) — subset used by tools/tests."""
+        approved, notice = self.gene_to_approved_with_message(symbol.strip())
+        out = {"symbol": approved, "symbol_notice": notice}
+        row = self.get_rows("SELECT id, name, hgnc_id, type FROM gene WHERE symbol=?",
+                            params=(approved,))
+        if row:
+            out["name"] = row[0][1]
+            out["hgnc_id"] = f"HGNC:{row[0][2]}"
+            out["locus_group"] = row[0][3]
+        else:
+            out["name"] = out["hgnc_id"] = out["locus_group"] = ""
+        row = self.get_rows(
+            "SELECT inheritance, gnomad_oe_syn, gnomad_oe_mis, gnomad_oe_lof, gnomad_pli, comments "
+            "FROM geneinfo_germline WHERE symbol=?", params=(approved,))
+        if row:
+            inh, syn, mis, lof, pli, comments = row[0]
+            out["inheritance"] = inh
+            out["oe_syn"] = "n/a" if syn is None else f"{float(syn):.2f}"
+            out["oe_mis"] = "n/a" if mis is None else f"{float(mis):.2f}"
+            out["oe_lof"] = "n/a" if lof is None else f"{float(lof):.2f}"
+            out["pli"] = "n/a" if pli is None else f"{float(pli):.2f}"
+            out["comments"] = comments
+        else:
+            out["inheritance"] = out["oe_syn"] = out["oe_mis"] = out["oe_lof"] = out["pli"] = "n/a"
+            out["comments"] = ""
+        return out
+
     def previous_symbols(self, gene_id: int) -> list[str]:
         return sorted(set(self.get_values(
             "SELECT symbol FROM gene_alias WHERE gene_id=? AND type='previous'", params=(gene_id,))))

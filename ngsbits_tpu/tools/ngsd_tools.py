@@ -439,10 +439,271 @@ class NGSDImportEnsemblTool(ToolBase):
         db.close()
 
 
+class NGSDImportOMIMTool(ToolBase):
+    """Behavioral reference: src/NGSDImportOMIM/main.cpp."""
+
+    name = "NGSDImportOMIM"
+    description = "Imports OMIM genes/phenotypes into the NGSD."
+
+    def setup(self):
+        self.add_infile("gene", "OMIM 'mim2gene.txt' file from 'http://omim.org/downloads/'.")
+        self.add_infile("morbid", "OMIM 'morbidmap.txt' file from 'http://omim.org/downloads/'.")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+        self.add_flag("force", "If set, overwrites old data.")
+
+    def main(self):
+        db = NGSD(self.get_flag("test"))
+        if not db.table_empty("omim_gene") or not db.table_empty("omim_phenotype"):
+            if self.get_flag("force"):
+                db.clear_table("omim_phenotype")
+                db.clear_table("omim_gene")
+            else:
+                raise ToolError("Tables already contain data! Use '-force' to overwrite old data!")
+
+        sys.stdout.write("Importing OMIM genes...\n")
+        version = ""
+        mim2gene_id = {}
+        with open(self.get_infile("gene"), "rb") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line.startswith(b"#"):
+                    if line.startswith(b"# Generated:"):
+                        version = line[12:].strip().decode()
+                    continue
+                parts = line.split(b"\t")
+                if len(parts) < 4:
+                    continue
+                if b"gene" not in parts[1].strip():
+                    continue
+                gene = parts[3].strip().decode()
+                if not gene:
+                    continue
+                approved = db.gene_to_approved(gene)
+                if not approved:
+                    sys.stdout.write(f"Gene '{gene}' could not be converted to approved symbol! Using it anyway.\n")
+                    approved = gene
+                mim = parts[0].decode()
+                db.execute("INSERT INTO omim_gene (gene, mim) VALUES (?, ?)", (approved, mim))
+                mim2gene_id[mim] = db.last_insert_id()
+        c_genes = len(db.get_values("SELECT gene FROM omim_gene"))
+        c_distinct = len(db.get_values("SELECT DISTINCT gene FROM omim_gene"))
+        sys.stdout.write(f"Imported {c_genes} genes ({c_genes - c_distinct} duplicate genes)\n")
+
+        sys.stdout.write("\nImporting OMIM gene-phenotype relations...\n")
+        with open(self.get_infile("morbid"), "rb") as fh:
+            for raw in fh:
+                line = raw.strip()
+                if not line or line.startswith(b"#"):
+                    continue
+                parts = line.split(b"\t")
+                if len(parts) < 3:
+                    continue
+                phenotype = parts[0].strip().decode()
+                gene_mim = parts[2].strip().decode()
+                if not phenotype or not gene_mim or gene_mim not in mim2gene_id:
+                    continue
+                db.execute("INSERT INTO omim_phenotype (omim_gene_id, phenotype) VALUES (?, ?)",
+                           (mim2gene_id[gene_mim], phenotype))
+        sys.stdout.write(f"Imported {db.get_value('SELECT COUNT(*) FROM omim_phenotype')} phenotypes\n")
+        c_pheno = len(db.get_values("SELECT DISTINCT omim_gene_id FROM omim_phenotype"))
+        sys.stdout.write(f"{c_pheno} out of the {c_genes} genes have phenotype information\n")
+        db.commit()
+        db.set_database_info("OMIM", version)
+        db.close()
+
+
+class NGSDImportORPHATool(ToolBase):
+    """Behavioral reference: src/NGSDImportORPHA/main.cpp."""
+
+    name = "NGSDImportORPHA"
+    description = "Imports ORPHA diseases/genes into the NGSD."
+
+    def setup(self):
+        self.add_infile("terms", "Terms XML file from 'https://www.orphadata.com/data/xml/en_product1.xml'.")
+        self.add_infile("genes", "Terms<>genes XML file from 'https://www.orphadata.com/data/xml/en_product6.xml'.")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+        self.add_flag("force", "If set, overwrites old data.")
+
+    def main(self):
+        import xml.etree.ElementTree as ET
+        db = NGSD(self.get_flag("test"))
+        if not db.table_empty("disease_term") or not db.table_empty("disease_gene"):
+            if self.get_flag("force"):
+                db.clear_table("disease_gene")
+                db.clear_table("disease_term")
+            else:
+                raise ToolError("Tables already contain data! Use '-force' to overwrite old data!")
+
+        approved = db.approved_gene_names()
+        sys.stdout.write("Parsing gene-disease relations...\n")
+        disease_genes: dict[str, list[str]] = {}
+        root = ET.parse(self.get_infile("genes")).getroot()
+        for disorder in root.iter("Disorder"):
+            code = disorder.findtext("OrphaCode")
+            if code is None:
+                continue
+            number = "ORPHA:" + code
+            for gene_el in disorder.iter("Gene"):
+                symbol = gene_el.findtext("Symbol")
+                if symbol is None:
+                    continue
+                gene = db.gene_to_approved(symbol, True)
+                if gene in approved:
+                    lst = disease_genes.setdefault(number, [])
+                    if gene not in lst:
+                        lst.append(gene)
+                else:
+                    sys.stdout.write(f"Warning: Skipping non-approved gene name '{gene}' for term '{number}'!\n")
+
+        sys.stdout.write("Importing ORPHA information...\n")
+        tree = ET.parse(self.get_infile("terms"))
+        root = tree.getroot()
+        version = (root.get("date") or "")[:10]
+        for disorder in root.iter("Disorder"):
+            number = "ORPHA:" + (disorder.findtext("OrphaCode") or "")
+            name = disorder.findtext("Name") or ""
+            synonyms = [s.text or "" for s in disorder.iter("Synonym")]
+            skip = any((f.findtext("Label") in ("Obsolete entity", "offline"))
+                       for f in disorder.iter("DisorderFlag"))
+            if skip:
+                continue
+            db.execute("INSERT INTO disease_term (source, identifier, name, synonyms) VALUES ('OrphaNet', ?, ?, ?)",
+                       (number, name, "\n".join(synonyms)))
+            did = db.last_insert_id()
+            for gene in disease_genes.get(number, []):
+                db.execute("INSERT INTO disease_gene (disease_term_id, gene) VALUES (?, ?)", (did, gene))
+        db.commit()
+        db.set_database_info("ORPHA", version)
+        c_disease = db.get_value("SELECT COUNT(*) FROM disease_term")
+        sys.stdout.write(f"Imported {c_disease} diseases\n")
+        c_dg = db.get_value("SELECT COUNT(*) FROM disease_gene")
+        sys.stdout.write(f"Imported {c_dg} disease-gene relations\n")
+        db.close()
+
+
+class NGSDImportGeneInfoTool(ToolBase):
+    """Behavioral reference: src/NGSDImportGeneInfo/main.cpp."""
+
+    name = "NGSDImportGeneInfo"
+    description = "Imports gene-specific information into NGSD."
+
+    def setup(self):
+        self.add_infile("constraint", "gnomAD gene contraints file (download and unzip https://storage.googleapis.com/gcp-public-data--gnomad/release/v4.1/constraint/gnomad.v4.1.constraint_metrics.tsv)")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+        self.add_flag("force", "If set, overwrites old data.")
+
+    def main(self):
+        import gzip
+        import os
+        import re
+
+        db = NGSD(self.get_flag("test"))
+        genes = db.get_values("SELECT symbol FROM geneinfo_germline WHERE symbol NOT IN (SELECT symbol FROM gene)")
+        if genes:
+            sys.stdout.write("Note: 'geneinfo_germline' contains gene symbols that are not approved genes names: "
+                             + ", ".join(genes) + "\n\n")
+        ensg2symbol = dict(db.get_rows("SELECT ensembl_id, symbol FROM gene"))
+        db.execute("UPDATE geneinfo_germline SET gnomad_oe_syn=NULL, gnomad_oe_mis=NULL, gnomad_oe_lof=NULL, gnomad_pli=NULL")
+
+        sys.stdout.write("Getting ENSG to gene name mapping from NGSD...\n")
+        sys.stdout.write("Importing gnomAD constraints...\n")
+        c_inserted = c_skipped = 0
+        path = self.get_infile("constraint")
+        opener = gzip.open if path.endswith((".gz", ".bgz")) else open
+        idx = {}
+        with opener(path, "rb") as fh:
+            for raw in fh:
+                line = raw.rstrip(b"\r\n")
+                if not line:
+                    continue
+                parts = line.split(b"\t")
+                if len(parts) < 111:
+                    continue
+                if parts[0] == b"gene":
+                    for key in ("syn.oe", "mis.oe", "lof.oe", "lof.pLI", "canonical", "mane_select"):
+                        idx[key] = parts.index(key.encode())
+                    continue
+                if parts[idx["canonical"]].strip() != b"true" and parts[idx["mane_select"]].strip() != b"true":
+                    continue
+                gene = ensg2symbol.get(parts[1].decode(), "")
+                if not gene:
+                    c_skipped += 1
+                    continue
+                vals = []
+                for key, prec in (("syn.oe", 2), ("mis.oe", 2), ("lof.oe", 2), ("lof.pLI", 3)):
+                    # bug-compatible: pLI NA-check uses the lof.oe column
+                    check = parts[idx["lof.oe"]] if key == "lof.pLI" else parts[idx[key]]
+                    if check == b"NA":
+                        vals.append(None)
+                    else:
+                        vals.append(f"{float(parts[idx[key]]):.{prec}f}")
+                db.execute("INSERT INTO geneinfo_germline (symbol, inheritance, gnomad_oe_syn, gnomad_oe_mis, gnomad_oe_lof, gnomad_pli, comments) "
+                           "VALUES (?, 'n/a', ?, ?, ?, ?, '') "
+                           "ON CONFLICT(symbol) DO UPDATE SET gnomad_oe_syn=excluded.gnomad_oe_syn, "
+                           "gnomad_oe_mis=excluded.gnomad_oe_mis, gnomad_oe_lof=excluded.gnomad_oe_lof, gnomad_pli=excluded.gnomad_pli",
+                           (gene, *vals))
+                c_inserted += 1
+        sys.stdout.write(f"  skipped {c_skipped} lines because no gene symbol could be determined based on ENSG\n")
+        sys.stdout.write(f"  imported constraint info for {c_inserted} genes\n\n")
+
+        sys.stdout.write("\nSetting gene inheritance based on info from HPO...\n")
+        c_noinfo = c_unchanged = c_update = c_check = 0
+        for gene in db.get_values("SELECT symbol FROM gene"):
+            inh_old = db.get_value("SELECT inheritance FROM geneinfo_germline WHERE symbol=?", params=(gene,)) or "n/a"
+            chrs = ",".join(db.get_values(
+                "SELECT DISTINCT gt.chromosome FROM gene_transcript gt, gene g WHERE g.id=gt.gene_id AND g.symbol=?",
+                params=(gene,)))
+            modes = db.get_values(
+                "SELECT ht.name FROM hpo_term ht, hpo_genes hg WHERE hg.hpo_term_id=ht.id AND hg.gene=? "
+                "AND ht.name LIKE '%inheritance%' ORDER BY ht.name DESC", params=(gene,))
+            inh_list = []
+            for mode, tag, cond in (
+                    ("X-linked recessive inheritance", "XLR", "X" in chrs),
+                    ("X-linked dominant inheritance", "XLD", "X" in chrs),
+                    ("Mitochondrial inheritance", "MT", "M" in chrs),
+                    ("Autosomal recessive inheritance", "AR", bool(re.search(r"\d", chrs))),
+                    ("Autosomal dominant inheritance", "AD", bool(re.search(r"\d", chrs)))):
+                if mode in modes:
+                    if cond:
+                        inh_list.append(tag)
+                    else:
+                        sys.stdout.write(f"  skipped invalid inheritance mode '{mode}' for gene {gene} (chromosome {chrs})\n")
+            inh_new = "+".join(inh_list) if inh_list else "n/a"
+            if inh_new == "n/a" and inh_old == "n/a":
+                c_noinfo += 1
+            elif inh_new == inh_old or inh_new == "n/a":
+                c_unchanged += 1
+            elif inh_old == "n/a":
+                db.execute("INSERT INTO geneinfo_germline (symbol, inheritance, comments) VALUES (?, ?, '') "
+                           "ON CONFLICT(symbol) DO UPDATE SET inheritance=excluded.inheritance",
+                           (gene, inh_new))
+                c_update += 1
+            else:
+                sys.stdout.write(f"  check inheritance manually: gene={gene} chr={chrs} old={inh_old} new={inh_new}\n")
+                c_check += 1
+        sys.stdout.write(f"  genes without inheritance info: {c_noinfo}\n")
+        sys.stdout.write(f"  genes with unchanged inheritance: {c_unchanged}\n")
+        sys.stdout.write(f"  genes with updated inheritance: {c_update}\n")
+        sys.stdout.write(f"  genes that require manual check: {c_check}\n")
+        db.commit()
+
+        version = os.path.basename(path)
+        tmp = version.replace("gnomad.v", "").replace(".constraint_metrics.tsv", "").replace(".bgz", "").replace("NGSDImportGeneInfo_", "")
+        if re.match(r"^[0-9.]+$", tmp):
+            version = tmp
+        db.set_database_info("gnomAD constraints", version)
+        db.close()
+
+
 TOOLS = {
     "NGSDInit": NGSDInitTool,
     "NGSDImportQC": NGSDImportQCTool,
     "NGSDImportHGNC": NGSDImportHGNCTool,
     "GenesToApproved": GenesToApprovedTool,
     "NGSDImportEnsembl": NGSDImportEnsemblTool,
+    "NGSDImportOMIM": NGSDImportOMIMTool,
+    "NGSDImportORPHA": NGSDImportORPHATool,
+    "NGSDImportGeneInfo": NGSDImportGeneInfoTool,
 }

@@ -213,3 +213,45 @@ INSERT INTO gene_exon (transcript_id, start, end) VALUES (2, 5, 30);
     assert open(out).read() == "ENST00000000001\tMKF\n"
     err = capsys.readouterr().err
     assert "not protein coding" in err and "no matching transcript" in err
+
+
+def test_ngsd_import_omim(ngsd_with_hgnc):
+    # NGSDImportOMIM_Test.cpp assertions
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert execute("NGSDImportOMIM", ["-test", "-gene", f"{din}/NGSDImportOMIM_mim2gene.txt",
+                                      "-morbid", f"{din}/NGSDImportOMIM_morbidmap.txt"]) == 0
+    db = ngsd_with_hgnc
+    assert db.get_value("SELECT count(*) FROM omim_gene") == 3
+    assert db.get_value("SELECT count(*) FROM omim_phenotype") == 5
+    for gene, n in (("ALDH2", 4), ("ALDH1B1", 0), ("ACAT2", 1)):
+        assert db.get_value("SELECT count(*) FROM omim_phenotype op, omim_gene og "
+                            f"WHERE op.omim_gene_id=og.id AND og.gene='{gene}'") == n
+    assert db.get_value("SELECT version FROM db_import_info WHERE name='OMIM'") == "2018-11-15"
+
+
+def test_ngsd_import_orpha(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDImportORPHA_init.sql")
+    assert execute("NGSDImportORPHA", ["-test", "-terms", f"{din}/NGSDImportORPHA_terms.xml",
+                                       "-genes", f"{din}/NGSDImportORPHA_genes.xml"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM disease_term") == 3
+    assert ngsd.get_value("SELECT count(*) FROM disease_gene") == 4
+
+
+def test_ngsd_import_gene_info(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDImportGeneInfo_init.sql")
+    assert execute("NGSDImportGeneInfo", [
+        "-test", "-constraint", f"{din}/NGSDImportGeneInfo_gnomad.v4.1.1.constraint_metrics.tsv"]) == 0
+    for gene, syn, mis, lof, pli, inh in (
+            ("BRCA1", 0.88, 0.91, 0.81, 0.00, "AD"),
+            ("BRCA2", 0.96, 1.00, 0.73, 0.00, "AD"),
+            ("OR4F5", 0.28, 0.27, 0.17, 0.72, "AR"),
+            ("WDR45", 0.83, 0.56, 0.07, 1.00, "n/a")):
+        gi = ngsd.gene_info(gene)
+        assert float(gi["oe_syn"]) == syn, gene
+        assert float(gi["oe_mis"]) == mis, gene
+        assert float(gi["oe_lof"]) == lof, gene
+        assert float(gi["pli"]) == pli, gene
+        assert gi["inheritance"] == inh, gene
+    assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='gnomAD constraints'") == "4.1.1"
