@@ -54,6 +54,13 @@ class GeneSet:
     def join(self, sep: str = ", ") -> str:
         return sep.join(self._list)
 
+    def intersect(self, other: "GeneSet") -> "GeneSet":
+        out = GeneSet()
+        for g in self._list:
+            if g in other:
+                out.insert(g)
+        return out
+
     @staticmethod
     def create_from_file(filename: str) -> "GeneSet":
         out = GeneSet()

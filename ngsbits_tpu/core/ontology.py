@@ -23,6 +23,15 @@ class OboTerm:
     definition: str = ""
     obsolete: bool = False
     term_type: str = ""  # from xref value-type, e.g. xsd:int / xsd:float / xsd:string / png
+    parents: list = None        # is_a accessions
+    synonyms: list = None       # EXACT synonyms
+    replaced_by: str = ""
+
+    def __post_init__(self):
+        if self.parents is None:
+            self.parents = []
+        if self.synonyms is None:
+            self.synonyms = []
 
 
 class OntologyTermCollection:
@@ -79,6 +88,20 @@ class OntologyTermCollection:
                 cur.definition = raw
             elif line.startswith("is_obsolete:"):
                 cur.obsolete = line.split(":", 1)[1].strip().lower() == "true"
+            elif line.startswith("is_a:"):
+                # 'is_a: QC:2000002 ! NGS aquisition parameter'
+                parent = line[5:].strip()
+                bang = parent.rfind("!")
+                if bang != -1:
+                    parent = parent[:bang].strip()
+                cur.parents.append(parent)
+            elif line.startswith("synonym:") and " EXACT " in line:
+                raw2 = line[8:].strip()
+                start = raw2.find('"') + 1
+                end = raw2.rfind('"')
+                cur.synonyms.append(raw2[start:end])
+            elif line.startswith("replaced_by:"):
+                cur.replaced_by = line[12:].strip()
             elif line.startswith("xref: value-type:xsd\\:"):
                 # OntologyTermCollection.cpp:81-87: 'xref: value-type:xsd\:int "..."'
                 cur.term_type = (line + ":").replace('"', ":").split(":")[3].strip()

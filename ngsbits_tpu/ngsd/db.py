@@ -411,6 +411,78 @@ class NGSD:
             out.sort()
         return out
 
+    def hgnc_id_to_gene_id(self, hgnc_id: str) -> int:
+        """NGSD::hgncIdToGeneId — 'HGNC:123' or '123' -> gene.id or -1."""
+        hgnc_id = hgnc_id.strip()
+        if ":" in hgnc_id:
+            hgnc_id = hgnc_id.split(":")[-1]
+        if not hgnc_id.isdigit():
+            return -1
+        v = self.get_value("SELECT id FROM gene WHERE hgnc_id=?", params=(hgnc_id,))
+        return int(v) if v is not None else -1
+
+    # ---- phenotype (HPO) helpers ----
+    def phenotype_id_by_accession(self, accession: str, throw_on_error: bool = True) -> int:
+        v = self.get_value("SELECT id FROM hpo_term WHERE hpo_id=?", params=(accession,))
+        if v is None:
+            if throw_on_error:
+                raise NgsdError(f"No HPO term with accession '{accession}' found in NGSD!")
+            return -1
+        return int(v)
+
+    def phenotype_id_by_name(self, name: str, throw_on_error: bool = True) -> int:
+        v = self.get_value("SELECT id FROM hpo_term WHERE name=?", params=(name,))
+        if v is None:
+            if throw_on_error:
+                raise NgsdError(f"No HPO term with name '{name}' found in NGSD!")
+            return -1
+        return int(v)
+
+    def phenotype_accession(self, term_id: int) -> str:
+        return self.get_value("SELECT hpo_id FROM hpo_term WHERE id=?", params=(term_id,)) or ""
+
+    def phenotype_name(self, term_id: int) -> str:
+        return self.get_value("SELECT name FROM hpo_term WHERE id=?", params=(term_id,)) or ""
+
+    def phenotype_child_terms(self, term_id: int, recursive: bool) -> list[int]:
+        """NGSD::phenotypeChildTerms — child term db ids (BFS order like the
+        reference's stack walk)."""
+        parent_map: dict[int, list[int]] = {}
+        for p, c in self.get_rows("SELECT parent, child FROM hpo_parent"):
+            parent_map.setdefault(p, []).append(c)
+        out = []
+        stack = [term_id]
+        while stack:
+            cur = stack.pop()
+            for child in parent_map.get(cur, []):
+                out.append(child)
+                if recursive:
+                    stack.append(child)
+        return out
+
+    def phenotype_to_genes(self, term_id: int, recursive: bool,
+                           ignore_non_phenotype_terms: bool = True):
+        """NGSD::phenotypeToGenes — GeneSet of genes of the term (and its
+        children when recursive)."""
+        from ..core.geneset import GeneSet
+        ignored = set()
+        if ignore_non_phenotype_terms:
+            for acc in ("HP:0000005", "HP:0040279"):
+                tid = self.phenotype_id_by_accession(acc, False)
+                if tid != -1:
+                    ignored.add(tid)
+                    ignored.update(self.phenotype_child_terms(tid, True))
+        ids = [term_id]
+        if recursive:
+            ids += self.phenotype_child_terms(term_id, True)
+        out = GeneSet()
+        for tid in ids:
+            if tid in ignored:
+                continue
+            out.insert_all(self.get_values(
+                "SELECT gene FROM hpo_genes WHERE hpo_term_id=?", params=(tid,)))
+        return out
+
     def gene_info(self, symbol: str) -> dict:
         """NGSD::geneInfo (NGSD.cpp:9922+) — subset used by tools/tests."""
         approved, notice = self.gene_to_approved_with_message(symbol.strip())

@@ -255,3 +255,115 @@ def test_ngsd_import_gene_info(ngsd):
         assert float(gi["pli"]) == pli, gene
         assert gi["inheritance"] == inh, gene
     assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='gnomAD constraints'") == "4.1.1"
+
+
+@pytest.fixture
+def ngsd_hpo_base(ngsd):
+    _init_from(ngsd, "NGSDImportHPO_init.sql")
+    return ngsd
+
+
+def test_ngsd_import_hpo_default(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert execute("NGSDImportHPO", ["-test", "-obo", f"{din}/NGSDImportHPO_terms.obo",
+                                     "-anno", f"{din}/NGSDImportHPO_anno.txt"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_term") == 15
+    assert db.get_value("SELECT count(*) FROM hpo_term WHERE synonyms!=''") == 3
+    assert db.get_value("SELECT count(*) FROM hpo_parent") == 11
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 121
+    assert db.get_value("SELECT count(*) FROM hpo_genes WHERE gene='PTEN_ALT'") == 0
+    assert "BRCA1" in db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    assert "BRCA2" not in db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    assert "PTEN" in db.phenotype_to_genes(db.phenotype_id_by_name("Autosomal dominant inheritance"), False, False)
+    assert db.get_value("SELECT version FROM db_import_info WHERE name='HPO'") == "2015-12-01"
+
+
+def test_ngsd_import_hpo_with_omim(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert execute("NGSDImportHPO", ["-test", "-obo", f"{din}/NGSDImportHPO_terms.obo",
+                                     "-anno", f"{din}/NGSDImportHPO_anno.txt",
+                                     "-omim", f"{din}/NGSDImportHPO_omim.txt"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_term") == 15
+    assert db.get_value("SELECT count(*) FROM hpo_parent") == 11
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 149
+    assert "BRCA1" in db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    assert "BRCA2" in db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    for pat, n, expected in (("(1)", 4, "low"), ("(2)", 4, "low"), ("(3)", 61, "high"), ("(4)", 4, "high")):
+        res = db.get_values(f"SELECT evidence FROM hpo_genes WHERE details LIKE '%{pat}%'")
+        assert len(res) == n, (pat, len(res))
+        assert all(r == expected for r in res), pat
+
+
+def _hpo_run(extra):
+    din = "/root/reference/src/tools-TEST/data_in"
+    return execute("NGSDImportHPO", ["-test", "-obo", f"{din}/NGSDImportHPO_terms.obo",
+                                     "-anno", f"{din}/NGSDImportHPO_anno.txt"] + extra)
+
+
+def test_ngsd_import_hpo_clinvar(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-clinvar", f"{din}/NGSDImportHPO_clinvar.txt"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 122
+    bc = db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    assert "BRCA1" in bc and "BRCA2" in bc
+
+
+def test_ngsd_import_hpo_hgmd(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-hgmd", f"{din}/NGSDImportHPO_hgmd.dump"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 147
+    bc = db.phenotype_to_genes(db.phenotype_id_by_name("Breast carcinoma"), False, False)
+    assert "BARD1" in bc
+    assert "WRN" in db.phenotype_to_genes(db.phenotype_id_by_name("Fibroadenoma of the breast"), False, False)
+
+
+def test_ngsd_import_hpo_hpophen(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-hpophen", f"{din}/NGSDImportHPO_phenotype.hpoa"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 129
+    assert db.get_value("SELECT count(*) FROM hpo_genes WHERE details LIKE '%HPO%'") == 129
+    assert db.get_value("SELECT count(*) FROM hpo_genes WHERE evidence !='n/a'") == 57
+    for pat, n, expected in (("PCS", 2, "high"), ("TAS", 44, "medium"), ("IEA", 11, "low")):
+        res = db.get_values(f"SELECT evidence FROM hpo_genes WHERE details LIKE '%{pat}%'")
+        assert len(res) == n and all(r == expected for r in res), pat
+
+
+def test_ngsd_import_hpo_gencc(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-gencc", f"{din}/NGSDImportHPO_gencc.tsv"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 127
+    assert db.get_value("SELECT count(*) FROM hpo_genes WHERE details LIKE '%GenCC%'") == 33
+    for pat, n in (("Animal", 0), ("Limited", 0), ("Supportive", 0), ("Moderate", 2)):
+        assert len(db.get_values(f"SELECT evidence FROM hpo_genes WHERE details LIKE '%{pat}%'")) == n, pat
+    for pat, n in (("Strong", 16), ("Definitive", 15)):
+        res = db.get_values(f"SELECT evidence FROM hpo_genes WHERE details LIKE '%{pat}%'")
+        assert len(res) == n and all(r == "high" for r in res), pat
+
+
+def test_ngsd_import_hpo_g2p(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-g2p", f"{din}/NGSDImportHPO_decipher1.csv"]) == 0
+    db = ngsd_hpo_base
+    assert db.get_value("SELECT count(*) FROM hpo_genes") == 130
+    assert db.get_value("SELECT count(*) FROM hpo_genes WHERE details LIKE '%G2P%'") == 22
+    res = db.get_values("SELECT evidence FROM hpo_genes WHERE details LIKE '%G2P, definitive,%'")
+    assert len(res) == 21 and all(r == "high" for r in res)
+    res = db.get_values("SELECT evidence FROM hpo_genes WHERE details LIKE '%G2P, strong,%'")
+    assert len(res) == 1 and all(r == "high" for r in res)
+
+
+def test_ngsd_import_hpo_all(ngsd_hpo_base):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert _hpo_run(["-omim", f"{din}/NGSDImportHPO_omim.txt",
+                     "-clinvar", f"{din}/NGSDImportHPO_clinvar.txt",
+                     "-hgmd", f"{din}/NGSDImportHPO_hgmd.dump",
+                     "-hpophen", f"{din}/NGSDImportHPO_phenotype.hpoa",
+                     "-gencc", f"{din}/NGSDImportHPO_gencc.tsv",
+                     "-g2p", f"{din}/NGSDImportHPO_decipher1.csv"]) == 0
+    assert ngsd_hpo_base.get_value("SELECT count(*) FROM hpo_genes") == 180
