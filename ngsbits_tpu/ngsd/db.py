@@ -483,6 +483,40 @@ class NGSD:
                 "SELECT gene FROM hpo_genes WHERE hpo_term_id=?", params=(tid,)))
         return out
 
+    def phenotype_to_genes_by_source_and_evidence(
+            self, term_id: int, sources: set, evidences: set,
+            recursive: bool = True, ignore_non_phenotype_terms: bool = False):
+        """NGSD::phenotypeToGenesbySourceAndEvidence."""
+        from ..core.geneset import GeneSet
+        ALL_SOURCES = {"HPO", "OMIM", "ClinVar", "G2P", "HGMD", "GenCC"}
+        ALL_EVIDENCES = {"n/a", "low", "medium", "high"}
+        ignored = set()
+        if ignore_non_phenotype_terms:
+            for acc in ("HP:0000005", "HP:0040279"):
+                tid = self.phenotype_id_by_accession(acc, False)
+                if tid != -1:
+                    ignored.add(tid)
+                    ignored.update(self.phenotype_child_terms(tid, True))
+        ids = [term_id]
+        if recursive:
+            ids += self.phenotype_child_terms(term_id, True)
+        genes = GeneSet()
+        for tid in ids:
+            if ignore_non_phenotype_terms and tid in ignored:
+                continue
+            query = f"SELECT gene FROM hpo_genes WHERE hpo_term_id={tid}"
+            restricted = False
+            if sources and len(sources) < len(ALL_SOURCES):
+                query += " and (" + " or ".join(f"details like '%{s}%'" for s in sources) + ")"
+                restricted = True
+            if evidences and len(evidences) < len(ALL_EVIDENCES):
+                query += " and (" + " or ".join(f"evidence= '{e}'" for e in evidences) + ")"
+                restricted = True
+            _ = restricted
+            for gene in self.get_values(query):
+                genes.insert(self.gene_to_approved(gene, True))
+        return genes
+
     def gene_info(self, symbol: str) -> dict:
         """NGSD::geneInfo (NGSD.cpp:9922+) — subset used by tools/tests."""
         approved, notice = self.gene_to_approved_with_message(symbol.strip())

@@ -367,3 +367,28 @@ def test_ngsd_import_hpo_all(ngsd_hpo_base):
                      "-gencc", f"{din}/NGSDImportHPO_gencc.tsv",
                      "-g2p", f"{din}/NGSDImportHPO_decipher1.csv"]) == 0
     assert ngsd_hpo_base.get_value("SELECT count(*) FROM hpo_genes") == 180
+
+
+@pytest.mark.parametrize("args,golden", [
+    ([], "PhenotypesToGenes_out1.txt"),
+    (["-source", "HPO"], "PhenotypesToGenes_out2.txt"),
+    (["-evidence", "high"], "PhenotypesToGenes_out3.txt"),
+    (["-source", "GenCC", "-evidence", "medium"], "PhenotypesToGenes_out4.txt"),
+])
+def test_phenotypes_to_genes(ngsd, tmp_path, ref_data_in, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "PhenotypesToGenes_init.sql")
+    out = tmp_path / "out.txt"
+    assert execute("PhenotypesToGenes", ["-test", "-in", str(ref_data_in / "PhenotypesToGenes_in1.txt"),
+                                         "-ignore_invalid", "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("acc,golden", [("HP:0001417", "PhenotypeSubtree_out1.tsv"),
+                                        ("HP:0000005", "PhenotypeSubtree_out2.tsv")])
+def test_phenotype_subtree(ngsd, tmp_path, ref_data_out, acc, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "PhenotypeSubtree_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("PhenotypeSubtree", ["-test", "-in", acc, "-out", out]) == 0
+    compare_files(out, ref_data_out / golden)
