@@ -392,3 +392,22 @@ def test_phenotype_subtree(ngsd, tmp_path, ref_data_out, acc, golden):
     out = tmp_path / "out.tsv"
     assert execute("PhenotypeSubtree", ["-test", "-in", acc, "-out", out]) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_import_oncotree(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    assert execute("NGSDImportOncotree", ["-test", "-tree", f"{din}/NGSDImportOncotree_in1.json"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM oncotree_term") == 898
+    assert ngsd.get_value("SELECT count(*) FROM oncotree_parent") == 897
+    assert ngsd.get_value("SELECT count(*) FROM oncotree_obsolete") == 36
+    assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='oncotree'") == "NGSDImportOncotree_in1.json"
+
+
+def test_ngsd_import_cspec(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    ngsd.run_mysql_script("INSERT INTO `gene` (`id`, `hgnc_id`, `symbol`, `name`, `type`, `ensembl_id`, `ncbi_id`) VALUES (669634, 9588, 'PTEN', 'phosphatase and tensin homolog', 'protein-coding gene', 'ENSG00000171862', 5728);"
+                          "INSERT INTO `gene` (`id`, `hgnc_id`, `symbol`, `name`, `type`, `ensembl_id`, `ncbi_id`) VALUES (664242, 7577, 'MYH7', 'myosin heavy chain 7', 'protein-coding gene', 'ENSG00000092054', 4625);")
+    assert execute("NGSDImportCSpec", ["-test", "-in", f"{din}/NGSDImportCSpec_in1.json"]) == 0
+    genes = ngsd.get_values("SELECT gene FROM cspec_data")
+    assert len(genes) == 2 and "PTEN" in genes and "MYH7" in genes
+    assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='CSpec'") == "2026-01-17"
