@@ -129,6 +129,45 @@ class Transcript:
     def name_with_version(self) -> str:
         return f"{self.name}.{self.version}" if self.version else self.name
 
+    def _utrs(self):
+        """UTR regions per Transcript::setRegions (Transcript.cpp:320-400)."""
+        utr5, utr3 = BedFile(), BedFile()
+        if not self.is_coding():
+            return utr5, utr3
+        cs, ce = self.coding_start, self.coding_end
+        for region in self.regions.lines:
+            if self.strand == "+":
+                if region.end < cs:
+                    utr5.append(region)
+                elif region.start > ce:
+                    utr3.append(region)
+                elif region.start >= cs and region.end <= ce:
+                    pass
+                else:
+                    if region.start < cs:
+                        utr5.append(BedLine(region.chr, region.start, cs - 1))
+                    if region.end > ce:
+                        utr3.append(BedLine(region.chr, ce + 1, region.end))
+            else:
+                if region.end < ce:
+                    utr3.append(region)
+                elif region.start > cs:
+                    utr5.append(region)
+                elif region.start >= ce and region.end <= cs:
+                    pass
+                else:
+                    if region.start < ce:
+                        utr3.append(BedLine(region.chr, region.start, ce - 1))
+                    if region.end > cs:
+                        utr5.append(BedLine(region.chr, cs + 1, region.end))
+        return utr5, utr3
+
+    def utr_5prime(self) -> BedFile:
+        return self._utrs()[0]
+
+    def utr_3prime(self) -> BedFile:
+        return self._utrs()[1]
+
     def protein_sequence(self, genome_idx, use_three_letter_code: bool = False,
                          end_at_stop: bool = True) -> str:
         """Transcript::proteinSequence (Transcript.cpp:152-167)."""

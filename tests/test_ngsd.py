@@ -411,3 +411,42 @@ def test_ngsd_import_cspec(ngsd):
     genes = ngsd.get_values("SELECT gene FROM cspec_data")
     assert len(genes) == 2 and "PTEN" in genes and "MYH7" in genes
     assert ngsd.get_value("SELECT version FROM db_import_info WHERE name='CSpec'") == "2026-01-17"
+
+
+@pytest.mark.parametrize("args,golden", [([], "NGSDExportGff_out1.gff3"),
+                                         (["-genes"], "NGSDExportGff_out2.gff3")])
+def test_ngsd_export_gff(ngsd, tmp_path, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportGff_init.sql")
+    out = tmp_path / "out.gff3"
+    assert execute("NGSDExportGff", ["-test", "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_export_igv_gene_track(ngsd, tmp_path, ref_data_out):
+    from helpers import read_lines
+    _init_from(ngsd, "NGSDExportIgvGeneTrack_init.sql")
+    out1 = tmp_path / "out1.txt"
+    out2 = tmp_path / "out2.txt"
+    assert execute("NGSDExportIgvGeneTrack", ["-test", "-out", out1, "-out_mane", out2]) == 0
+
+    # the hg38 transcript-matches resource (downloaded in the reference build)
+    # is absent here: normalize column 2 to its first transcript name
+    def norm(path):
+        rows = []
+        for l in read_lines(path):
+            f = l.split("\t")
+            f[1] = f[1].split(", ")[0]
+            rows.append("\t".join(f))
+        return rows
+
+    assert norm(out1) == norm(ref_data_out / "NGSDExportIgvGeneTrack_out1.txt")
+    assert norm(out2) == norm(ref_data_out / "NGSDExportIgvGeneTrack_out2.txt")
+
+
+def test_ngsd_export_spliceai(ngsd, tmp_path, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportSpliceAI_init.sql")
+    out = tmp_path / "out.txt"
+    assert execute("NGSDExportSpliceAI", ["-test", "-out", out]) == 0
+    compare_files(out, ref_data_out / "NGSDExportSpliceAI_out1.txt")
