@@ -26,6 +26,26 @@ class NgsdError(Exception):
     pass
 
 
+_IMPRINTING = None
+
+
+def _imprinting_genes() -> dict:
+    """NGSHelper::imprintingGenes — gene -> (expressed allele, status)."""
+    global _IMPRINTING
+    if _IMPRINTING is None:
+        _IMPRINTING = {}
+        path = os.path.join(_RES_DIR, "imprinting_genes.tsv.gz")
+        if os.path.exists(path):
+            with gzip.open(path, "rt") as fh:
+                for line in fh:
+                    if line.startswith("#"):
+                        continue
+                    parts = line.rstrip("\r\n").split("\t")
+                    if len(parts) >= 3:
+                        _IMPRINTING[parts[0]] = (parts[1], parts[2])
+    return _IMPRINTING
+
+
 def _regexp(pattern, value):
     if value is None:
         return False
@@ -517,10 +537,66 @@ class NGSD:
                 genes.insert(self.gene_to_approved(gene, True))
         return genes
 
+    def phenotypes_of_gene(self, symbol: str, sort_by_relevance: bool = False) -> list[tuple[str, str]]:
+        """NGSD::phenotypes(symbol) — list of (accession, name); sorted by
+        name unless sort_by_relevance."""
+        if sort_by_relevance:
+            rows = self.get_rows("SELECT hpo_term_id, details FROM hpo_genes WHERE gene=?",
+                                 params=(symbol,))
+            scored = []
+            for tid, details in rows:
+                score = 0
+                for part in (details or "").split(";"):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    if part.endswith("high)"):
+                        score += 4
+                    elif part.endswith("medium)"):
+                        score += 2
+                    else:
+                        score += 1
+                scored.append((tid, score))
+            scored.sort(key=lambda p: -p[1])
+            ids = [tid for tid, _s in scored]
+        else:
+            ids = self.get_values("SELECT hpo_term_id FROM hpo_genes WHERE gene=?",
+                                  params=(symbol,))
+        out = [(self.phenotype_accession(i), self.phenotype_name(i)) for i in ids]
+        if not sort_by_relevance:
+            out.sort(key=lambda p: p[1])
+        return out
+
+    def omim_info(self, symbol: str) -> list[dict]:
+        """NGSD::omimInfo — per omim_gene entry: mim, gene, phenotypes."""
+        import re as _re
+        approved = self.gene_to_approved(symbol, True)
+        ids = self.get_values(
+            "SELECT id FROM omim_gene WHERE gene=? OR gene=? ORDER BY mim",
+            params=(symbol, approved))
+        out = []
+        mim_rx = _re.compile(r"[^0-9]([0-9]{6})[^0-9]")
+        for gid in ids:
+            info = {"mim": self.get_value("SELECT mim FROM omim_gene WHERE id=?", params=(gid,)),
+                    "gene_symbol": self.get_value("SELECT gene FROM omim_gene WHERE id=?", params=(gid,)),
+                    "phenotypes": []}
+            for pheno in self.get_values(
+                    "SELECT phenotype FROM omim_phenotype WHERE omim_gene_id=? ORDER BY phenotype ASC",
+                    params=(gid,)):
+                m = mim_rx.search(pheno)
+                info["phenotypes"].append({"name": pheno, "accession": m.group(1) if m else ""})
+            out.append(info)
+        return out
+
     def gene_info(self, symbol: str) -> dict:
         """NGSD::geneInfo (NGSD.cpp:9922+) — subset used by tools/tests."""
         approved, notice = self.gene_to_approved_with_message(symbol.strip())
-        out = {"symbol": approved, "symbol_notice": notice}
+        out = {"symbol": approved, "symbol_notice": notice,
+               "imprinting_expressed_allele": "", "imprinting_confidence": "",
+               "pseudogenes": []}
+        imprinting = _imprinting_genes()
+        if symbol.strip() in imprinting:
+            out["imprinting_expressed_allele"], out["imprinting_confidence"] = imprinting[symbol.strip()]
         row = self.get_rows("SELECT id, name, hgnc_id, type FROM gene WHERE symbol=?",
                             params=(approved,))
         if row:
@@ -543,6 +619,20 @@ class NGSD:
         else:
             out["inheritance"] = out["oe_syn"] = out["oe_mis"] = out["oe_lof"] = out["pli"] = "n/a"
             out["comments"] = ""
+        # pseudogene info (first relation only, like the reference)
+        gid = self.get_value("SELECT id FROM gene WHERE symbol=?", params=(approved,))
+        if gid is not None:
+            rows = self.get_rows(
+                "SELECT g.symbol, gps.gene_name FROM gene_pseudogene_relation gps "
+                "LEFT JOIN gene g ON gps.pseudogene_gene_id=g.id WHERE parent_gene_id=?",
+                params=(gid,))
+            if rows:
+                hgnc_symbol = (rows[0][0] or "").strip()
+                if hgnc_symbol:
+                    out["pseudogenes"].append(hgnc_symbol)
+                else:
+                    parts = (rows[0][1] or "").split(";")
+                    out["pseudogenes"].append(parts[1] if len(parts) > 1 else "")
         return out
 
     def previous_symbols(self, gene_id: int) -> list[str]:

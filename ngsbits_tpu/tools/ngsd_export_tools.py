@@ -247,8 +247,64 @@ class NGSDExportSpliceAITool(ToolBase):
         db.close()
 
 
+class NGSDExportGenesTool(ToolBase):
+    name = "NGSDExportGenes"
+    description = "Lists genes from NGSD."
+
+    def setup(self):
+        self.add_outfile("out", "The output TSV file. If unset, writes to STDOUT.", optional=True)
+        self.add_flag("add_disease_info", "Annotate with disease information from HPO, OrphaNet and OMIM (slow).")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+
+    def main(self):
+        db = NGSD(self.get_flag("test"))
+        add_disease = self.get_flag("add_disease_info")
+        out_path = self.get_outfile("out")
+        out = open(out_path, "w") if out_path else sys.stdout
+        header = ["#symbol", "HGNC id", "type", "name", "transcripts coding (ensembl)",
+                  "transcripts non-coding (ensembl)", "gnomAD oe (syn)", "gnomAD oe (mis)",
+                  "gnomAD oe (lof)", "gnomAD pLI", "inheritance",
+                  "imprinting_expressed_allele", "pseudogenes"]
+        if add_disease:
+            header += ["HPO terms", "OMIM phenotypes", "OrphaNet diseases"]
+        out.write("\t".join(header) + "\n")
+
+        for row in db.get_rows(
+                "SELECT g.symbol, g.hgnc_id, g.type, g.name, "
+                "(SELECT COUNT(*) FROM gene_transcript gt WHERE gene_id=g.id AND gt.source='ensembl' AND gt.start_coding IS NOT NULL) trans, "
+                "(SELECT COUNT(*) FROM gene_transcript gt WHERE gene_id=g.id AND gt.source='ensembl' AND gt.start_coding IS NULL) trans_nc "
+                "FROM gene g ORDER BY g.symbol ASC"):
+            symbol, hgnc_id, type_, name, trans, trans_nc = row
+            gi = db.gene_info(symbol)
+            imprint = ""
+            if gi["imprinting_expressed_allele"] or gi["imprinting_confidence"]:
+                imprint = f"{gi['imprinting_expressed_allele']} ({gi['imprinting_confidence']})"
+            fields = [symbol, f"HGNC:{hgnc_id}", type_, name, str(trans), str(trans_nc),
+                      gi["oe_syn"].replace("n/a", ""), gi["oe_mis"].replace("n/a", ""),
+                      gi["oe_lof"].replace("n/a", ""), gi["pli"].replace("n/a", ""),
+                      gi["inheritance"].replace("n/a", ""), imprint,
+                      ", ".join(gi["pseudogenes"])]
+            if add_disease:
+                hpos = [f"{acc} - {nm}" for acc, nm in db.phenotypes_of_gene(symbol)]
+                fields.append("; ".join(hpos))
+                omim_phenos = []
+                for info in db.omim_info(symbol):
+                    omim_phenos += [p["name"] for p in info["phenotypes"]]
+                fields.append("; ".join(omim_phenos))
+                orpha = [f"{ident} - {nm}" for ident, nm in db.get_rows(
+                    "SELECT dt.identifier, dt.name FROM disease_term dt, disease_gene dg "
+                    "WHERE dg.disease_term_id=dt.id AND dt.source='OrphaNet' AND dg.gene=?",
+                    params=(symbol,))]
+                fields.append("; ".join(orpha))
+            out.write("\t".join(fields) + "\n")
+        if out_path:
+            out.close()
+        db.close()
+
+
 TOOLS = {
     "NGSDExportGff": NGSDExportGffTool,
+    "NGSDExportGenes": NGSDExportGenesTool,
     "NGSDExportIgvGeneTrack": NGSDExportIgvGeneTrackTool,
     "NGSDExportSpliceAI": NGSDExportSpliceAITool,
 }

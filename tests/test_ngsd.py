@@ -450,3 +450,13 @@ def test_ngsd_export_spliceai(ngsd, tmp_path, ref_data_out):
     out = tmp_path / "out.txt"
     assert execute("NGSDExportSpliceAI", ["-test", "-out", out]) == 0
     compare_files(out, ref_data_out / "NGSDExportSpliceAI_out1.txt")
+
+
+@pytest.mark.parametrize("args,golden", [([], "NGSDExportGenes_out1.tsv"),
+                                         (["-add_disease_info"], "NGSDExportGenes_out2.tsv")])
+def test_ngsd_export_genes(ngsd, tmp_path, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportGenes_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDExportGenes", ["-test", "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
