@@ -64,6 +64,9 @@ class NGSD:
         self.path = path
         self.conn = sqlite3.connect(path)
         self.conn.create_function("REGEXP", 2, _regexp)
+        # MySQL functions the reference queries rely on
+        self.conn.create_function("CONCAT", -1, lambda *a: "".join("" if x is None else str(x) for x in a))
+        self.conn.create_function("LPAD", 3, lambda s, n, p: str(s).rjust(int(n), str(p)))
         self.conn.execute("PRAGMA foreign_keys = OFF")
 
     def close(self):
@@ -634,6 +637,384 @@ class NGSD:
                     parts = (rows[0][1] or "").split(";")
                     out["pseudogenes"].append(parts[1] if len(parts) > 1 else "")
         return out
+
+    # ---- sample layer (NGSD.cpp sample/processed_sample helpers) ----
+    def sample_id(self, name: str, throw_if_fails: bool = True) -> str:
+        base = os.path.basename(name).split(".")[0]
+        sample = (base + "_").split("_")[0]
+        v = self.get_value("SELECT id FROM sample WHERE name=?", params=(sample,))
+        if v is None:
+            if throw_if_fails:
+                raise NgsdError(f"Sample name '{sample}' not found in NGSD!")
+            return ""
+        return str(v)
+
+    def processed_sample_id(self, name: str, throw_if_fails: bool = True) -> str:
+        base = os.path.basename(name.strip()).split(".")[0]
+        parts = (base + "_").split("_")
+        sample, ps_num = parts[0], parts[1][:2]
+        try:
+            pid = int(ps_num)
+        except ValueError:
+            pid = 0
+        v = self.get_value(
+            "SELECT ps.id FROM processed_sample ps, sample s WHERE s.name=? AND ps.sample_id=s.id AND ps.process_id=?",
+            params=(sample, pid))
+        if v is None:
+            if throw_if_fails:
+                raise NgsdError(f"Processed sample '{name}' not found in NGSD!")
+            return ""
+        return str(v)
+
+    def processed_sample_name(self, ps_id) -> str:
+        v = self.get_value(
+            "SELECT CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')) FROM processed_sample ps, sample s "
+            "WHERE ps.sample_id=s.id AND ps.id=?", params=(ps_id,))
+        return v or ""
+
+    def normal_sample(self, ps_id) -> str:
+        v = self.get_value("SELECT normal_id FROM processed_sample WHERE id=?", params=(ps_id,))
+        return self.processed_sample_name(v) if v is not None else ""
+
+    def studies(self, ps_id) -> list[str]:
+        return sorted(self.get_values(
+            "SELECT s.name FROM study s, study_sample ss WHERE s.id=ss.study_id AND ss.processed_sample_id=?",
+            params=(ps_id,)))
+
+    def variant_calling_info(self, ps_id) -> dict:
+        out = {}
+        for key, table in (("small", "small_variants_callset"), ("cnv", "cnv_callset"),
+                           ("sv", "sv_callset"), ("re", "re_callset")):
+            rows = self.get_rows(
+                f"SELECT caller, caller_version, call_date FROM {table} WHERE processed_sample_id=?",
+                params=(ps_id,))
+            if rows:
+                caller, version, date = rows[0]
+                out[key] = ((caller or "").strip(), (version or "").strip(),
+                            (str(date)[:10] if date else ""))
+            else:
+                out[key] = ("", "", "")
+        return out
+
+    def report_config_id(self, ps_id) -> int:
+        v = self.get_value("SELECT id FROM report_configuration WHERE processed_sample_id=?",
+                           params=(ps_id,))
+        return int(v) if v is not None else -1
+
+    def genes_overlapping(self, chr_, start: int, end: int, extend: int = 0):
+        """NGSD::genesOverlapping — GeneSet of genes whose transcripts overlap
+        the (extended) region."""
+        from ..core.geneset import GeneSet
+        genes = GeneSet()
+        for t in self._transcript_cache()[0]:
+            if t.chr == chr_ and t.start() <= end + extend and t.end() >= start - extend:
+                genes.insert(t.gene)
+        return genes
+
+    def report_config_summary_text(self, ps_id) -> str:
+        """NGSD::reportConfigSummaryText (small-variant part; CNV/SV summaries
+        follow the same pattern once those import tools exist)."""
+        from ..core.chromosome import Chromosome
+        rc_id = self.report_config_id(ps_id)
+        if rc_id == -1:
+            return ""
+        output = "exists"
+        for var_id, in self.get_rows(
+                "SELECT variant_id FROM report_configuration_variant WHERE causal='1' AND report_configuration_id=?",
+                params=(rc_id,)):
+            row = self.get_rows("SELECT chr, start, end, ref, obs FROM variant WHERE id=?",
+                                params=(var_id,))
+            if not row:
+                continue
+            chrom, start, end, ref, obs = row[0]
+            genotype = self.get_value(
+                "SELECT genotype FROM detected_variant WHERE processed_sample_id=? AND variant_id=?",
+                params=(ps_id, var_id)) or ""
+            genes = self.genes_overlapping(Chromosome(str(chrom)), int(start), int(end), 5000).join(", ")
+            var_class = self.get_value(
+                "SELECT class FROM variant_classification WHERE variant_id=?", params=(var_id,)) or ""
+            output += f", causal variant: {chrom}:{start}-{end} {ref}>{obs} (genotype:{genotype} genes:{genes}"
+            if var_class:
+                output += f" classification:{var_class}"
+            output += ")"
+        return output
+
+    def same_samples(self, sample_id: int, mode: str = "SAME_PATIENT") -> set:
+        """NGSD::sameSamples — transitive same-sample/same-patient clusters."""
+        relations = ("'same sample'", "'same sample', 'same patient'")[mode == "SAME_PATIENT"]
+        id2same: dict[int, set] = {}
+        for id1, id2 in self.get_rows(
+                f"SELECT sample1_id, sample2_id FROM sample_relations WHERE relation IN ({relations})"):
+            id2same.setdefault(id1, set()).add(id2)
+            id2same.setdefault(id2, set()).add(id1)
+        same: dict[int, set] = {}
+        for s1 in id2same:
+            if s1 in same:
+                continue
+            cluster = {s1}
+            size_before = -1
+            while size_before != len(cluster):
+                size_before = len(cluster)
+                for sid in list(cluster):
+                    cluster |= id2same.get(sid, set())
+            for sid in cluster:
+                same[sid] = cluster - {sid}
+        if mode == "SAME_PATIENT":
+            by_patient: dict[str, set] = {}
+            for sid, patient in self.get_rows(
+                    "SELECT id, patient_identifier FROM sample WHERE patient_identifier IS NOT NULL AND patient_identifier!=''"):
+                patient = str(patient).strip()
+                if patient:
+                    by_patient.setdefault(patient, set()).add(sid)
+            for ids in by_patient.values():
+                if len(ids) < 2:
+                    continue
+                combined = set()
+                for sid in ids:
+                    combined.add(sid)
+                    combined |= same.get(sid, set())
+                for sid in combined:
+                    same[sid] = combined - {sid}
+        return same.get(sample_id, set())
+
+    def get_sample_data(self, sample_id) -> dict:
+        rows = self.get_rows(
+            "SELECT s.name, s.name_external, s.gender, s.quality, s.comment, s.disease_group, "
+            "s.disease_status, s.tumor, s.ffpe, s.sample_type, s.tissue, s.patient_identifier "
+            "FROM sample s WHERE id=?", params=(sample_id,))
+        if not rows:
+            raise NgsdError(f"Invalid 'id' for table 'sample' given: '{sample_id}'")
+        r = rows[0]
+        return {"name": (r[0] or "").strip(), "name_external": (r[1] or "").strip(),
+                "gender": r[2], "quality": r[3], "comments": (r[4] or "").strip(),
+                "disease_group": (r[5] or "").strip(), "disease_status": (r[6] or "").strip(),
+                "is_tumor": str(r[7]) == "1", "is_ffpe": str(r[8]) == "1",
+                "type": r[9], "tissue": r[10], "patient_identifier": r[11]}
+
+    def get_processed_sample_data(self, ps_id) -> dict:
+        rows = self.get_rows(
+            "SELECT CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')), sys.name_manufacturer, sys.type, "
+            "ps.quality, ps.comment, p.name, p.type, r.name, ps.normal_id, s.gender "
+            "FROM sample s, project p, processing_system sys, "
+            "processed_sample ps LEFT JOIN sequencing_run r ON ps.sequencing_run_id=r.id "
+            "WHERE ps.sample_id=s.id AND ps.project_id=p.id AND ps.processing_system_id=sys.id AND ps.id=?",
+            params=(ps_id,))
+        if not rows:
+            raise NgsdError(f"Invalid 'id' for table 'processed_sample' given: '{ps_id}'")
+        r = rows[0]
+        return {"name": (r[0] or "").strip(), "processing_system": (r[1] or "").strip(),
+                "processing_system_type": (r[2] or "").strip(), "quality": (r[3] or "").strip(),
+                "comments": (r[4] or "").strip(), "project_name": (r[5] or "").strip(),
+                "project_type": (r[6] or "").strip(), "run_name": (r[7] or "").strip(),
+                "normal_sample_name": self.processed_sample_name(r[8]) if r[8] is not None else "",
+                "gender": (r[9] or "").strip()}
+
+    def processed_sample_search(self, p: dict):
+        """NGSD::processedSampleSearch (NGSD.cpp:280-745) — returns
+        (headers, rows, ps_ids)."""
+        def esc(v):
+            return str(v).replace("'", "''")
+
+        ps_override = p.get("ps_override") or []
+        fields = ["ps.id",
+                  "CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')) as name",
+                  "s.name_external", "s.gender", "s.tumor", "s.ffpe", "ps.quality",
+                  "psa.population", "sys.name_manufacturer", "sys.name_short", "sys.type",
+                  "p.name", "p.type", "r.name", "r.fcid", "r.flowcell_type", "r.recipe",
+                  "r.quality", "s.disease_group", "s.disease_status", "s.tissue"]
+        headers = ["name", "name_external", "gender", "is_tumor", "is_ffpe", "quality",
+                   "ancestry", "system_name", "system_name_short", "system_type",
+                   "project_name", "project_type", "run_name", "run_flowcell_id",
+                   "run_flowcell_type", "run_recipe", "run_quality", "disease_group",
+                   "disease_status", "tissue"]
+        tables = ["sample s", "processing_system sys", "project p",
+                  "processed_sample ps LEFT JOIN sequencing_run r ON r.id=ps.sequencing_run_id "
+                  "LEFT JOIN diag_status ds ON ds.processed_sample_id=ps.id "
+                  "LEFT JOIN processed_sample_ancestry psa ON psa.processed_sample_id=ps.id "
+                  "LEFT JOIN user u ON ps.operator_id=u.id"]
+        conditions = ["ps.sample_id=s.id", "ps.processing_system_id=sys.id", "ps.project_id=p.id"]
+
+        if not ps_override:
+            if p.get("s_name", "").strip():
+                pattern = esc(p["s_name"])
+                if pattern.startswith("*"):
+                    pattern = "%" + pattern[1:]
+                if pattern.endswith("*"):
+                    pattern = pattern[:-1] + "%"
+                if not pattern.startswith("%") and not pattern.endswith("%"):
+                    pattern = "%" + pattern + "%"
+                name_conds = [f"s.name LIKE '{pattern}'"]
+                if p.get("s_name_ext"):
+                    name_conds.append(f"s.name_external LIKE '%{esc(p['s_name'])}%'")
+                conditions.append("(" + " OR ".join(name_conds) + ")")
+            if p.get("s_species", "").strip():
+                tables.append("species sp")
+                conditions += ["sp.id=s.species_id", f"sp.name='{esc(p['s_species'])}'"]
+            if p.get("s_sender", "").strip():
+                tables.append("sender se")
+                conditions += ["se.id=s.sender_id", f"se.name='{esc(p['s_sender'])}'"]
+            if p.get("s_study", "").strip():
+                tables += ["study st", "study_sample sts"]
+                conditions += ["st.id=sts.study_id", "sts.processed_sample_id=ps.id",
+                               f"st.name='{esc(p['s_study'])}'"]
+            for key, cond in (("s_disease_group", "s.disease_group"),
+                              ("s_disease_status", "s.disease_status"),
+                              ("s_tissue", "s.tissue"),
+                              ("s_ancestry", "psa.population")):
+                if p.get(key, "").strip():
+                    conditions.append(f"{cond}='{esc(p[key])}'")
+            if not p.get("include_bad_quality_samples", True):
+                conditions.append("ps.quality!='bad'")
+            if not p.get("include_scheduled_for_resequencing_samples", True):
+                conditions.append("ps.scheduled_for_resequencing='0'")
+            if not p.get("include_tumor_samples", True):
+                conditions.append("s.tumor='0'")
+            if not p.get("include_germline_samples", True):
+                conditions.append("s.tumor='1'")
+            if not p.get("include_ffpe_samples", True):
+                conditions.append("s.ffpe='0'")
+            if not p.get("include_merged_samples", False):
+                conditions.append("ps.id NOT IN (SELECT processed_sample_id FROM merged_processed_samples)")
+            if p.get("only_with_small_variants"):
+                conditions.append("ps.id IN (SELECT DISTINCT processed_sample_id FROM small_variants_callset)")
+            if p.get("s_phenotypes"):
+                tables.append("sample_disease_info sdi")
+                conditions += ["s.id=sdi.sample_id", "sdi.type='HPO term id'"]
+                accessions = []
+                for acc in p["s_phenotypes"]:
+                    accessions.append(acc)
+                    tid = self.phenotype_id_by_accession(acc)
+                    accessions += [self.phenotype_accession(c)
+                                   for c in self.phenotype_child_terms(tid, True)]
+                accessions = list(dict.fromkeys(accessions))
+                conditions.append("sdi.disease_info IN ('" + "', '".join(accessions) + "')")
+            if p.get("p_name", "").strip():
+                conditions.append(f"p.name LIKE '%{esc(p['p_name'])}%'")
+            if p.get("p_type", "").strip():
+                conditions.append(f"p.type='{esc(p['p_type'])}'")
+            if not p.get("include_archived_projects", True):
+                conditions.append("p.archived='0'")
+            if p.get("sys_name", "").strip():
+                conditions.append(f"(sys.name_manufacturer LIKE '{esc(p['sys_name'])}' OR sys.name_short LIKE '{esc(p['sys_name'])}')")
+            if p.get("sys_type", "").strip():
+                conditions.append(f"sys.type ='{esc(p['sys_type'])}'")
+            if p.get("r_name", "").strip():
+                conditions.append(f"r.name LIKE '%{esc(p['r_name'])}%'")
+            if not p.get("include_bad_quality_runs", True):
+                conditions.append("r.quality!='bad'")
+            if p.get("run_finished"):
+                conditions.append("r.status='analysis_finished'")
+            if p.get("r_before"):
+                conditions.append(f"r.start_date<='{p['r_before']}'")
+            if p.get("r_after"):
+                conditions.append(f"r.start_date>='{p['r_after']}'")
+            if p.get("r_device_name", "").strip():
+                tables.append("device d")
+                conditions += ["d.id=r.device_id", f"d.name LIKE '%{esc(p['r_device_name'])}%'"]
+
+        id2index = {}
+        if ps_override:
+            tmp = []
+            for ps in ps_override:
+                pid = self.processed_sample_id(ps, False)
+                if not pid:
+                    raise NgsdError(f"Processed sample '{ps}' given in 'ps_override' not found in NGSD!")
+                tmp.append(pid)
+                id2index[pid] = len(id2index)
+            conditions.append("ps.id IN (" + ", ".join(tmp) + ")")
+
+        if p.get("add_comments"):
+            fields += ["s.comment", "ps.comment"]
+            headers += ["comment_sample", "comment_processed_sample"]
+        if p.get("add_outcome"):
+            fields += ["ds.outcome", "ds.comment"]
+            headers += ["outcome", "outcome_comment"]
+        if p.get("add_dates"):
+            fields += ["s.year_of_birth", "s.received", "s.sampling_date", "s.order_date"]
+            headers += ["year_of_birth", "received_date", "sampling_date", "order_date"]
+        if p.get("add_qc"):
+            fields += ["s.quality", "ps.quality"]
+            headers += ["sample_quality", "processed_sample_quality"]
+        if p.get("add_lab_columns"):
+            fields += ["ps.processing_input", "ps.molarity", "u.name", "ps.processing_modus", "ps.batch_number"]
+            headers += ["processing_input", "molarity", "operator", "processing_modus", "batch_number"]
+
+        sql = ("SELECT " + ", ".join(fields) + " FROM " + ", ".join(tables)
+               + " WHERE " + " AND ".join(conditions)
+               + " ORDER BY r.name ASC, s.name ASC, ps.process_id ASC")
+        rows = []
+        done = set()
+        for r in self.get_rows(sql):
+            ps_id = str(r[0])
+            if ps_id in done:
+                continue
+            done.add(ps_id)
+            rows.append([ps_id] + ["" if v is None else str(v) for v in r[1:]])
+
+        if ps_override:
+            rows.sort(key=lambda r: id2index.get(r[0], -1))
+
+        # post columns
+        if p.get("add_disease_details"):
+            types = sorted(self.get_enum("sample_disease_info", "type"))
+            for row in rows:
+                details = self.get_rows(
+                    "SELECT sdi.type, sdi.disease_info FROM sample_disease_info sdi, processed_sample ps "
+                    "WHERE ps.sample_id=sdi.sample_id AND ps.id=? ORDER BY sdi.disease_info ASC",
+                    params=(row[0],))
+                for type_ in types:
+                    tmp = []
+                    for t, info in details:
+                        if t != type_:
+                            continue
+                        entry = str(info).replace("\r", " ").replace("\n", " ")
+                        if type_ == "HPO term id":
+                            name = self.get_value("SELECT name FROM hpo_term WHERE hpo_id=?", params=(entry,)) or ""
+                            tmp.append(f"{entry} - {name}")
+                        else:
+                            tmp.append(entry)
+                    row.append("; ".join(tmp))
+            headers += ["disease_details_" + t.replace(" ", "_") for t in types]
+        if p.get("add_qc"):
+            # move the quality columns to the start of the qc block
+            # (DBTable::takeColumn + addColumn in the reference)
+            for col in ("sample_quality", "processed_sample_quality"):
+                i = headers.index(col)
+                headers.pop(i)
+                vals = [row.pop(i + 1) for row in rows]
+                headers.append(col)
+                for row, v in zip(rows, vals):
+                    row.append(v)
+            qc_names = self.get_values("SELECT name FROM qc_terms WHERE obsolete=0 ORDER BY qcml_id")
+            for row in rows:
+                qc_hash = dict(self.get_rows(
+                    "SELECT n.name, nm.value FROM qc_terms n, processed_sample_qc nm "
+                    "WHERE nm.qc_terms_id=n.id AND nm.processed_sample_id=? AND n.obsolete=0",
+                    params=(row[0],)))
+                row.extend(str(qc_hash.get(name, "")) for name in qc_names)
+            headers += ["qc_" + n.replace(" ", "_") for n in qc_names]
+        if p.get("add_report_config"):
+            for row in rows:
+                row.append(self.report_config_summary_text(row[0]))
+            headers.append("report_config")
+        if p.get("add_normal_sample"):
+            for row in rows:
+                row.append(self.normal_sample(row[0]))
+            headers.append("normal_sample")
+        if p.get("add_call_details"):
+            for row in rows:
+                info = self.variant_calling_info(row[0])
+                for key in ("small", "cnv", "sv", "re"):
+                    caller, version, date = info[key]
+                    row.append((caller + " " + version).strip())
+                    row.append(date.strip())
+            headers += ["small_variants_caller", "small_variants_call_date", "cvn_caller",
+                        "cnv_call_date", "sv_caller", "sv_call_date", "re_caller", "re_call_date"]
+        if p.get("add_study_column"):
+            for row in rows:
+                row.append(", ".join(self.studies(row[0])))
+            headers.append("studies")
+        return headers, rows
 
     def previous_symbols(self, gene_id: int) -> list[str]:
         return sorted(set(self.get_values(

@@ -460,3 +460,59 @@ def test_ngsd_export_genes(ngsd, tmp_path, ref_data_out, args, golden):
     out = tmp_path / "out.tsv"
     assert execute("NGSDExportGenes", ["-test", "-out", out] + args) == 0
     compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("args,golden", [
+    ([], "NGSDExportSamples_out1.tsv"),
+    (["-add_disease_details", "-add_outcome", "-add_qc", "-add_report_config", "-add_comments",
+      "-add_normal_sample", "-add_dates", "-add_call_details", "-add_lab_columns",
+      "-add_study_column"], "NGSDExportSamples_out2.tsv"),
+    (["-sample", "NA12878", "-species", "human", "-disease_group", "Neoplasms",
+      "-disease_status", "Affected", "-tissue", "blood", "-no_bad_samples", "-no_tumor",
+      "-no_ffpe", "-project", "Second_project", "-project_type", "diagnostic",
+      "-system", "ssHAEv5", "-system_type", "WGS", "-run", "run2", "-no_bad_runs",
+      "-run_device", "Morpheus", "-sender", "Klaus-Erhard", "-study", "SomeStudy",
+      "-no_archived_projects", "-phenotypes", "HP:0000003;HP:0002862", "-ancestry", "EUR"],
+     "NGSDExportSamples_out3.tsv"),
+    (["-no_normal"], "NGSDExportSamples_out4.tsv"),
+    (["-ps_override", "NA12880_01;NA12878_01"], "NGSDExportSamples_out5.tsv"),
+])
+def test_ngsd_export_samples(ngsd, tmp_path, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportSamples_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDExportSamples", ["-test", "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("args,golden", [
+    (["-mode", "SAME_SAMPLE"], "NGSDSameSample_out1.tsv"),
+    (["-mode", "SAME_PATIENT"], "NGSDSameSample_out2.tsv"),
+    (["-sample_type", "DNA", "-include_bad"], "NGSDSameSample_out3.tsv"),
+    (["-system_type", "WGS,lrGS"], "NGSDSameSample_out4.tsv"),
+    (["-system", "SQK-114"], "NGSDSameSample_out5.tsv"),
+])
+def test_ngsd_same_sample(ngsd, tmp_path, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDSameSample_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDSameSample", ["-test", "-ps", "NA12880_01", "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_sample_users(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDSampleUsers_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDSampleUsers", ["-test", "-in", ref_data_in / "NGSDSampleUsers_in1.tsv",
+                                       "-out", out]) == 0
+    compare_files(out, ref_data_out / "NGSDSampleUsers_out1.tsv")
+
+
+@pytest.mark.parametrize("files,expected", [((1, 2, 3, 4), 46), ((5, 6, 7, 8), 50)])
+def test_ngsd_import_sample_qc(ngsd, files, expected):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDImportSampleQC_init.sql")
+    assert execute("NGSDImportSampleQC", ["-test", "-ps", "NA12878_45", "-files"]
+                   + [f"{din}/NGSDImportSampleQC_in{i}.qcML" for i in files] + ["-force"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM processed_sample_qc") == expected
