@@ -1,0 +1,267 @@
+"""BigWig reader.
+
+Behavioral reference: ngs-bits cppNGS/BigWigReader.{h,cpp} — from-scratch
+parser of the BigWig container (header, chromosome B+ tree, R-tree index,
+zlib data blocks with bedGraph/varStep/fixedStep records), with the same
+readValue/readValues/default-value semantics.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+from ..core.chromosome import Chromosome
+
+
+class BigWigError(Exception):
+    pass
+
+
+@dataclass
+class Header:
+    magic_number: int = 0
+    version: int = 0
+    zoom_levels: int = 0
+    chromosome_tree_offset: int = 0
+    full_data_offset: int = 0
+    full_index_offset: int = 0
+    field_count: int = 0
+    defined_field_count: int = 0
+    auto_sql_offset: int = 0
+    total_summary_offset: int = 0
+    uncompress_buf_size: int = 0
+
+
+@dataclass
+class Summary:
+    bases_covered: int = 0
+    min_val: float = 0.0
+    max_val: float = 0.0
+    sum_data: float = 0.0
+    sum_squares: float = 0.0
+
+
+@dataclass
+class _Node:
+    is_leaf: int = 0
+    count: int = 0
+    chr_idx_start: list = field(default_factory=list)
+    chr_idx_end: list = field(default_factory=list)
+    base_start: list = field(default_factory=list)
+    base_end: list = field(default_factory=list)
+    data_offset: list = field(default_factory=list)
+    size: list = field(default_factory=list)
+    children: list = field(default_factory=list)
+
+
+class BigWigReader:
+    def __init__(self, path: str):
+        self.path = str(path)
+        self.fp = open(self.path, "rb")
+        self.default_value = 0.0
+        self.default_value_is_set = False
+        self.chromosomes: dict[str, tuple[int, int]] = {}  # name -> (id, size)
+        self._parse_info()
+        self._parse_chrom()
+        self._parse_index_tree()
+
+    def close(self):
+        self.fp.close()
+
+    # ---- parsing ----
+    def _parse_info(self):
+        data = self.fp.read(64)
+        magic = struct.unpack("<I", data[:4])[0]
+        if magic == 0x888FFC26:
+            self.bo = "<"
+        elif magic == 0x26FC8F88:
+            self.bo = ">"
+        else:
+            raise BigWigError("Magic number of file doesn't belong to BigWig.")
+        h = Header()
+        h.magic_number = struct.unpack(self.bo + "I", data[:4])[0]
+        (h.version, h.zoom_levels, h.chromosome_tree_offset, h.full_data_offset,
+         h.full_index_offset, h.field_count, h.defined_field_count,
+         h.auto_sql_offset, h.total_summary_offset, h.uncompress_buf_size,
+         _reserved) = struct.unpack(self.bo + "HHQQQHHQQIQ", data[4:64])
+        self.header = h
+        self.zoom_levels = []
+        for _ in range(h.zoom_levels):
+            zd = self.fp.read(24)
+            self.zoom_levels.append(struct.unpack(self.bo + "IIQQ", zd))
+        self.fp.seek(h.total_summary_offset)
+        sd = self.fp.read(40)
+        s = Summary()
+        (s.bases_covered, s.min_val, s.max_val, s.sum_data,
+         s.sum_squares) = struct.unpack(self.bo + "Qdddd", sd)
+        self.summary = s
+
+    def _parse_chrom(self):
+        self.fp.seek(self.header.chromosome_tree_offset)
+        hd = self.fp.read(32)
+        (magic, children_per_block, key_size, val_size, item_count,
+         _res) = struct.unpack(self.bo + "IIIIQQ", hd)
+        self._chrom_key_size = key_size
+        self._parse_chrom_block(key_size)
+
+    def _parse_chrom_block(self, key_size: int):
+        bd = self.fp.read(4)
+        is_leaf, _pad, num_items = struct.unpack(self.bo + "BBH", bd)
+        if is_leaf == 1:
+            for _ in range(num_items):
+                data = self.fp.read(key_size + 8)
+                key = data[:key_size].decode(errors="replace")
+                key = re.sub(r"[^0-9]+$", "", key)  # trimNonNumericFromEnd
+                key = Chromosome(key.strip()).str_normalized(True)
+                chrom_id, chrom_size = struct.unpack(self.bo + "II", data[key_size:key_size + 8])
+                self.chromosomes[key] = (chrom_id, chrom_size)
+        else:
+            current = self.fp.tell() + key_size
+            for _ in range(num_items):
+                self.fp.seek(current)
+                offset = struct.unpack(self.bo + "Q", self.fp.read(8))[0]
+                self.fp.seek(offset)
+                self._parse_chrom_block(key_size)
+                current += key_size + 8
+
+    def _parse_index_tree(self):
+        self.fp.seek(self.header.full_index_offset)
+        data = self.fp.read(48)
+        magic = struct.unpack(self.bo + "I", data[:4])[0]
+        if magic != 0x2468ACE0:
+            raise BigWigError("Magic number of index not what expected!")
+        self._root = self._parse_index_node(self.header.full_index_offset + 48)
+
+    def _parse_index_node(self, offset: int) -> _Node:
+        self.fp.seek(offset)
+        is_leaf, _pad, count = struct.unpack(self.bo + "BBH", self.fp.read(4))
+        node = _Node(is_leaf=is_leaf, count=count)
+        if is_leaf:
+            data = self.fp.read(count * 32)
+            for i in range(count):
+                cis, bs, cie, be, doff, dsize = struct.unpack(
+                    self.bo + "IIIIQQ", data[i * 32:(i + 1) * 32])
+                node.chr_idx_start.append(cis)
+                node.base_start.append(bs)
+                node.chr_idx_end.append(cie)
+                node.base_end.append(be)
+                node.data_offset.append(doff)
+                node.size.append(dsize)
+        else:
+            data = self.fp.read(count * 24)
+            offs = []
+            for i in range(count):
+                cis, bs, cie, be, doff = struct.unpack(
+                    self.bo + "IIIIQ", data[i * 24:(i + 1) * 24])
+                node.chr_idx_start.append(cis)
+                node.base_start.append(bs)
+                node.chr_idx_end.append(cie)
+                node.base_end.append(be)
+                node.data_offset.append(doff)
+                offs.append(doff)
+            for doff in offs:
+                node.children.append(self._parse_index_node(doff))
+        return node
+
+    # ---- queries ----
+    def contains_chromosome(self, chr_: str) -> bool:
+        return chr_ in self.chromosomes
+
+    def set_default_value(self, value: float):
+        self.default_value = value
+        self.default_value_is_set = True
+
+    def _overlapping_blocks(self, node: _Node, chr_id: int, start: int, end: int) -> list:
+        blocks = []
+        for i in range(node.count):
+            if chr_id < node.chr_idx_start[i]:
+                break
+            if chr_id > node.chr_idx_end[i]:
+                continue
+            if node.chr_idx_start[i] != node.chr_idx_end[i]:
+                if chr_id == node.chr_idx_start[i] and node.base_start[i] >= end:
+                    continue
+                if chr_id == node.chr_idx_end[i] and node.base_end[i] <= start:
+                    continue
+            elif node.is_leaf and (node.base_start[i] >= end or node.base_end[i] <= start):
+                continue
+            if node.is_leaf:
+                blocks.append((node.base_start[i], node.data_offset[i], node.size[i]))
+            else:
+                blocks.extend(self._overlapping_blocks(node.children[i], chr_id, start, end))
+        return blocks
+
+    def get_overlapping_intervals(self, chr_: str, start: int, end: int,
+                                  offset: int = -1) -> list[tuple[int, int, float]]:
+        if not self.contains_chromosome(chr_):
+            raise BigWigError(f"Couldn't find given chromosome in file: {chr_}")
+        chr_id = self.chromosomes[chr_][0]
+        blocks = sorted(self._overlapping_blocks(self._root, chr_id, start + offset, end + offset))
+        out = []
+        for _bs, doff, dsize in blocks:
+            self.fp.seek(doff)
+            raw = self.fp.read(dsize)
+            if self.header.uncompress_buf_size > 0:
+                raw = zlib.decompress(raw)
+            (hdr_chrom, hdr_start, hdr_end, step, span, dtype, _pad,
+             num_items) = struct.unpack(self.bo + "IIIIIBBH", raw[:24])
+            if hdr_chrom != chr_id:
+                continue
+            pos = 24
+            ivs = hdr_start - step if dtype == 3 else 0
+            for _ in range(num_items):
+                if dtype == 1:
+                    ivs, ive, val = struct.unpack(self.bo + "IIf", raw[pos:pos + 12])
+                    pos += 12
+                elif dtype == 2:
+                    ivs, val = struct.unpack(self.bo + "If", raw[pos:pos + 8])
+                    ive = ivs + span
+                    pos += 8
+                elif dtype == 3:
+                    ivs += step
+                    ive = ivs + span
+                    val = struct.unpack(self.bo + "f", raw[pos:pos + 4])[0]
+                    pos += 4
+                else:
+                    raise BigWigError("Unknown type while parsing a data block.")
+                if start + offset >= ive or end + offset <= ivs:
+                    continue
+                out.append((ivs, ive, val))
+        return out
+
+    def read_values(self, chr_: str, start: int, end: int, offset: int = -1) -> list[float]:
+        if not self.default_value_is_set:
+            raise BigWigError("The default value has to be set before the readValue functions can be used!")
+        intervals = self.get_overlapping_intervals(chr_, start, end, offset)
+        result = [self.default_value] * (end - start)
+        for ivs, ive, val in intervals:
+            if ive - ivs == 1:
+                result[ivs - (start + offset)] = val
+            else:
+                # reference quirk: multi-position intervals index without the
+                # offset (BigWigReader.cpp:118-127)
+                for i in range(ivs, ive):
+                    idx = i - start
+                    if 0 <= idx < (end - start):
+                        result[idx] = val
+        return result
+
+    def read_values_region(self, region: str, offset: int = -1) -> list[float]:
+        parts1 = region.split(":")
+        if len(parts1) != 2:
+            raise BigWigError(f"Given region is not formatted correctly: Expected 'chr:start-end'\n Given:{region}")
+        parts2 = parts1[1].split("-")
+        if len(parts2) != 2:
+            raise BigWigError(f"Given region is not formatted correctly: Expected 'chr:start-end'\n Given:{region}")
+        return self.read_values(parts1[0], int(parts2[0]), int(parts2[1]), offset)
+
+    def read_value(self, chr_: str, position: int, offset: int = -1) -> float:
+        values = self.read_values(chr_, position, position + 1, offset)
+        if len(values) == 1:
+            return values[0]
+        if len(values) == 0:
+            return self.default_value
+        raise BigWigError(f"Found multiple Overlapping Intervals for a single position? - chr {chr_}: {position}")
