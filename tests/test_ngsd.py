@@ -516,3 +516,38 @@ def test_ngsd_import_sample_qc(ngsd, files, expected):
     assert execute("NGSDImportSampleQC", ["-test", "-ps", "NA12878_45", "-files"]
                    + [f"{din}/NGSDImportSampleQC_in{i}.qcML" for i in files] + ["-force"]) == 0
     assert ngsd.get_value("SELECT count(*) FROM processed_sample_qc") == expected
+
+
+@pytest.mark.parametrize("args,infile,golden", [
+    ([], "BedAnnotateGenes_in1.bed", "BedAnnotateGenes_out1.bed"),
+    (["-extend", "25"], "BedAnnotateGenes_in2.bed", "BedAnnotateGenes_out2.bed"),
+    (["-clear"], "BedAnnotateGenes_in2.bed", "BedAnnotateGenes_out3.bed"),
+])
+def test_bed_annotate_genes(ngsd, tmp_path, ref_data_in, ref_data_out, args, infile, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "BedAnnotateGenes_init.sql")
+    out = tmp_path / "out.bed"
+    assert execute("BedAnnotateGenes", ["-test", "-in", ref_data_in / infile, "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("source,golden", [("ccds", "BedGeneOverlap_out1.tsv"),
+                                           ("ensembl", "BedGeneOverlap_out2.tsv")])
+def test_bed_gene_overlap(ngsd, tmp_path, ref_data_in, ref_data_out, source, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "BedGeneOverlap_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("BedGeneOverlap", ["-test", "-source", source,
+                                      "-in", ref_data_in / "BedGeneOverlap_in1.bed", "-out", out]) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+@pytest.mark.parametrize("args,golden", [([], "CnvGeneAnnotation_out1.tsv"),
+                                         (["-add_simple_gene_names"], "CnvGeneAnnotation_out2.tsv")])
+def test_cnv_gene_annotation(ngsd, tmp_path, ref_data_in, ref_data_out, args, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "CnvGeneAnnotation_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("CnvGeneAnnotation", ["-test", "-in", ref_data_in / "CnvGeneAnnotation_in.tsv",
+                                         "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
