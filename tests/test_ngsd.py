@@ -551,3 +551,25 @@ def test_cnv_gene_annotation(ngsd, tmp_path, ref_data_in, ref_data_out, args, go
     assert execute("CnvGeneAnnotation", ["-test", "-in", ref_data_in / "CnvGeneAnnotation_in.tsv",
                                          "-out", out] + args) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_annotate_sv(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDAnnotateSV_init.sql")
+    out = tmp_path / "out.bedpe"
+    assert execute("NGSDAnnotateSV", ["-test", "-in", ref_data_in / "NGSDAnnotateSV_in1.bedpe",
+                                      "-out", out]) == 0
+    compare_files(out, ref_data_out / "NGSDAnnotateSV_out1.bedpe")
+
+
+def test_ngsd_annotate_cnv(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDAnnotateCNV_init.sql")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDAnnotateCNV", ["-test", "-in", ref_data_in / "NGSDAnnotateCNV_in.tsv",
+                                       "-out", out]) == 0
+    compare_files(out, ref_data_out / "NGSDAnnotateCNV_out.tsv")
+    # re-annotation of already-annotated file replaces the column
+    out2 = tmp_path / "out2.tsv"
+    assert execute("NGSDAnnotateCNV", ["-test", "-in", out, "-out", out2]) == 0
+    compare_files(out2, ref_data_out / "NGSDAnnotateCNV_out.tsv")
