@@ -149,7 +149,125 @@ class NGSDAnnotateCNVTool(ToolBase):
         db.close()
 
 
+class BedpeGeneAnnotationTool(ToolBase):
+    """Behavioral reference: src/BedpeGeneAnnotation/main.cpp."""
+
+    name = "BedpeGeneAnnotation"
+    description = "Annotates a BEDPE file with gene information from the NGSD."
+
+    def setup(self):
+        self.add_infile("in", "Input BEDPE file containing the SVs.")
+        self.add_outfile("out", "Output BEDPE file containing the annotated SVs.")
+        self.add_flag("add_simple_gene_names", "Adds an additional column containing only the list of gene names.")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+
+    def main(self):
+        from ..core.geneset import GeneSet
+        from ..core.intervals import BedFile, BedLine, ChromosomalIndex
+        add_simple = self.get_flag("add_simple_gene_names")
+        db = NGSD(self.get_flag("test"))
+
+        def relevant_transcripts(gene_name):
+            gid = db.gene_to_approved_id(gene_name)
+            return [t for t in db.transcripts(gid, "ensembl", False)
+                    if t.is_preferred or t.is_mane_select or t.is_mane_plus_clinical
+                    or t.is_gencode_primary]
+
+        gene_regions = BedFile()
+        for gene_name in sorted(db.approved_gene_names()):
+            for t in relevant_transcripts(gene_name):
+                gene_regions.append(BedLine(t.chr, t.start(), t.end(), [gene_name.encode()]))
+        gene_regions.extend(5000)
+        gene_regions.sort()
+        index = ChromosomalIndex(gene_regions)
+        sys.stdout.write("caching gene start/end finished\n")
+
+        gene_oe_lof = {}
+        for gene_name in db.approved_gene_names():
+            v = db.get_value("SELECT gnomad_oe_lof FROM geneinfo_germline WHERE symbol=?",
+                             params=(gene_name,))
+            gene_oe_lof[gene_name] = f"{float(v):.2f}" if v is not None else "n/a"
+        sys.stdout.write("caching gnomAD o/e finished\n")
+
+        f = BedpeFile.from_file(self.get_infile("in"))
+        header = list(f.annotation_headers)
+        i_gene = header.index(b"GENES") if b"GENES" in header else -1
+        if add_simple and i_gene < 0:
+            header.append(b"GENES")
+        i_gene_bp = header.index(b"GENES_BREAKPOINTS") if b"GENES_BREAKPOINTS" in header else -1
+        if add_simple and i_gene_bp < 0:
+            header.append(b"GENES_BREAKPOINTS")
+        i_gene_info = header.index(b"GENE_INFO") if b"GENE_INFO" in header else -1
+        if i_gene_info < 0:
+            header.append(b"GENE_INFO")
+        buf = list(f.headers)
+        buf.append(b"#CHROM_A\tSTART_A\tEND_A\tCHROM_B\tSTART_B\tEND_B\t" + b"\t".join(header))
+
+        exon_regions: dict[str, BedFile] = {}
+        for line in f.lines:
+            matching = GeneSet()
+            matching_bp = GeneSet()
+            covered: dict[str, str] = {}
+            for sv_region in line.affected_region().lines:
+                for mi in index.matching_indices(sv_region.chr, sv_region.start, sv_region.end):
+                    locus = gene_regions.lines[int(mi)]
+                    gene_name = locus.annotations[0].decode()
+                    matching.insert(gene_name)
+                    if sv_region.start <= locus.start + 5000 and sv_region.end >= locus.end - 5000:
+                        overlap = "complete"
+                    else:
+                        if gene_name not in exon_regions:
+                            regions = BedFile()
+                            for t in relevant_transcripts(gene_name):
+                                regions.add(t.regions)
+                            regions.extend(20)
+                            regions.merge()
+                            exon_regions[gene_name] = regions
+                        if exon_regions[gene_name].overlaps_with(sv_region.chr, sv_region.start, sv_region.end):
+                            overlap = "exonic/splicing"
+                        else:
+                            overlap = "intronic/intergenic"
+                    old = covered.get(gene_name)
+                    if old is not None:
+                        if overlap != old:
+                            if old == "complete" or overlap == "complete":
+                                covered[gene_name] = "complete"
+                            elif old == "exonic/splicing" or overlap == "exonic/splicing":
+                                covered[gene_name] = "exonic/splicing"
+                    else:
+                        covered[gene_name] = overlap
+                    if (locus.overlaps(None, sv_region.start, sv_region.start)
+                            or locus.overlaps(None, sv_region.end, sv_region.end)):
+                        matching_bp.insert(gene_name)
+
+            annos = list(line.annotations)
+            if add_simple:
+                if i_gene >= 0:
+                    annos[i_gene] = matching.join(",").encode()
+                else:
+                    annos.append(matching.join(",").encode())
+            if add_simple:
+                if i_gene_bp >= 0:
+                    annos[i_gene_bp] = matching_bp.join(",").encode()
+                else:
+                    annos.append(matching_bp.join(",").encode())
+            gene_info = ",".join(
+                f"{g} (oe_lof={gene_oe_lof.get(g, 'n/a')} region={covered[g]})" for g in matching)
+            if i_gene_info >= 0:
+                annos[i_gene_info] = gene_info.encode()
+            else:
+                annos.append(gene_info.encode())
+            line.annotations = annos
+            buf.append(line.to_tsv())
+
+        with open(self.get_outfile("out"), "wb") as fh:
+            fh.write(b"".join(l + b"\n" for l in buf))
+        sys.stdout.write("annotation complete.\n")
+        db.close()
+
+
 TOOLS = {
     "NGSDAnnotateSV": NGSDAnnotateSVTool,
     "NGSDAnnotateCNV": NGSDAnnotateCNVTool,
+    "BedpeGeneAnnotation": BedpeGeneAnnotationTool,
 }

@@ -573,3 +573,17 @@ def test_ngsd_annotate_cnv(ngsd, tmp_path, ref_data_in, ref_data_out):
     out2 = tmp_path / "out2.tsv"
     assert execute("NGSDAnnotateCNV", ["-test", "-in", out, "-out", out2]) == 0
     compare_files(out2, ref_data_out / "NGSDAnnotateCNV_out.tsv")
+
+
+@pytest.mark.parametrize("args,infile,golden", [
+    ([], "BedpeGeneAnnotation_in1.bedpe", "BedpeGeneAnnotation_out1.bedpe"),
+    (["-add_simple_gene_names"], "BedpeGeneAnnotation_in1.bedpe", "BedpeGeneAnnotation_out2.bedpe"),
+    (["-add_simple_gene_names"], "BedpeGeneAnnotation_in2.bedpe", "BedpeGeneAnnotation_out2.bedpe"),
+])
+def test_bedpe_gene_annotation(ngsd, tmp_path, ref_data_in, ref_data_out, args, infile, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "BedpeGeneAnnotation_init.sql")
+    out = tmp_path / "out.bedpe"
+    assert execute("BedpeGeneAnnotation", ["-test", "-in", ref_data_in / infile,
+                                           "-out", out] + args) == 0
+    compare_files(out, ref_data_out / golden)
