@@ -587,3 +587,37 @@ def test_bedpe_gene_annotation(ngsd, tmp_path, ref_data_in, ref_data_out, args, 
     assert execute("BedpeGeneAnnotation", ["-test", "-in", ref_data_in / infile,
                                            "-out", out] + args) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_import_expression_data(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDImportExpressionData_init1.sql")
+    assert execute("NGSDImportExpressionData", ["-test", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in1_counts.tsv",
+                                                "-ps", "RX123456_03", "-debug"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM expression") == 7997
+    # without -force the second import fails
+    assert execute("NGSDImportExpressionData", ["-test", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in2_counts.tsv",
+                                                "-ps", "RX123456_03", "-debug"]) == 1
+    assert ngsd.get_value("SELECT count(*) FROM expression") == 7997
+    assert execute("NGSDImportExpressionData", ["-test", "-force", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in2_counts.tsv",
+                                                "-ps", "RX123456_03", "-debug"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM expression") == 102
+
+
+def test_ngsd_import_expression_exons(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDImportExpressionData_init2.sql")
+    assert execute("NGSDImportExpressionData", ["-test", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in1_exon.tsv",
+                                                "-ps", "RX123456_03", "-mode", "exons", "-debug"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM expression_exon") == 71
+    assert execute("NGSDImportExpressionData", ["-test", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in2_exon.tsv",
+                                                "-ps", "RX123456_03", "-mode", "exons", "-debug"]) == 1
+    assert execute("NGSDImportExpressionData", ["-test", "-force", "-expression",
+                                                f"{din}/NGSDImportExpressionData_in2_exon.tsv",
+                                                "-ps", "RX123456_03", "-mode", "exons", "-debug"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM expression_exon") == 43
