@@ -29,10 +29,21 @@ class GSvarVariant:
 
 class GSvarFile:
     def __init__(self):
-        self.comments: list[bytes] = []
+        self.comments: list[bytes] = []                 # ## lines except DESCRIPTION/FILTER
+        self.descriptions: list[tuple[str, str]] = []   # column descriptions, load order
+        self.filters: dict[str, str] = {}               # FILTER id -> description
         self.columns: list[str] = []          # annotation column names (after obs)
         self.variants: list[GSvarVariant] = []
         self.samples: list[tuple[str, str]] = []  # (id, status)
+
+    def add_description(self, name: str, desc: str):
+        """VariantList::annotationDescriptions().append — replaces an existing
+        description of the same column."""
+        for i, (n, _d) in enumerate(self.descriptions):
+            if n == name:
+                self.descriptions[i] = (name, desc)
+                return
+        self.descriptions.append((name, desc))
 
     @staticmethod
     def from_file(filename: str, roi=None) -> "GSvarFile":
@@ -51,6 +62,14 @@ class GSvarFile:
             if not line:
                 continue
             if line.startswith(b"##"):
+                if line.startswith(b"##DESCRIPTION=") and line.count(b"=") >= 2:
+                    _tag, name, desc = line.split(b"=", 2)
+                    out.descriptions.append((name.decode(), desc.decode()))
+                    continue
+                if line.startswith(b"##FILTER=") and line.count(b"=") >= 2:
+                    _tag, fid, desc = line.split(b"=", 2)
+                    out.filters[fid.decode()] = desc.decode()
+                    continue
                 out.comments.append(line)
                 if line.startswith(b"##SAMPLE=<"):
                     inner = line[10:].rstrip(b">")
@@ -129,14 +148,24 @@ class GSvarFile:
         return out
 
     def store(self, filename: str | None):
+        """VariantList::store (VariantList.cpp:937-1004): comments, then
+        ##DESCRIPTION lines, then ##FILTER lines (sorted by id), then header
+        and rows (values with newlines/tabs replaced by spaces)."""
         import sys as _sys
-        lines = list(self.comments)
+        lines = [c for c in self.comments if not c.startswith(b"##fileformat=")]
+        for name, desc in self.descriptions:
+            if not desc or name == ".":
+                continue
+            lines.append(f"##DESCRIPTION={name}={desc}".encode())
+        for fid in sorted(self.filters):
+            lines.append(f"##FILTER={fid}={self.filters[fid]}".encode())
         lines.append(b"#chr\tstart\tend\tref\tobs\t"
                      + b"\t".join(c.encode() for c in self.columns))
         for v in self.variants:
-            lines.append(b"\t".join([v.chr.str.encode(), str(v.start).encode(),
-                                     str(v.end).encode(), v.ref, v.obs]
-                                    + list(v.annotations)))
+            lines.append(b"\t".join(
+                [v.chr.str.encode(), str(v.start).encode(),
+                 str(v.end).encode(), v.ref, v.obs]
+                + [a.replace(b"\n", b" ").replace(b"\t", b" ") for a in v.annotations]))
         data = b"".join(l + b"\n" for l in lines)
         if filename:
             with open(filename, "wb") as fh:

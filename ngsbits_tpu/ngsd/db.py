@@ -12,6 +12,7 @@ comes from the environment:
 from __future__ import annotations
 
 import datetime
+import math
 import gzip
 import os
 import re
@@ -24,6 +25,24 @@ _RES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 
 class NgsdError(Exception):
     pass
+
+
+class _StdAggregate:
+    """MySQL STD() — population standard deviation."""
+
+    def __init__(self):
+        self.values = []
+
+    def step(self, value):
+        if value is not None:
+            self.values.append(float(value))
+
+    def finalize(self):
+        n = len(self.values)
+        if n == 0:
+            return None
+        mean = sum(self.values) / n
+        return math.sqrt(sum((v - mean) ** 2 for v in self.values) / n)
 
 
 _IMPRINTING = None
@@ -67,6 +86,8 @@ class NGSD:
         # MySQL functions the reference queries rely on
         self.conn.create_function("CONCAT", -1, lambda *a: "".join("" if x is None else str(x) for x in a))
         self.conn.create_function("LPAD", 3, lambda s, n, p: str(s).rjust(int(n), str(p)))
+        self.conn.create_function("LOG2", 1, lambda x: math.log2(x) if x is not None else None)
+        self.conn.create_aggregate("STD", 1, _StdAggregate)
         self.conn.execute("PRAGMA foreign_keys = OFF")
 
     def close(self):
@@ -1015,6 +1036,143 @@ class NGSD:
                 row.append(", ".join(self.studies(row[0])))
             headers.append("studies")
         return headers, rows
+
+    # ---- RNA expression (NGSD.cpp:2065-2850) ----
+    def processing_system_id(self, name: str, throw_if_fails: bool = True) -> int:
+        for col in ("name_short", "name_manufacturer"):
+            ids = self.get_values(f"SELECT id FROM processing_system WHERE {col}=?", params=(name,))
+            if len(ids) == 1:
+                return int(ids[0])
+        if throw_if_fails:
+            raise NgsdError(f"No processing system with name '{name}' not found in NGSD!")
+        return -1
+
+    def related_samples(self, sample_id: int, relation: str | None = None,
+                        sample_type: str = "") -> set:
+        cond = ""
+        params = [sample_id, sample_id]
+        if relation is not None:
+            cond = " AND relation=?"
+            params.append(relation)
+        out = set()
+        for id1, id2 in self.get_rows(
+                "SELECT sample1_id, sample2_id FROM sample_relations "
+                "WHERE (sample1_id=? OR sample2_id=?)" + cond, params=tuple(params)):
+            other = id2 if id1 == sample_id else id1
+            if sample_type:
+                st = self.get_value("SELECT sample_type FROM sample WHERE id=?", params=(other,))
+                if st != sample_type:
+                    continue
+            out.add(other)
+        return out
+
+    def get_sample_disease_info(self, sample_id, only_type: str = "") -> list[tuple[str, str]]:
+        cond = ""
+        params = [sample_id]
+        if only_type:
+            cond = " AND type=?"
+            params.append(only_type)
+        return self.get_rows(
+            "SELECT type, disease_info FROM sample_disease_info WHERE sample_id=?" + cond,
+            params=tuple(params))
+
+    def get_gene_expression_values_of_sample(self, ps_id, allow_empty: bool = False) -> dict:
+        rows = self.get_rows(
+            "SELECT eg.symbol, e.tpm FROM expression e, expression_gene eg "
+            "WHERE e.symbol_id=eg.id AND e.processed_sample_id=?", params=(ps_id,))
+        if not allow_empty and not rows:
+            raise NgsdError(f"No expression data found for processed sample '{self.processed_sample_name(ps_id)}'!")
+        return {sym: float(tpm) for sym, tpm in rows}
+
+    def get_rna_cohort(self, sys_id: int, tissue_type: str, project: str, ps_id,
+                       cohort_type: str, mode: str = "genes", exclude_quality=(),
+                       gender: str = "all") -> set:
+        """NGSD::getRNACohort."""
+        s_id = None
+        if ps_id:
+            s_id = int(self.sample_id(self.processed_sample_name(ps_id)))
+        table = "expression" if mode == "genes" else "expression_exon"
+        all_ps = set(self.get_values(f"SELECT DISTINCT e.processed_sample_id FROM {table} e"))
+        if cohort_type in ("RNA_COHORT_GERMLINE", "RNA_COHORT_GERMLINE_PROJECT"):
+            if tissue_type not in self.get_enum("sample", "tissue"):
+                raise NgsdError(f"'{tissue_type}' is not a valid tissue type in the NGSD!")
+            q = ("SELECT ps.id FROM processed_sample ps LEFT JOIN sample s on ps.sample_id = s.id "
+                 f"WHERE ps.processing_system_id = {sys_id} AND s.tissue = '{tissue_type}'")
+            if exclude_quality:
+                q += " AND ps.quality NOT IN ('" + "', '".join(exclude_quality) + "')"
+            if gender in ("male", "female"):
+                q += f" AND s.gender = '{gender}'"
+            elif gender != "all":
+                raise NgsdError(f"Invalid gender '{gender}' provided!")
+            if cohort_type == "RNA_COHORT_GERMLINE_PROJECT":
+                project_id = self.get_value("SELECT id FROM project WHERE name=?",
+                                            no_value_is_ok=False, params=(project,))
+                q += f" AND ps.project_id = {project_id}"
+            cohort = set(self.get_values(q))
+        elif cohort_type == "RNA_COHORT_SOMATIC":
+            if not str(ps_id).strip():
+                raise NgsdError("Processed sample id required for somatic RNA cohort determination!")
+            project_id = self.get_value("SELECT id FROM project WHERE name=?",
+                                        no_value_is_ok=False, params=(project,))
+            sample_ids = self.related_samples(s_id, "same sample", "DNA")
+            sample_ids.add(s_id)
+            icd10 = set()
+            hpo = set()
+            for sid in sample_ids:
+                for _t, info in self.get_sample_disease_info(sid, "ICD10 code"):
+                    icd10.add(info)
+                for _t, info in self.get_sample_disease_info(sid, "HPO term id"):
+                    hpo.add(info)
+            name = self.processed_sample_name(ps_id)
+            if len(icd10) > 1:
+                raise NgsdError(f"Sample {name} contains more than 1 ICD10 code, cannot create sample cohort")
+            if len(hpo) > 1:
+                raise NgsdError(f"Sample {name} contains more than 1 HPO term, cannot create sample cohort")
+            if len(icd10) < 1:
+                raise NgsdError(f"Sample {name} does not contain ICD10 code, cannot create sample cohort")
+            if len(hpo) < 1:
+                raise NgsdError(f"Sample {name} does not contain HPO term, cannot create sample cohort")
+            q = ("SELECT DISTINCT ps.id FROM processed_sample ps LEFT JOIN sample s on ps.sample_id=s.id "
+                 "LEFT JOIN sample_relations sr ON s.id=sr.sample1_id OR s.id=sr.sample2_id "
+                 "LEFT JOIN sample_disease_info sdi ON s.id=sdi.sample_id OR sr.sample1_id=sdi.sample_id OR sr.sample2_id=sdi.sample_id "
+                 f"WHERE ps.processing_system_id={sys_id} AND ps.project_id={project_id} "
+                 "AND ps.quality != 'bad' AND (sr.relation='same sample' OR sr.relation IS NULL) "
+                 f"AND ((sdi.type='ICD10 code' AND sdi.disease_info='{list(icd10)[0]}') "
+                 f"OR (sdi.type='HPO term id' AND sdi.disease_info='{list(hpo)[0]}'))")
+            if exclude_quality:
+                q += " AND ps.quality NOT IN ('" + "', '".join(exclude_quality) + "')"
+            if gender in ("male", "female"):
+                q += f" AND s.gender = '{gender}'"
+            elif gender != "all":
+                raise NgsdError(f"Invalid gender '{gender}' provided!")
+            cohort = set(self.get_values(q))
+        else:
+            raise NgsdError("Invalid cohort type!")
+
+        if s_id is not None:
+            related = self.related_samples(s_id)
+            related.add(s_id)
+            related_ps = set()
+            for sid in related:
+                related_ps.update(self.get_values(
+                    "SELECT id FROM processed_sample WHERE sample_id=?", params=(sid,)))
+            cohort -= related_ps
+        return cohort & all_ps
+
+    def calculate_gene_expression_statistics(self, cohort: set, gene_symbol: str = "") -> dict:
+        """NGSD::calculateGeneExpressionStatistics — gene -> (mean, mean_log2,
+        stddev_log2)."""
+        if not cohort:
+            return {}
+        ids = ", ".join(str(i) for i in cohort)
+        q = ("SELECT e.symbol_id, AVG(e.tpm), AVG(LOG2(e.tpm+1)), STD(LOG2(e.tpm+1)) FROM expression e "
+             f"WHERE e.processed_sample_id IN ({ids}) GROUP BY e.symbol_id ORDER BY e.symbol_id")
+        id2gene = dict(self.get_rows("SELECT id, symbol FROM expression_gene"))
+        out = {}
+        for sid, mean, mean_log2, std_log2 in self.get_rows(q):
+            out[id2gene.get(sid, "")] = (float(mean), float(mean_log2),
+                                         float(std_log2) if std_log2 is not None else 0.0)
+        return out
 
     def previous_symbols(self, gene_id: int) -> list[str]:
         return sorted(set(self.get_values(

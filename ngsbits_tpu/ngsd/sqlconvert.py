@@ -261,6 +261,9 @@ def convert_create_table(stmt: str) -> str | None:
             # remove an earlier PRIMARY KEY clause for this col if added
             cols = [c for c in cols if c != f"PRIMARY KEY ({name})"]
         rest = re.sub(r"\s+", " ", rest).strip()
+        # MySQL's default utf8_general_ci collation compares case-insensitively
+        if re.match(r"(VARCHAR|CHAR|TEXT|TINYTEXT|MEDIUMTEXT|LONGTEXT)", rest.split()[0].upper()):
+            rest += " COLLATE NOCASE"
         # MySQL non-strict implicit defaults for NOT NULL columns without an
         # explicit DEFAULT (the NGSD test dumps rely on them): first enum
         # value, 0 for numerics, '' for strings

@@ -146,13 +146,13 @@ class VariantAnnotateFrequencyTool(ToolBase):
         prefix = self.get_string("name")
         prefix = prefix + "_" if prefix else ""
         gs.columns.append(prefix + "freq")
-        gs.comments.append(f"##DESCRIPTION={prefix}freq=Variant frequency.".encode())
+        gs.add_description(prefix + "freq", "Variant frequency.")
         if depth:
             gs.columns.append(prefix + "depth")
-            gs.comments.append(f"##DESCRIPTION={prefix}depth=Sequencing depth at the variant position.".encode())
+            gs.add_description(prefix + "depth", "Sequencing depth at the variant position.")
         if mapq0:
             gs.columns.append(prefix + "mapq0_frac")
-            gs.comments.append(f"##DESCRIPTION={prefix}mapq0_frac=Fraction of reads with mapping quality 0 at the variant position.".encode())
+            gs.add_description(prefix + "mapq0_frac", "Fraction of reads with mapping quality 0 at the variant position.")
         gs.store(self.get_outfile("out"))
 
 
@@ -223,7 +223,7 @@ class VariantAnnotateASETool(ToolBase):
                             ("ASE_alt", "Expressed variant alternative observation count."),
                             ("ASE_pval", "Binomial test p-value.")):
             gs.columns.append(cname)
-            gs.comments.append(f"##DESCRIPTION={cname}={desc}".encode())
+            gs.add_description(cname, desc)
         gs.comments.append(b"##VariantAnnotateASE_BAM=" + self.get_infile("bam").encode())
         gs.store(self.get_outfile("out"))
 

@@ -130,6 +130,84 @@ class NGSDImportExpressionDataTool(ToolBase):
         sys.stdout.write(f"{n_skipped} expression values skipped.\n")
 
 
+def _qt_num(v: float) -> str:
+    return f"{v:.6g}"
+
+
+class NGSDAnnotateGeneExpressionTool(ToolBase):
+    """Behavioral reference: src/NGSDAnnotateGeneExpression/main.cpp."""
+
+    name = "NGSDAnnotateGeneExpression"
+    description = "Annotates a GSvar file with RNA expression data."
+
+    def setup(self):
+        self.add_infile("in", "Input GSvar file of DNA sample.")
+        self.add_outfile("out", "Output GSvar file.")
+        self.add_string("rna_ps", "Processed sample name of the associated .")
+        self.add_enum("cohort_strategy", "Determines which samples are used as reference cohort.",
+                      optional=True, valid=("RNA_COHORT_GERMLINE", "RNA_COHORT_GERMLINE_PROJECT", "RNA_COHORT_SOMATIC"),
+                      default="RNA_COHORT_GERMLINE")
+        self.add_flag("test", "Uses the test database instead of on the production database.")
+
+    def main(self):
+        import math
+
+        from ..io.gsvar import GSvarFile
+        db = NGSD(self.get_flag("test"))
+        ps_id = db.processed_sample_id(self.get_string("rna_ps"))
+        expression = db.get_gene_expression_values_of_sample(ps_id, True)
+        ps_data = db.get_processed_sample_data(ps_id)
+        s_id = db.sample_id(self.get_string("rna_ps"))
+        s_data = db.get_sample_data(s_id)
+        sys_id = db.processing_system_id(ps_data["processing_system"])
+        cohort = db.get_rna_cohort(sys_id, s_data["tissue"], ps_data["project_name"],
+                                   ps_id, self.get_enum("cohort_strategy"))
+        stats = db.calculate_gene_expression_statistics(cohort)
+
+        gs = GSvarFile.from_file(self.get_infile("in"))
+        idx_genes = gs.annotation_index("gene")
+        for cname, desc in (("tpm", "Gene expression strength in transcripts-per-million."),
+                            ("expr_log2fc", "Relative gene expression as log2 FC (log2 tpm)."),
+                            ("expr_zscore", "Relative gene expression as z-score (log2 tpm)")):
+            if cname not in gs.columns:
+                gs.columns.append(cname)
+                gs.add_description(cname, desc)
+                for v in gs.variants:
+                    v.annotations.append(b"")
+        idx_tpm = gs.annotation_index("tpm")
+        idx_log2fc = gs.annotation_index("expr_log2fc")
+        idx_zscore = gs.annotation_index("expr_zscore")
+
+        for v in gs.variants:
+            genes = v.annotations[idx_genes].split(b",")
+            tpm_list, log2fc_list, zscore_list = [], [], []
+            for gene in genes:
+                gid = db.gene_to_approved_id(gene.decode())
+                if gid < 0:
+                    tpm_list.append(b"")
+                    log2fc_list.append(b"")
+                    zscore_list.append(b"")
+                else:
+                    symbol = db.gene_symbol(gid)
+                    tpm = expression.get(symbol, 0.0)
+                    log2p1 = math.log2(tpm + 1)
+                    mean, mean_log2, std_log2 = stats.get(symbol, (0.0, 0.0, 0.0))
+                    log2fc = log2p1 - math.log2(mean + 1)
+                    try:
+                        zscore = (log2p1 - mean_log2) / std_log2
+                    except ZeroDivisionError:
+                        zscore = float("inf") if log2p1 > mean_log2 else (float("-inf") if log2p1 < mean_log2 else float("nan"))
+                    tpm_list.append(_qt_num(tpm).encode())
+                    log2fc_list.append(_qt_num(log2fc).encode())
+                    zscore_list.append(_qt_num(zscore).encode())
+            v.annotations[idx_tpm] = b",".join(tpm_list)
+            v.annotations[idx_log2fc] = b",".join(log2fc_list)
+            v.annotations[idx_zscore] = b",".join(zscore_list)
+        gs.store(self.get_outfile("out"))
+        db.close()
+
+
 TOOLS = {
     "NGSDImportExpressionData": NGSDImportExpressionDataTool,
+    "NGSDAnnotateGeneExpression": NGSDAnnotateGeneExpressionTool,
 }

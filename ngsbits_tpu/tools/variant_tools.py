@@ -102,9 +102,7 @@ class VariantFilterRegionsTool(ToolBase):
                     gsvar.columns.append("filter")
                     for v in gsvar.variants:
                         v.annotations.append(b"")
-                filter_header = b"##FILTER=" + mark + b"=Variant marked as '" + mark + b"'."
-                if filter_header not in gsvar.comments:
-                    gsvar.comments.append(filter_header)
+                gsvar.filters.setdefault(mark.decode(), f"Variant marked as '{mark.decode()}'.")
                 for v, f in zip(gsvar.variants, flags):
                     if not f:
                         value = v.annotations[fi].strip().upper()
@@ -114,7 +112,7 @@ class VariantFilterRegionsTool(ToolBase):
                             v.annotations[fi] = v.annotations[fi] + b";" + mark
             else:
                 gsvar.variants = [v for v, f in zip(gsvar.variants, flags) if f]
-            self._store_gsvar(gsvar, out)
+            gsvar.store(out or None)
 
     @staticmethod
     def _add_filter(variants: VcfFile, i: int, tag: bytes):

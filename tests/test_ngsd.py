@@ -80,8 +80,9 @@ def test_ngsd_import_hgnc(ngsd_with_hgnc):
     assert sorted(db.get_values("SELECT symbol FROM somatic_gene_role")) == ["BRCA1", "BRCA2"]
     rows = db.get_rows("SELECT spg.symbol, sp.name FROM somatic_pathway_gene spg, somatic_pathway sp "
                        "WHERE sp.id=spg.pathway_id ORDER BY spg.symbol ASC, sp.name ASC")
-    assert rows == [("BRCA1", "DNA Damage Repair"), ("BRCA2", "DNA Damage Repair"),
-                    ("BRCA2", "alternative pathway")]
+    # MySQL ci collation sorts 'alternative' before 'DNA' (reference test order)
+    assert rows == [("BRCA1", "DNA Damage Repair"), ("BRCA2", "alternative pathway"),
+                    ("BRCA2", "DNA Damage Repair")]
     assert db.get_value("SELECT version FROM db_import_info WHERE name='HGNC'") == "NGSDImportHGNC_in1.txt"
 
 
@@ -621,3 +622,23 @@ def test_ngsd_import_expression_exons(ngsd):
                                                 f"{din}/NGSDImportExpressionData_in2_exon.tsv",
                                                 "-ps", "RX123456_03", "-mode", "exons", "-debug"]) == 0
     assert ngsd.get_value("SELECT count(*) FROM expression_exon") == 43
+
+
+@pytest.mark.parametrize("strategy,golden", [
+    ("RNA_COHORT_GERMLINE", "NGSDAnnotateGeneExpression_out1.GSvar"),
+    ("RNA_COHORT_GERMLINE_PROJECT", "NGSDAnnotateGeneExpression_out2.GSvar"),
+    ("RNA_COHORT_SOMATIC", "NGSDAnnotateGeneExpression_out3.GSvar"),
+])
+def test_ngsd_annotate_gene_expression(ngsd, tmp_path, ref_data_in, ref_data_out, strategy, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDAnnotateGeneExpression_NGSD_init.sql")
+    # the reference test imports 7 expression profiles before running
+    for i in range(1, 8):
+        assert execute("NGSDImportExpressionData", [
+            "-test", "-expression", str(ref_data_in / f"NGSDAnnotateRNA_expr_in{i}.tsv"),
+            "-ps", f"RX00{i}_01"]) == 0
+    out = tmp_path / "out.GSvar"
+    assert execute("NGSDAnnotateGeneExpression", [
+        "-test", "-rna_ps", "RX001_01", "-cohort_strategy", strategy,
+        "-in", ref_data_in / "NGSDAnnotateGeneExpression_in1.GSvar", "-out", out]) == 0
+    compare_files(out, ref_data_out / golden)
