@@ -47,8 +47,10 @@ class BedLine:
         return (self.chr.num, self.start, self.end)
 
     def to_string(self, human_readable: bool = False) -> str:
+        """BedLine::toString (BedFile.h:117-128): human-readable uses the
+        chr-prefixed normalized chromosome name."""
         if human_readable:
-            return f"{self.chr.str}:{self.start:,}-{self.end:,}"
+            return f"{self.chr.str_normalized(True)}:{self.start}-{self.end}"
         return f"{self.chr.str}:{self.start}-{self.end}"
 
 

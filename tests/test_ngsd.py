@@ -642,3 +642,99 @@ def test_ngsd_annotate_gene_expression(ngsd, tmp_path, ref_data_in, ref_data_out
         "-test", "-rna_ps", "RX001_01", "-cohort_strategy", strategy,
         "-in", ref_data_in / "NGSDAnnotateGeneExpression_in1.GSvar", "-out", out]) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def _import_rna_profiles(ref_data_in, prefix, mode="genes"):
+    extra = [] if mode == "genes" else ["-mode", "exons"]
+    for i in range(1, 9):
+        assert execute("NGSDImportExpressionData", [
+            "-test", "-expression", str(ref_data_in / f"{prefix}{i}.tsv"),
+            "-ps", f"RX00{i}_01"] + extra) == 0
+
+
+@pytest.mark.parametrize("extra,golden", [
+    ([], "NGSDAnnotateRNA_expr_out1.tsv"),
+    (["-cohort_strategy", "RNA_COHORT_GERMLINE_PROJECT"], "NGSDAnnotateRNA_expr_out2.tsv"),
+    (["-cohort_strategy", "RNA_COHORT_SOMATIC"], "NGSDAnnotateRNA_expr_out3.tsv"),
+    (["-update_genes"], "NGSDAnnotateRNA_expr_out6.tsv"),
+])
+def test_ngsd_annotate_rna_genes(ngsd, tmp_path, ref_data_in, ref_data_out, extra, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDAnnotateRNA_NGSD_init.sql")
+    _import_rna_profiles(ref_data_in, "NGSDAnnotateRNA_expr_in")
+    out = tmp_path / "out.tsv"
+    args = ["-test", "-ps", "RX001_01",
+            "-in", ref_data_in / "NGSDAnnotateRNA_expr_in1.tsv", "-out", out] + extra
+    if golden.endswith("out1.tsv"):
+        args += ["-corr", tmp_path / "corr.txt"]
+    assert execute("NGSDAnnotateRNA", args) == 0
+    compare_files(out, ref_data_out / golden)
+    if golden.endswith("out1.tsv"):
+        compare_files(tmp_path / "corr.txt", ref_data_out / "NGSDAnnotateRNA_corr_out1.txt")
+
+
+@pytest.mark.parametrize("extra,golden", [
+    ([], "NGSDAnnotateRNA_expr_exon_out4.tsv"),
+    (["-update_genes"], "NGSDAnnotateRNA_expr_exon_out7.tsv"),
+])
+def test_ngsd_annotate_rna_exons(ngsd, tmp_path, ref_data_in, ref_data_out, extra, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDAnnotateRNA_NGSD_init.sql")
+    _import_rna_profiles(ref_data_in, "NGSDAnnotateRNA_expr_exon_in", mode="exons")
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDAnnotateRNA", [
+        "-test", "-ps", "RX001_01", "-mode", "exons",
+        "-in", ref_data_in / "NGSDAnnotateRNA_expr_exon_in1.tsv", "-out", out] + extra) == 0
+    compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_annotate_rna_hpa(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files, compare_files_delta
+    _init_from(ngsd, "NGSDAnnotateRNA_NGSD_init.sql")
+    _import_rna_profiles(ref_data_in, "NGSDAnnotateRNA_expr_in")
+    out = tmp_path / "out5.tsv"
+    assert execute("NGSDAnnotateRNA", [
+        "-test", "-cohort_strategy", "RNA_COHORT_SOMATIC", "-ps", "RX001_01",
+        "-in", ref_data_in / "NGSDAnnotateRNA_expr_in1.tsv",
+        "-hpa_file", ref_data_in / "NGSDAnnotateRNA_in_hpa.tsv", "-out", out]) == 0
+    compare_files(out, ref_data_out / "NGSDAnnotateRNA_expr_out5.tsv")
+    # same annotation with the cohort provided as a file (delta compare per reference test)
+    out8 = tmp_path / "out8.tsv"
+    assert execute("NGSDAnnotateRNA", [
+        "-test", "-cohort_strategy", "RNA_COHORT_SOMATIC", "-ps", "RX001_01",
+        "-in", ref_data_in / "NGSDAnnotateRNA_expr_in1.tsv",
+        "-hpa_file", ref_data_in / "NGSDAnnotateRNA_in_hpa.tsv",
+        "-cohort_data", ref_data_in / "NGSDAnnotateRNA_expr_cohort_in1.tsv", "-out", out8]) == 0
+    compare_files_delta(out8, ref_data_out / "NGSDAnnotateRNA_expr_out5.tsv", 0.01, sep="\t")
+
+
+@pytest.mark.parametrize("extra,golden", [
+    (["-genes"], "NGSDExtractRNACohort_cohort_out1.tsv"),
+    (["-cohort_strategy", "RNA_COHORT_GERMLINE_PROJECT", "-genes"], "NGSDExtractRNACohort_cohort_out2.tsv"),
+    (["-cohort_strategy", "RNA_COHORT_SOMATIC", "-genes"], "NGSDExtractRNACohort_cohort_out3.tsv"),
+    (["-sample_expression", None, "-genes"], "NGSDExtractRNACohort_cohort_out4.tsv"),
+    (["-only_samples"], "NGSDExtractRNACohort_cohort_out5.tsv"),
+    (["-only_samples", "-cohort_strategy", "RNA_COHORT_SOMATIC"], "NGSDExtractRNACohort_cohort_out6.tsv"),
+    (["-only_samples", "-cohort_strategy", "RNA_COHORT_SOMATIC", "-allowed_systems", "nebRNAU2_mrna2"],
+     "NGSDExtractRNACohort_cohort_out7.tsv"),
+])
+def test_ngsd_extract_rna_cohort(ngsd, tmp_path, ref_data_in, ref_data_out, extra, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExtractRNACohort_NGSD_init.sql")
+    _import_rna_profiles(ref_data_in, "NGSDExtractRNACohort_expr_in")
+    if "-allowed_systems" in extra:
+        # the reference test imports a 9th profile on the second system
+        assert execute("NGSDImportExpressionData", [
+            "-test", "-expression", str(ref_data_in / "NGSDExtractRNACohort_expr_in7.tsv"),
+            "-ps", "RX009_01"]) == 0
+    args = ["-test", "-ps", "RX001_01"]
+    for a in extra:
+        if a == "-genes":
+            args += ["-genes", str(ref_data_in / "NGSDExtractRNACohort_genes.txt")]
+        elif a is None:
+            args.append(str(ref_data_in / "NGSDExtractRNACohort_expr_in1.tsv"))
+        else:
+            args.append(a)
+    out = tmp_path / "out.tsv"
+    assert execute("NGSDExtractRNACohort", args + ["-out", out]) == 0
+    compare_files(out, ref_data_out / golden)
