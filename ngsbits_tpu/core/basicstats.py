@@ -55,6 +55,24 @@ def median_element(values) -> float:
     return float(values[n // 2])
 
 
+def q1(values) -> float:
+    """cppCORE BasicStatistics::q1 — element at index floor(n/4) of the
+    sorted array (semantics pinned by cppCORE-TEST/BasicStatistics_Test.cpp)."""
+    values = np.sort(np.asarray(values, dtype=np.float64))
+    if values.size == 0:
+        raise ValueError("q1 of empty input")
+    return float(values[values.size // 4])
+
+
+def q3(values) -> float:
+    """cppCORE BasicStatistics::q3 — element at index floor(3n/4) of the
+    sorted array."""
+    values = np.sort(np.asarray(values, dtype=np.float64))
+    if values.size == 0:
+        raise ValueError("q3 of empty input")
+    return float(values[3 * values.size // 4])
+
+
 def correlation(x, y) -> float:
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)

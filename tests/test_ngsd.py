@@ -738,3 +738,43 @@ def test_ngsd_extract_rna_cohort(ngsd, tmp_path, ref_data_in, ref_data_out, extr
     out = tmp_path / "out.tsv"
     assert execute("NGSDExtractRNACohort", args + ["-out", out]) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_ngsd_export_cnv_track(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportCnvTrack_init.sql")
+    out1 = tmp_path / "out1.igv"
+    log1 = tmp_path / "out1.log"
+    assert execute("NGSDExportCnvTrack", ["-test", "-system", "ssHAEv7",
+                                          "-out", out1, "-stats", log1]) == 0
+    compare_files(out1, ref_data_out / "NGSDExportCnvTrack_out1.igv")
+    compare_files(log1, ref_data_out / "NGSDExportCnvTrack_out1.log")
+    out2 = tmp_path / "out2.igv"
+    log2 = tmp_path / "out2.log"
+    assert execute("NGSDExportCnvTrack", ["-test", "-system", "ssHAEv7", "-out", out2,
+                                          "-stats", log2, "-min_dp", "50", "-min_af", "0.51"]) == 0
+    compare_files(out2, ref_data_out / "NGSDExportCnvTrack_out2.igv")
+    compare_files(log2, ref_data_out / "NGSDExportCnvTrack_out2.log")
+
+
+@pytest.mark.parametrize("threshold", [None, 3])
+def test_ngsd_export_sv(ngsd, tmp_path, ref_data_in, ref_data_out, threshold):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportSV_init1.sql")
+    outdir = tmp_path / "sv"
+    outdir.mkdir()
+    args = ["-test", "-out_folder", outdir]
+    if threshold is not None:
+        args += ["-common_sys_threshold", str(threshold)]
+    assert execute("NGSDExportSV", args) == 0
+    for name in ("sv_deletion.bedpe", "sv_duplication.bedpe", "sv_insertion.bedpe",
+                 "sv_inversion.bedpe", "sv_translocation.bedpe"):
+        compare_files(outdir / name, ref_data_out / "NGSDExportSV" / name,
+                      strip_patterns=("##fileDate=",))
+    compare_files(outdir / "sv_breakpoint_density.igv",
+                  ref_data_out / "NGSDExportSV" / "sv_breakpoint_density.igv")
+    if threshold is None:
+        assert not (outdir / "sv_breakpoint_density_hpHBOCv5.igv").exists()
+    else:
+        compare_files(outdir / "sv_breakpoint_density_hpHBOCv5.igv",
+                      ref_data_out / "NGSDExportSV" / "sv_breakpoint_density_hpHBOCv5.igv")
