@@ -778,3 +778,77 @@ def test_ngsd_export_sv(ngsd, tmp_path, ref_data_in, ref_data_out, threshold):
     else:
         compare_files(outdir / "sv_breakpoint_density_hpHBOCv5.igv",
                       ref_data_out / "NGSDExportSV" / "sv_breakpoint_density_hpHBOCv5.igv")
+
+
+@pytest.fixture
+def stub_hg38_from_goldens(tmp_path):
+    """Sparse multi-chromosome FASTA with REF bases patched in from the
+    NGSDExportAnnotationData golden VCFs (reference CI needs hg38; the only
+    bases the tool reads are the REF/prefix bases present in the goldens)."""
+    dout = "/root/reference/src/tools-TEST/data_out"
+    ref = tmp_path / "hg38.fa"
+    linebases, linewidth = 60, 61
+    lengths = {}
+    patches = []
+    for name in ("NGSDExportAnnotationData_out.vcf", "NGSDExportAnnotationData_out3.vcf",
+                 "NGSDExportAnnotationData_out5.vcf"):
+        for line in open(f"{dout}/{name}"):
+            if line.startswith("##contig=<ID="):
+                body = line[len("##contig=<ID="):].rstrip(">\n")
+                chrom, length = body.split(",length=")
+                lengths[chrom] = int(length)
+            elif not line.startswith("#"):
+                chrom, pos, _id, vref = line.split("\t")[:4]
+                patches.append((chrom, int(pos), vref))
+    offsets = {}
+    with open(ref, "wb") as fh:
+        pos = 0
+        for chrom, length in lengths.items():
+            fh.seek(pos)
+            header = f">{chrom}\n".encode()
+            fh.write(header)
+            offsets[chrom] = pos + len(header)
+            nlines = (length + linebases - 1) // linebases
+            pos = offsets[chrom] + (nlines - 1) * linewidth + (length - (nlines - 1) * linebases) + 1
+        fh.truncate(pos)
+        for chrom, p, vref in patches:
+            for i, base in enumerate(vref):
+                bp = p + i - 1
+                fh.seek(offsets[chrom] + bp // linebases * linewidth + bp % linebases)
+                fh.write(base.encode())
+    with open(str(ref) + ".fai", "w") as fh:
+        for chrom, length in lengths.items():
+            fh.write(f"{chrom}\t{length}\t{offsets[chrom]}\t{linebases}\t{linewidth}\n")
+    return ref
+
+
+def test_ngsd_export_annotation_germline(ngsd, tmp_path, ref_data_out, stub_hg38_from_goldens):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportAnnotationData_init1.sql")
+    vcf = tmp_path / "out.vcf"
+    bed = tmp_path / "out.bed"
+    assert execute("NGSDExportAnnotationData", [
+        "-test", "-germline", vcf, "-threads", "1", "-genes", bed,
+        "-reference", stub_hg38_from_goldens]) == 0
+    strip = ("##fileDate=", "##source=NGSDExportAnnotationData", "##reference=")
+    compare_files(vcf, ref_data_out / "NGSDExportAnnotationData_out.vcf", strip_patterns=strip)
+    compare_files(bed, ref_data_out / "NGSDExportAnnotationData_out.bed")
+
+
+@pytest.mark.parametrize("vicc,golden", [(False, "NGSDExportAnnotationData_out3.vcf"),
+                                         (True, "NGSDExportAnnotationData_out4.vcf")])
+def test_ngsd_export_annotation_somatic(ngsd, tmp_path, ref_data_out, stub_hg38_from_goldens,
+                                        vicc, golden):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportAnnotationData_init2.sql")
+    vcf = tmp_path / "out.vcf"
+    args = ["-test", "-somatic", vcf, "-threads", "1", "-reference", stub_hg38_from_goldens]
+    germline_vcf = tmp_path / "germ.vcf"
+    if vicc:
+        args += ["-vicc_config_details", "-germline", germline_vcf]
+    assert execute("NGSDExportAnnotationData", args) == 0
+    strip = ("##fileDate=", "##source=NGSDExportAnnotationData", "##reference=")
+    compare_files(vcf, ref_data_out / golden, strip_patterns=strip)
+    if vicc:
+        compare_files(germline_vcf, ref_data_out / "NGSDExportAnnotationData_out5.vcf",
+                      strip_patterns=strip)
