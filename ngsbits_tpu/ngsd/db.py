@@ -1181,3 +1181,344 @@ class NGSD:
     def synonymous_symbols(self, gene_id: int) -> list[str]:
         return sorted(set(self.get_values(
             "SELECT symbol FROM gene_alias WHERE gene_id=? AND type='synonym'", params=(gene_id,))))
+
+    # ---------- variant/CNV/SV import (NGSD::addVariants/addCnv/addSv) ----------
+
+    MAX_VARIANT_SIZE = 500
+
+    def add_variants(self, gs, max_af: float) -> tuple[list[int], int, int]:
+        """NGSD::addVariants (NGSD.cpp) — returns (variant ids, c_add, c_update);
+        id is -1 for skipped (too long / AF above cutoff) variants."""
+        import math
+
+        i_gnomad = gs.annotation_index("gnomAD")
+        i_co_sp = gs.annotation_index("coding_and_splicing")
+        i_cadd = gs.annotation_index("CADD")
+        i_spliceai = gs.annotation_index("SpliceAI")
+        try:
+            i_pubmed = gs.annotation_index("PubMed")
+        except Exception:
+            i_pubmed = -1
+        output = []
+        c_add = c_update = 0
+        for v in gs.variants:
+            if len(v.ref) > self.MAX_VARIANT_SIZE or len(v.obs) > self.MAX_VARIANT_SIZE:
+                output.append(-1)
+                continue
+            gnomad = v.annotations[i_gnomad].strip()
+            if gnomad == b"n/a":
+                gnomad = b""
+            if gnomad and float(gnomad) > max_af:
+                output.append(-1)
+                continue
+            cadd = v.annotations[i_cadd].strip()
+            spliceai = max_spliceai_score(v.annotations[i_spliceai])
+            # keep only gene:transcript:type:impact of each consequence
+            coding_parts = []
+            for entry in v.annotations[i_co_sp].split(b","):
+                parts = entry.split(b":")
+                if len(parts) < 4:
+                    continue
+                coding_parts.append(b":".join(parts[:4]))
+            coding = b",".join(coding_parts).decode()
+
+            chrom = v.chr.str_normalized(True) if hasattr(v.chr, "str_normalized") else str(v.chr)
+            row = self.get_rows(
+                "SELECT id, gnomad, coding, cadd, spliceai FROM variant "
+                "WHERE chr=? AND start=? AND end=? AND ref=? AND obs=?",
+                params=(chrom, v.start, v.end, v.ref.decode(), v.obs.decode()))
+            if row:
+                vid, db_gnomad, db_coding, db_cadd, db_spliceai = row[0]
+                def _num(x):
+                    try:
+                        return float(x)
+                    except (TypeError, ValueError):
+                        return 0.0
+                if (_num(db_gnomad) != _num(gnomad) or (db_coding or "") != coding
+                        or _num(db_cadd) != _num(cadd)
+                        or _num(db_spliceai) != max(0.0, spliceai)):
+                    self.execute("UPDATE variant SET gnomad=?, coding=?, cadd=?, spliceai=? WHERE id=?",
+                                 (gnomad.decode() if gnomad else None, coding,
+                                  cadd.decode() if cadd else None,
+                                  spliceai if spliceai >= 0 else None, vid))
+                    c_update += 1
+                output.append(int(vid))
+            else:
+                self.execute(
+                    "INSERT INTO variant (chr, start, end, ref, obs, gnomad, coding, cadd, spliceai) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    (chrom, v.start, v.end, v.ref.decode(), v.obs.decode(),
+                     gnomad.decode() if gnomad else None, coding,
+                     cadd.decode() if cadd else None,
+                     spliceai if spliceai >= 0 else None))
+                c_add += 1
+                output.append(self.last_insert_id())
+            if i_pubmed > 0:
+                for pubmed_id in v.annotations[i_pubmed].split(b","):
+                    if not pubmed_id:
+                        continue
+                    self.execute("INSERT OR IGNORE INTO variant_literature (variant_id, pubmed) VALUES (?, ?)",
+                                 (output[-1], pubmed_id.decode()))
+        self.commit()
+        return output, c_add, c_update
+
+    def delete_detected_variants(self, ps_id):
+        """NGSD::deleteVariants(ps_id, SNVS_INDELS)."""
+        self.execute("DELETE FROM detected_variant WHERE processed_sample_id=?", (ps_id,))
+        self.commit()
+
+    def add_cnv(self, callset_id: int, cnv, cnv_list, max_ll: float = 0.0) -> str:
+        """NGSD::addCnv — returns the insert id as string, '' if skipped."""
+        import json
+        if cnv_list.type == "invalid":
+            raise NgsdError("CNV caller type not handled in NGSD::addCnv")
+        quality_metrics = {"regions": str(cnv.num_regs)}
+        skip = False
+        for i, col_name in enumerate(cnv_list.annotation_headers):
+            entry = cnv.annotations[i]
+            if col_name == b"loglikelihood":
+                quality_metrics[col_name.decode()] = entry.decode()
+                if max_ll > 0.0 and float(entry) < max_ll:
+                    skip = True
+            elif col_name == b"qvalue":
+                quality_metrics[col_name.decode()] = entry.decode()
+        if skip:
+            return ""
+        cn = cnv.copy_number(cnv_list.annotation_headers)
+        # Qt compact JSON sorts object keys
+        metrics_json = json.dumps(dict(sorted(quality_metrics.items())), separators=(",", ":"))
+        self.execute("INSERT INTO `cnv` (`cnv_callset_id`, `chr`, `start`, `end`, `cn`, `quality_metrics`) "
+                     "VALUES (?, ?, ?, ?, ?, ?)",
+                     (callset_id, cnv.chr.str_normalized(True), cnv.start, cnv.end, cn, metrics_json))
+        return str(self.last_insert_id())
+
+    def add_sv(self, callset_id: int, sv, svs, callset_table_prefix: str = "sv") -> int:
+        """NGSD::addSv — inserts into the per-type SV table, returns insert id."""
+        import json
+        if not sv.chr1.is_non_special() or not sv.chr2.is_non_special():
+            raise NgsdError("Structural variants on special chromosomes can not be added to the NGSD!")
+        qual = sv.annotations[svs.annotation_index_by_name(b"QUAL")].strip().decode()
+        filt = sv.annotations[svs.annotation_index_by_name(b"FILTER")].strip().decode()
+        metrics_json = json.dumps({"filter": filt, "quality": qual}, separators=(",", ":"))
+        idx_format = svs.annotation_index_by_name(b"FORMAT")
+        format_keys = sv.annotations[idx_format].split(b":")
+        format_values = sv.annotations[idx_format + 1].split(b":")
+        genotype = ""
+        for k, val in zip(format_keys, format_values):
+            if k == b"GT":
+                genotype = "hom" if val.strip() == b"1/1" else "het"
+                break
+        if not genotype:
+            raise NgsdError("SV doesn't contain genotype information!")
+        callset_col = "sv_callset_id"
+        sv_type = sv.type.decode() if isinstance(sv.type, bytes) else sv.type
+        if sv_type in ("DEL", "DUP", "INV"):
+            table = {"DEL": "sv_deletion", "DUP": "sv_duplication", "INV": "sv_inversion"}[sv_type]
+            self.execute(
+                f"INSERT INTO `{table}` (`{callset_col}`, `chr`, `start_min`, `start_max`, `end_min`, `end_max`, `genotype`, `quality_metrics`) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1, sv.start2, sv.end2,
+                 genotype, metrics_json))
+        elif sv_type == "INS":
+            if sv.chr1.str != sv.chr2.str:
+                raise NgsdError("Invalid insertion position!")
+            inserted_sequence = known_left = known_right = ""
+            alt_seq = sv.annotations[svs.annotation_index_by_name(b"ALT_A")]
+            if alt_seq != b"<INS>":
+                inserted_sequence = alt_seq.decode()
+            else:
+                for kv in sv.annotations[svs.annotation_index_by_name(b"INFO_A")].split(b";"):
+                    if kv.startswith(b"LEFT_SVINSSEQ="):
+                        known_left = kv.split(b"=")[1].strip().decode()
+                    if kv.startswith(b"RIGHT_SVINSSEQ="):
+                        known_right = kv.split(b"=")[1].strip().decode()
+            pos = min(sv.start1, sv.start2, sv.end1, sv.end2)
+            ci_upper = max(sv.start1, sv.start2, sv.end1, sv.end2) - pos
+            self.execute(
+                f"INSERT INTO `sv_insertion` (`{callset_col}`, `chr`, `pos`, `ci_upper`, `inserted_sequence`, "
+                "`known_left`, `known_right`, `genotype`, `quality_metrics`) VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), pos, ci_upper, inserted_sequence,
+                 known_left, known_right, genotype, metrics_json))
+        elif sv_type == "BND":
+            self.execute(
+                f"INSERT INTO `sv_translocation` (`{callset_col}`, `chr1`, `start1`, `end1`, `chr2`, `start2`, `end2`, `genotype`, `quality_metrics`) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1,
+                 sv.chr2.str_normalized(True), sv.start2, sv.end2, genotype, metrics_json))
+        else:
+            raise NgsdError("Invalid structural variant type!")
+        return self.last_insert_id()
+
+    def repeat_expansion_id(self, region: str, repeat_unit: str, throw_if_fails: bool = True) -> int:
+        v = self.get_value("SELECT id FROM repeat_expansion WHERE region=? and repeat_unit=?",
+                           params=(region, repeat_unit))
+        if v is None:
+            if throw_if_fails:
+                raise NgsdError(f"Repeat expansion {region}/{repeat_unit} not found in NGSD!")
+            return -1
+        return int(v)
+
+
+def max_spliceai_score(annotation: bytes) -> float:
+    """NGSHelper::maxSpliceAiScore (cppNGS/NGSHelper.cpp:945)."""
+    annotation = annotation.strip()
+    if not annotation:
+        return -1.0
+    try:
+        return float(annotation)
+    except ValueError:
+        pass
+    max_score = -1.0
+    for entry in annotation.split(b","):
+        parts = entry.split(b"|")
+        if len(parts) != 9:
+            continue
+        for score in parts[1:5]:
+            if score == b".":
+                continue
+            try:
+                val = float(score)
+            except ValueError:
+                continue
+            if 0 <= val <= 1:
+                max_score = max(max_score, val)
+    return max_score
+
+
+def _qt_json_compact(obj: dict) -> str:
+    import json
+    return json.dumps(dict(sorted(obj.items())), separators=(",", ":"))
+
+
+def _ngsd_somatic_ext(cls):
+    """Somatic variant import helpers (NGSD::addSomaticCnv/addSomaticSv/
+    deleteSomaticVariants/somaticReportConfigId)."""
+
+    def somatic_report_config_id(self, t_ps_id, n_ps_id) -> int:
+        v = self.get_value("SELECT id FROM somatic_report_configuration "
+                           "WHERE ps_tumor_id=? AND ps_normal_id=?", params=(t_ps_id, n_ps_id))
+        return -1 if v is None else int(v)
+
+    def delete_somatic_variants(self, t_ps_id, n_ps_id, variant_type: str):
+        n_cond = "IS NULL" if not n_ps_id else f"={n_ps_id}"
+        if variant_type == "SNVS_INDELS":
+            self.execute(f"DELETE FROM detected_somatic_variant WHERE processed_sample_id_tumor={t_ps_id} "
+                         f"AND processed_sample_id_normal {n_cond}")
+            cs = self.get_value(f"SELECT id FROM somatic_snv_callset WHERE processed_sample_id_tumor={t_ps_id} "
+                                f"AND processed_sample_id_normal {n_cond}")
+            if cs is not None:
+                self.execute("DELETE FROM somatic_snv_callset WHERE id=?", (cs,))
+        elif variant_type == "CNVS":
+            cs = self.get_value(f"SELECT id FROM somatic_cnv_callset WHERE ps_tumor_id={t_ps_id} "
+                                f"AND ps_normal_id {n_cond}")
+            if cs is not None:
+                self.execute("DELETE FROM somatic_cnv WHERE somatic_cnv_callset_id=?", (cs,))
+                self.execute("DELETE FROM somatic_cnv_callset WHERE id=?", (cs,))
+        elif variant_type == "SVS":
+            cs = self.get_value(f"SELECT id FROM somatic_sv_callset WHERE ps_tumor_id={t_ps_id} "
+                                f"AND ps_normal_id {n_cond}")
+            if cs is not None:
+                for table in ("somatic_sv_deletion", "somatic_sv_duplication", "somatic_sv_insertion",
+                              "somatic_sv_inversion", "somatic_sv_translocation"):
+                    self.execute(f"DELETE FROM {table} WHERE somatic_sv_callset_id=?", (cs,))
+                self.execute("DELETE FROM somatic_sv_callset WHERE id=?", (cs,))
+        else:
+            raise NgsdError(f"Deleting somatic variants of type '{variant_type}' not implemented!")
+        self.commit()
+
+    _QC_METRIC_COLS = {"major_CN_allele", "minor_CN_allele", "loglikelihood", "Ontarget_RD_CI_lower",
+                       "Ontarget_RD_CI_upper", "Offtarget_RD_CI_lower", "Offtarget_RD_CI_upper",
+                       "Lowmed_tumor_BAF", "Highmed_tumor_BAF", "BAF_qval_fdr", "Overall_qvalue",
+                       "Major allele", "Minor allele"}
+
+    def add_somatic_cnv(self, callset_id: int, cnv, cnv_list, min_ll: float = 0.0) -> str:
+        if cnv_list.type not in ("tumor_normal", "tumor_only"):
+            raise NgsdError("NGSD::addSomaticCnv can only be used with tumor-normal or tumor-only CNV calls.")
+        is_tumor_only = cnv_list.type == "tumor_only"
+        quality_metrics = {"regions": str(cnv.num_regs)}
+        for i, col_name in enumerate(cnv_list.annotation_headers):
+            name = col_name.decode()
+            if name not in _QC_METRIC_COLS:
+                continue
+            entry = cnv.annotations[i]
+            if name == "loglikelihood" and min_ll > 0.0 and float(entry) < min_ll:
+                return ""
+            quality_metrics[name] = entry.decode()
+        if is_tumor_only:
+            raw_cn = float(cnv.annotations[cnv_list.annotation_index_by_name(b"CN_change")])
+            tumor_cn = int(cnv.annotations[cnv_list.annotation_index_by_name(b"Minor allele")]
+                           + cnv.annotations[cnv_list.annotation_index_by_name(b"Major allele")])
+            tumor_clonality = float(cnv.annotations[cnv_list.annotation_index_by_name(b"Purity")])
+        else:
+            raw_cn = float(cnv.annotations[cnv_list.annotation_index_by_name(b"CN_change")])
+            tumor_cn = int(cnv.annotations[cnv_list.annotation_index_by_name(b"tumor_CN_change")])
+            tumor_clonality = float(cnv.annotations[cnv_list.annotation_index_by_name(b"tumor_clonality")])
+        self.execute("INSERT INTO `somatic_cnv` (`somatic_cnv_callset_id`, `chr`, `start`, `end`, `cn`, "
+                     "`tumor_cn`, `tumor_clonality`, `quality_metrics`) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                     (callset_id, cnv.chr.str_normalized(True), cnv.start, cnv.end, raw_cn, tumor_cn,
+                      tumor_clonality, _qt_json_compact(quality_metrics)))
+        return str(self.last_insert_id())
+
+    def add_somatic_sv(self, callset_id: int, sv, svs) -> str:
+        fmt = svs.format()
+        if fmt not in ("somatic_tumor_normal", "somatic_tumor_only"):
+            raise NgsdError("NGSD::addSomaticSv can only be used with tumor-normal or tumor-only SV calls.")
+        is_tumor_only = fmt == "somatic_tumor_only"
+        if not sv.chr1.is_non_special() or not sv.chr2.is_non_special():
+            raise NgsdError("Structural variants on special chromosomes can not be added to the NGSD!")
+        quality_metrics = {}
+        if not is_tumor_only:
+            quality_metrics["quality"] = sv.annotations[svs.annotation_index_by_name(b"SOMATICSCORE")].strip().decode()
+        quality_metrics["filter"] = sv.annotations[svs.annotation_index_by_name(b"FILTER")].strip().decode()
+        metrics_json = _qt_json_compact(quality_metrics)
+        sv_type = sv.type.decode()
+        if sv_type in ("DEL", "DUP", "INV"):
+            table = {"DEL": "somatic_sv_deletion", "DUP": "somatic_sv_duplication",
+                     "INV": "somatic_sv_inversion"}[sv_type]
+            self.execute(
+                f"INSERT INTO `{table}` (`somatic_sv_callset_id`, `chr`, `start_min`, `start_max`, `end_min`, `end_max`, `quality_metrics`) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1, sv.start2, sv.end2, metrics_json))
+        elif sv_type == "INS":
+            if sv.chr1.str != sv.chr2.str:
+                raise NgsdError("Invalid insertion position!")
+            inserted_sequence = known_left = known_right = ""
+            alt_seq = sv.annotations[svs.annotation_index_by_name(b"ALT_A")]
+            if alt_seq != b"<INS>":
+                inserted_sequence = alt_seq.decode()
+            else:
+                for kv in sv.annotations[svs.annotation_index_by_name(b"INFO_A")].split(b";"):
+                    if kv.startswith(b"LEFT_SVINSSEQ="):
+                        known_left = kv.split(b"=")[1].strip().decode()
+                    if kv.startswith(b"RIGHT_SVINSSEQ="):
+                        known_right = kv.split(b"=")[1].strip().decode()
+            pos = min(sv.start1, sv.start2, sv.end1, sv.end2)
+            ci_upper = max(sv.start1, sv.start2, sv.end1, sv.end2) - pos
+            self.execute(
+                "INSERT INTO `somatic_sv_insertion` (`somatic_sv_callset_id`, `chr`, `pos`, `ci_upper`, `inserted_sequence`, "
+                "`known_left`, `known_right`, `quality_metrics`) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), pos, ci_upper, inserted_sequence,
+                 known_left, known_right, metrics_json))
+        elif sv_type == "BND":
+            self.execute(
+                "INSERT INTO `somatic_sv_translocation` (`somatic_sv_callset_id`, `chr1`, `start1`, `end1`, `chr2`, `start2`, `end2`, `quality_metrics`) "
+                "VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                (callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1,
+                 sv.chr2.str_normalized(True), sv.start2, sv.end2, metrics_json))
+        else:
+            raise NgsdError("Invalid structural variant type!")
+        return str(self.last_insert_id())
+
+    cls.somatic_report_config_id = somatic_report_config_id
+    cls.delete_somatic_variants = delete_somatic_variants
+    cls.add_somatic_cnv = add_somatic_cnv
+    cls.add_somatic_sv = add_somatic_sv
+    return cls
+
+
+_QC_METRIC_COLS = {"major_CN_allele", "minor_CN_allele", "loglikelihood", "Ontarget_RD_CI_lower",
+                   "Ontarget_RD_CI_upper", "Offtarget_RD_CI_lower", "Offtarget_RD_CI_upper",
+                   "Lowmed_tumor_BAF", "Highmed_tumor_BAF", "BAF_qval_fdr", "Overall_qvalue",
+                   "Major allele", "Minor allele"}
+
+_ngsd_somatic_ext(NGSD)

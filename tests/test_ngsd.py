@@ -852,3 +852,274 @@ def test_ngsd_export_annotation_somatic(ngsd, tmp_path, ref_data_out, stub_hg38_
     if vicc:
         compare_files(germline_vcf, ref_data_out / "NGSDExportAnnotationData_out5.vcf",
                       strip_patterns=strip)
+
+
+def _log_compare(out, golden, ref_data_out):
+    # the reference goldens use \r\r\n endings and omit the filename lines
+    from helpers import read_lines
+
+    def norm(path):
+        return [l.rstrip() for l in read_lines(path)
+                if l.strip() and not l.startswith("filename:")]
+    got, want = norm(out), norm(ref_data_out / golden)
+    assert got == want, "\n".join(
+        f"-{a}\n+{b}" for a, b in zip(got + [""] * len(want), want + [""] * len(got)) if a != b)
+
+
+def test_ngsd_add_variants_germline_panel(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    log = tmp_path / "out1.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_18",
+        "-var", ref_data_in / "NGSDAddVariantsGermline_in1.GSvar",
+        "-cnv", ref_data_in / "NGSDAddVariantsGermline_in1.tsv", "-out", log]) == 0
+    _log_compare(log, "NGSDAddVariantsGermline_out1.log", ref_data_out)
+    # reimport is skipped (same caller/version/date)
+    log2 = tmp_path / "out2.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_18",
+        "-var", ref_data_in / "NGSDAddVariantsGermline_in1.GSvar",
+        "-cnv", ref_data_in / "NGSDAddVariantsGermline_in1.tsv", "-out", log2]) == 0
+    _log_compare(log2, "NGSDAddVariantsGermline_out2.log", ref_data_out)
+    # var_update adds only missing variants
+    log3 = tmp_path / "out3.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_18",
+        "-var", ref_data_in / "NGSDAddVariantsGermline_in1.1.GSvar", "-var_update", "-out", log3]) == 0
+    _log_compare(log3, "NGSDAddVariantsGermline_out3.log", ref_data_out)
+
+
+def test_ngsd_add_variants_germline_wes(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    log = tmp_path / "out4.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_38",
+        "-var", ref_data_in / "NGSDAddVariantsGermline_in2.GSvar",
+        "-cnv", ref_data_in / "NGSDAddVariantsGermline_in2.tsv", "-out", log]) == 0
+    _log_compare(log, "NGSDAddVariantsGermline_out4.log", ref_data_out)
+
+
+def test_ngsd_add_variants_germline_sv(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    log = tmp_path / "out5.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-sv", ref_data_in / "NGSDAddVariantsGermline_in3.bedpe", "-out", log]) == 0
+    _log_compare(log, "NGSDAddVariantsGermline_out5.log", ref_data_out)
+    for table, n in (("sv_deletion", 35), ("sv_duplication", 8), ("sv_insertion", 36),
+                     ("sv_inversion", 0), ("sv_translocation", 6), ("sv_callset", 1)):
+        assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
+    # re-import with empty file deletes all previous SVs
+    log7 = tmp_path / "out7.log"
+    execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-sv", ref_data_in / "NGSDAddVariantsGermline_in_empty.bedpe", "-out", log7])
+    _log_compare(log7, "NGSDAddVariantsGermline_out7.log", ref_data_out)
+    for table, n in (("sv_deletion", 0), ("sv_duplication", 0), ("sv_insertion", 0),
+                     ("sv_inversion", 0), ("sv_translocation", 0), ("sv_callset", 1)):
+        assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
+
+
+def test_ngsd_add_variants_germline_report_config(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    _init_from(ngsd, "NGSDAddVariantsGermline_report_config.sql")
+    log10 = tmp_path / "out10.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-cnv", ref_data_in / "NGSDAddVariantsGermline_in1.tsv", "-out", log10]) == 0
+    _log_compare(log10, "NGSDAddVariantsGermline_out10.log", ref_data_out)
+    log11 = tmp_path / "out11.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-sv", ref_data_in / "NGSDAddVariantsGermline_in3.bedpe", "-out", log11]) == 0
+    _log_compare(log11, "NGSDAddVariantsGermline_out11.log", ref_data_out)
+    assert ngsd.get_value("SELECT count(*) FROM variant") == 1
+    assert ngsd.get_value("SELECT count(*) FROM cnv") == 1
+    assert ngsd.get_value("SELECT count(*) FROM sv_deletion") == 1
+
+
+def test_ngsd_add_variants_germline_sv_longread(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    log = tmp_path / "out.log"
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-sv", ref_data_in / "NGSDAddVariantsGermline_in4.bedpe", "-out", log]) == 0
+    for table, n in (("sv_deletion", 123), ("sv_duplication", 1), ("sv_insertion", 142),
+                     ("sv_inversion", 1), ("sv_translocation", 3), ("sv_callset", 1)):
+        assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
+    _log_compare(log, "NGSDAddVariantsGermline_Test_line233.log", ref_data_out)
+
+
+def test_ngsd_add_variants_germline_re(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype") == 0
+    # ExpansionHunter
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-re", ref_data_in / "NGSDAddVariantsGermline_in5.vcf", "-out", tmp_path / "l1"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype") == 84
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele2 IS NULL") == 11
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele1 > 30") == 2
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele2 > 30") == 4
+    assert ngsd.get_value("SELECT caller FROM re_callset") == "ExpansionHunter"
+    assert ngsd.get_value("SELECT caller_version FROM re_callset") == "v5.0.0"
+    assert str(ngsd.get_value("SELECT call_date FROM re_callset"))[:10] == "2024-04-16"
+    # Straglr 1.5.0
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45",
+        "-re", ref_data_in / "NGSDAddVariantsGermline_in6.vcf", "-out", tmp_path / "l2"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype") == 30
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele2 IS NULL") == 0
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele1 >= 30") == 3
+    assert ngsd.get_value("SELECT count(*) FROM re_callset") == 1
+    assert ngsd.get_value("SELECT caller FROM re_callset") == "Straglr"
+    assert ngsd.get_value("SELECT caller_version FROM re_callset") == "V1.5.0"
+    assert str(ngsd.get_value("SELECT call_date FROM re_callset"))[:10] == "2024-06-06"
+    # Straglr 1.5.4
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45", "-force",
+        "-re", ref_data_in / "NGSDAddVariantsGermline_in7.vcf", "-out", tmp_path / "l3"]) == 0
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype") == 82
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele2 IS NULL") == 10
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele1 >= 30") == 6
+    assert ngsd.get_value("SELECT count(*) FROM repeat_expansion_genotype WHERE allele2 >= 30") == 5
+    assert ngsd.get_value("SELECT caller_version FROM re_callset") == "V1.5.4"
+    assert str(ngsd.get_value("SELECT call_date FROM re_callset"))[:10] == "2025-07-16"
+
+
+def test_ngsd_add_variants_germline_long_qual(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsGermline_init.sql")
+    assert execute("NGSDAddVariantsGermline", [
+        "-test", "-debug", "-no_time", "-ps", "NA12878_45", "-force",
+        "-var", ref_data_in / "NGSDAddVariantsGermline_in8.GSvar", "-out", tmp_path / "l"]) == 0
+    ps_id = ngsd.processed_sample_id("NA12878_45")
+    assert ngsd.get_value("SELECT caller FROM small_variants_callset WHERE processed_sample_id=?",
+                          params=(ps_id,)) == "DeepVariant"
+    assert ngsd.get_value("SELECT caller_version FROM small_variants_callset WHERE processed_sample_id=?",
+                          params=(ps_id,)) == "1.8.0"
+    assert str(ngsd.get_value("SELECT call_date FROM small_variants_callset WHERE processed_sample_id=?",
+                              params=(ps_id,)))[:10] == "2025-07-16"
+
+
+def test_ngsd_add_variants_somatic_tumor_normal(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in1.GSvar", "-out", tmp_path / "l"]) == 0
+    rows = ngsd.get_rows("SELECT chr, start, end, ref, obs FROM variant ORDER BY id")
+    assert rows[0] == ("chr2", 178096717, 178096717, "T", "C")
+    assert rows[1] == ("chr3", 138456487, 138456488, "AT", "-")
+    assert rows[2] == ("chr16", 56870524, 56870524, "A", "C")
+    dsv = ngsd.get_rows("SELECT id, processed_sample_id_tumor, processed_sample_id_normal, variant_id, "
+                        "variant_frequency, depth, quality_snp FROM detected_somatic_variant ORDER BY id")
+    assert dsv == [(1, 8, 7, 1, 0.1057, 389, 229), (2, 8, 7, 2, 0.1304, 26, 22),
+                   (3, 8, 7, 3, 0.1254, 639, 330)]
+    assert ngsd.get_value("SELECT caller FROM somatic_snv_callset") == "strelka2"
+    assert ngsd.get_value("SELECT caller_version FROM somatic_snv_callset") == "2.9.10"
+    assert str(ngsd.get_value("SELECT call_date FROM somatic_snv_callset"))[:10] == "2020-10-10"
+    # reimport works with force, fails without
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01", "-force",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in1.GSvar", "-out", tmp_path / "l2"]) == 0
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in1.GSvar", "-out", tmp_path / "l3"]) == 1
+
+
+def test_ngsd_add_variants_somatic_tumor_only(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in3.GSvar", "-out", tmp_path / "l"]) == 0
+    rows = ngsd.get_rows("SELECT chr, start, ref, obs FROM variant ORDER BY id")
+    assert rows == [("chr2", 178096717, "T", "C"), ("chr16", 56870524, "A", "C")]
+    dsv = ngsd.get_rows("SELECT id, processed_sample_id_tumor, processed_sample_id_normal, variant_id, "
+                        "variant_frequency, depth, quality_snp FROM detected_somatic_variant ORDER BY id")
+    assert dsv == [(1, 8, None, 1, 0.1057, 389, 229), (2, 8, None, 2, 0.1254, 639, 330)]
+    assert ngsd.get_value("SELECT caller FROM somatic_snv_callset") == "VarScan2"
+    assert ngsd.get_value("SELECT caller_version FROM somatic_snv_callset") == "v2.4.6"
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01", "-force",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in3.GSvar", "-out", tmp_path / "l2"]) == 0
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-no_time", "-t_ps", "DX184894_01",
+        "-var", ref_data_in / "NGSDAddVariantsSomatic_in3.GSvar", "-out", tmp_path / "l3"]) == 1
+
+
+def test_ngsd_add_variants_somatic_cnvs(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in2.tsv", "-out", tmp_path / "l"]) == 0
+    rows = ngsd.get_rows("SELECT id, somatic_cnv_callset_id, chr, start, end, cn, tumor_cn, "
+                         "tumor_clonality, quality_metrics FROM somatic_cnv ORDER BY id")
+    assert len(rows) == 3
+    assert rows[0] == (1, 1, "chr1", 32097627, 32860246, 2.775, 3, 0.775,
+                       '{"BAF_qval_fdr":"NA","Highmed_tumor_BAF":"NA","Lowmed_tumor_BAF":"NA",'
+                       '"Offtarget_RD_CI_lower":"2.43","Offtarget_RD_CI_upper":"2.99",'
+                       '"Ontarget_RD_CI_lower":"NA","Ontarget_RD_CI_upper":"NA","Overall_qvalue":"0",'
+                       '"loglikelihood":"191","major_CN_allele":"2","minor_CN_allele":"1","regions":"8"}')
+    assert rows[2][5:8] == (1.25, 1, 0.75)
+    assert ngsd.get_value("SELECT caller FROM somatic_cnv_callset") == "ClinCNV"
+    assert ngsd.get_value("SELECT caller_version FROM somatic_cnv_callset") == "v1.16.1"
+    assert str(ngsd.get_value("SELECT call_date FROM somatic_cnv_callset"))[:10] == "2019-10-06"
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in2.tsv", "-out", tmp_path / "l2"]) == 1
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-force", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in2.tsv", "-out", tmp_path / "l3"]) == 0
+
+
+def test_ngsd_add_variants_somatic_cnvs_tumor_only(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in5.tsv", "-out", tmp_path / "l"]) == 0
+    rows = ngsd.get_rows("SELECT id, somatic_cnv_callset_id, chr, start, end, cn, tumor_cn, "
+                         "tumor_clonality, quality_metrics FROM somatic_cnv ORDER BY id")
+    assert rows == [(1, 1, "chr1", 3901206, 5765702, 1.4, 0, 0.3,
+                     '{"Major allele":"0","Minor allele":"0","loglikelihood":"226","regions":"28"}')]
+    assert ngsd.get_value("SELECT caller_version FROM somatic_cnv_callset") == "v1.18.3"
+    assert str(ngsd.get_value("SELECT call_date FROM somatic_cnv_callset"))[:10] == "2025-11-27"
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in5.tsv", "-out", tmp_path / "l2"]) == 1
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-force", "-t_ps", "DX184894_01",
+        "-cnv", ref_data_in / "NGSDAddVariantsSomatic_in5.tsv", "-out", tmp_path / "l3"]) == 0
+
+
+def test_ngsd_add_variants_somatic_svs(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-sv", ref_data_in / "NGSDAddVariantsSomatic_in4.bedpe", "-out", tmp_path / "l"]) == 0
+    for table, n in (("somatic_sv_deletion", 0), ("somatic_sv_duplication", 0),
+                     ("somatic_sv_insertion", 1), ("somatic_sv_inversion", 17),
+                     ("somatic_sv_translocation", 0)):
+        assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
+    assert ngsd.get_value("SELECT caller FROM somatic_sv_callset") == "Manta"
+    assert ngsd.get_value("SELECT caller_version FROM somatic_sv_callset") == "1.6.0"
+    assert str(ngsd.get_value("SELECT call_date FROM somatic_sv_callset"))[:10] == "2025-05-19"
+    # reimport without force is skipped (NOTE message, exit 0)
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-sv", ref_data_in / "NGSDAddVariantsSomatic_in4.bedpe", "-out", tmp_path / "l2"]) == 0
+    assert "NOTE: SVs were already imported" in (tmp_path / "l2").read_text()
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-force", "-t_ps", "DX184894_01", "-n_ps", "DX184263_01",
+        "-sv", ref_data_in / "NGSDAddVariantsSomatic_in4.bedpe", "-out", tmp_path / "l3"]) == 0
+
+
+def test_ngsd_add_variants_somatic_svs_tumor_only(ngsd, tmp_path, ref_data_in, ref_data_out):
+    _init_from(ngsd, "NGSDAddVariantsSomatic_init.sql")
+    assert execute("NGSDAddVariantsSomatic", [
+        "-test", "-debug", "-no_time", "-t_ps", "DX184894_01",
+        "-sv", ref_data_in / "NGSDAddVariantsSomatic_in6.bedpe", "-out", tmp_path / "l"]) == 0
+    for table, n in (("somatic_sv_deletion", 1), ("somatic_sv_duplication", 0),
+                     ("somatic_sv_insertion", 0), ("somatic_sv_inversion", 0),
+                     ("somatic_sv_translocation", 0)):
+        assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
+    assert ngsd.get_value("SELECT caller_version FROM somatic_sv_callset") == "1.6.1"
+    assert str(ngsd.get_value("SELECT call_date FROM somatic_sv_callset"))[:10] == "2025-11-27"
