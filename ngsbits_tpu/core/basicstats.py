@@ -199,3 +199,4 @@ def round_half_away(x) -> np.ndarray:
     even, which differs for *.5 values)."""
     x = np.asarray(x)
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+

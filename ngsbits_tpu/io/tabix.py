@@ -194,16 +194,11 @@ class TabixIndexedFile:
             return []
         chunks.sort()
         out = []
+        # merged chunks are disjoint virtual-offset ranges, so no line can be
+        # returned twice (identical duplicate lines in the file must be kept!)
         for cbeg, cend in self._merge_chunks(chunks):
             out.extend(self._scan_chunk(cbeg, cend, beg0, end))
-        # de-dup while keeping order (overlapping chunks can repeat lines)
-        seen = set()
-        uniq = []
-        for line in out:
-            if line not in seen:
-                seen.add(line)
-                uniq.append(line)
-        return uniq
+        return out
 
     @staticmethod
     def _merge_chunks(chunks):

@@ -1123,3 +1123,26 @@ def test_ngsd_add_variants_somatic_svs_tumor_only(ngsd, tmp_path, ref_data_in, r
         assert ngsd.get_value(f"SELECT count(*) FROM {table}") == n
     assert ngsd.get_value("SELECT caller_version FROM somatic_sv_callset") == "1.6.1"
     assert str(ngsd.get_value("SELECT call_date FROM somatic_sv_callset"))[:10] == "2025-11-27"
+
+
+def test_bedpe_annotate_counts(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "BedpeAnnotateCounts_init1.sql")
+    out1 = tmp_path / "out1.bedpe"
+    assert execute("BedpeAnnotateCounts", [
+        "-in", ref_data_in / "BedpeAnnotateCounts_in1.bedpe",
+        "-ann_folder", str(ref_data_in / "BedpeAnnotateCounts") + "/",
+        "-ps_name", "NA12878_3", "-test", "-out", out1]) == 0
+    compare_files(out1, ref_data_out / "BedpeAnnotateCounts_out1.bedpe")
+    out2 = tmp_path / "out2.bedpe"
+    assert execute("BedpeAnnotateCounts", [
+        "-in", ref_data_in / "BedpeAnnotateCounts_in1.bedpe",
+        "-ann_folder", str(ref_data_in / "BedpeAnnotateCounts") + "/",
+        "-ps_name", "NA12878_3", "-test", "-processing_system", "invalid", "-out", out2]) == 0
+    compare_files(out2, ref_data_out / "BedpeAnnotateCounts_out2.bedpe")
+    out3 = tmp_path / "out3.bedpe"
+    assert execute("BedpeAnnotateCounts", [
+        "-in", ref_data_in / "BedpeAnnotateCounts_in1.bedpe",
+        "-ann_folder", str(ref_data_in / "BedpeAnnotateCounts") + "/",
+        "-processing_system", "hpHBOCv5", "-out", out3]) == 0
+    compare_files(out3, ref_data_out / "BedpeAnnotateCounts_out3.bedpe")
