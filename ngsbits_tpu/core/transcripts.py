@@ -397,3 +397,321 @@ def load_gff3(filename: str, include_all: bool = False, skip_not_hgnc: bool = Fa
         if c_skipped_low_evidence:
             w(f"Notice: {c_skipped_special} transcipts not flagged as 'GENCODE basic' skipped.\n")
     return out
+
+
+# ---- HGVS.c -> genomic variant (Transcript::hgvsToVariant, Transcript.cpp) ----
+
+def _c_dna_to_genomic(t: Transcript, coord: int) -> int:
+    if coord < 1:
+        raise ValueError(f"Invalid cDNA coordinate {coord} given for transcript {t.name}!")
+    tmp = coord
+    regions = t.coding_regions().lines
+    if t.strand == "+":
+        for line in regions:
+            tmp -= line.end - line.start + 1
+            if tmp <= 0:
+                return line.end + tmp
+    else:
+        for line in reversed(regions):
+            tmp -= line.end - line.start + 1
+            if tmp <= 0:
+                return line.start - tmp
+    raise ValueError(f"Invalid cDNA coordinate {coord} (bigger than coding region) given for transcript {t.name}!")
+
+
+def _n_dna_to_genomic(t: Transcript, coord: int) -> int:
+    if coord < 1:
+        raise ValueError(f"Invalid non-coding DNA coordinate {coord} given for transcript {t.name}!")
+    tmp = coord
+    regions = t.regions.lines
+    if t.strand == "+":
+        for line in regions:
+            tmp -= line.end - line.start + 1
+            if tmp <= 0:
+                return line.end + tmp
+    else:
+        for line in reversed(regions):
+            tmp -= line.end - line.start + 1
+            if tmp <= 0:
+                return line.start - tmp
+    raise ValueError(f"Invalid non-coding DNA coordinate {coord} (bigger than non-coding region) given for transcript {t.name}!")
+
+
+def _utr5_end(t: Transcript) -> int:
+    utr5 = t.utr_5prime().lines
+    if not utr5:
+        raise ValueError(f"Cannot determine 5' UTR end for transcript {t.name} without 5' UTR regions!")
+    return utr5[-1].end + 1 if t.strand == "+" else utr5[0].start - 1
+
+
+def _utr3_start(t: Transcript) -> int:
+    utr3 = t.utr_3prime().lines
+    if not utr3:
+        raise ValueError(f"Cannot determine 3' UTR start for transcript {t.name} without 3' UTR regions!")
+    return utr3[0].start - 1 if t.strand == "+" else utr3[-1].end + 1
+
+
+def _correct_5prime_utr_offset(t: Transcript, offset: int) -> int:
+    utr5 = t.utr_5prime().lines
+    if len(utr5) < 2:
+        return offset
+    gap_sum = 0
+    if t.strand == "+":
+        first = True
+        size_sum = 0
+        index = len(utr5) - 1
+        while size_sum > offset and index >= 0:
+            size_sum -= utr5[index].end - utr5[index].start + 1
+            if first:
+                first = False
+            else:
+                gap_sum += utr5[index + 1].start - utr5[index].end - 1
+            index -= 1
+    else:
+        first = True
+        size_sum = 0
+        index = 0
+        while size_sum > offset and index < len(utr5):
+            size_sum -= utr5[index].end - utr5[index].start + 1
+            if first:
+                first = False
+            else:
+                gap_sum += utr5[index].start - utr5[index - 1].end - 1
+            index += 1
+    return offset - gap_sum
+
+
+def _correct_3prime_utr_offset(t: Transcript, offset: int) -> int:
+    utr3 = t.utr_3prime().lines
+    if len(utr3) < 2:
+        return offset
+    gap_sum = 0
+    if t.strand == "+":
+        first = True
+        size_sum = 0
+        index = 0
+        while size_sum < offset and index < len(utr3):
+            size_sum += utr3[index].end - utr3[index].start + 1
+            if first:
+                first = False
+            else:
+                gap_sum += utr3[index].start - utr3[index - 1].end - 1
+            index += 1
+    else:
+        first = True
+        size_sum = 0
+        index = len(utr3) - 1
+        while size_sum < offset and index >= 0:
+            size_sum += utr3[index].end - utr3[index].start + 1
+            if first:
+                first = False
+            else:
+                gap_sum += utr3[index + 1].start - utr3[index].end - 1
+            index -= 1
+    return offset + gap_sum
+
+
+def _hgvs_parse_position(t: Transcript, position: str, non_coding: bool) -> tuple[int, int]:
+    """Transcript::hgvsParsePosition — returns (genomic pos, offset)."""
+    special = [i for i, c in enumerate(position) if not c.isdigit()]
+    if not special:
+        pos = _n_dna_to_genomic(t, int(position)) if non_coding else _c_dna_to_genomic(t, int(position))
+        return pos, 0
+    if len(special) == 1:
+        s_pos = special[0]
+        s_char = position[s_pos]
+        if s_char == "+":
+            base = int(position[:s_pos])
+            pos = _n_dna_to_genomic(t, base) if non_coding else _c_dna_to_genomic(t, base)
+            return pos, int(position[s_pos + 1:])
+        if s_char == "-" and s_pos == 0:
+            pos = _n_dna_to_genomic(t, 1) if non_coding else _utr5_end(t)
+            offset = -int(position[1:])
+            if not non_coding:
+                offset = _correct_5prime_utr_offset(t, offset)
+            return pos, offset
+        if s_char == "-" and s_pos > 0:
+            base = int(position[:s_pos])
+            pos = _n_dna_to_genomic(t, base) if non_coding else _c_dna_to_genomic(t, base)
+            return pos, -int(position[s_pos + 1:])
+        if s_char == "*":
+            if non_coding:
+                pos = _n_dna_to_genomic(t, sum(l.end - l.start + 1 for l in t.regions.lines))
+            else:
+                pos = _utr3_start(t)
+            offset = int(position[s_pos + 1:])
+            offset = _correct_3prime_utr_offset(t, offset)
+            return pos, offset
+    elif len(special) == 2:
+        s_pos1, s_pos2 = special
+        s_char1, s_char2 = position[s_pos1], position[s_pos2]
+        if s_pos1 == 0 and s_char1 == "-" and s_char2 == "-":
+            pos = _n_dna_to_genomic(t, 1) if non_coding else _utr5_end(t)
+            offset = -int(position[1:s_pos2])
+            if not non_coding:
+                offset = _correct_5prime_utr_offset(t, offset)
+            return pos, offset - int(position[s_pos2 + 1:])
+        if s_pos1 == 0 and s_char1 == "-" and s_char2 == "+":
+            pos = _n_dna_to_genomic(t, 1) if non_coding else _utr5_end(t)
+            offset = -int(position[1:s_pos2])
+            if not non_coding:
+                offset = _correct_5prime_utr_offset(t, offset)
+            return pos, offset + int(position[s_pos2 + 1:])
+        if s_char1 == "*" and s_char2 == "+":
+            if non_coding:
+                pos = _n_dna_to_genomic(t, sum(l.end - l.start + 1 for l in t.regions.lines))
+            else:
+                pos = _utr3_start(t)
+            offset = _correct_3prime_utr_offset(t, int(position[1:s_pos2]))
+            return pos, offset + int(position[s_pos2 + 1:])
+        if s_char1 == "*" and s_char2 == "-":
+            if non_coding:
+                pos = _n_dna_to_genomic(t, sum(l.end - l.start + 1 for l in t.regions.lines))
+            else:
+                pos = _utr3_start(t)
+            offset = _correct_3prime_utr_offset(t, int(position[1:s_pos2]))
+            return pos, offset - int(position[s_pos2 + 1:])
+    raise ValueError(f"Unsupported HGVS.c position string '{position}'!")
+
+
+def _parse_range(t: Transcript, position: str, non_coding: bool) -> tuple[int, int]:
+    sign = 1 if t.strand == "+" else -1
+    i = position.find("_")
+    if i != -1:
+        start, off1 = _hgvs_parse_position(t, position[:i], non_coding)
+        start += sign * off1
+        end, off2 = _hgvs_parse_position(t, position[i + 1:], non_coding)
+        end += sign * off2
+        if start > end:
+            start, end = end, start
+    else:
+        start, off = _hgvs_parse_position(t, position, non_coding)
+        start += sign * off
+        end = start
+    return start, end
+
+
+def left_align_gsvar(chr_, start: int, ref: bytes, obs: bytes, genome) -> tuple[int, int, bytes, bytes]:
+    """Variant::leftAlign (VariantList.cpp) for GSvar-style variants."""
+    from ..qc.variant_details import min_block
+    ref = ref.upper()
+    obs = obs.upper()
+    if len(ref) == 1 and len(obs) == 1 and ref != b"-" and obs != b"-":
+        return start, start, ref, obs
+    if len(ref) > 1 and len(obs) > 1:
+        return start, start + len(ref) - 1, ref, obs
+    if ref == b"-":
+        block = min_block(obs)
+        start -= len(block) - 1
+        while genome.seq(chr_, start, len(block)) == block:
+            start -= len(block)
+        start += len(block) - 1
+        ref = genome.seq(chr_, start, 1)
+        obs = ref + obs
+        while ref == obs[-1:]:
+            start -= 1
+            ref = genome.seq(chr_, start, 1)
+            obs = ref + obs[:-1]
+        ref = b"-"
+        obs = obs[1:]
+        return start, start, ref, obs
+    if obs == b"-":
+        block = min_block(ref)
+        while genome.seq(chr_, start, len(block)) == block:
+            start -= len(block)
+        start += len(block)
+        start -= 1
+        obs = genome.seq(chr_, start, 1)
+        ref = obs + ref
+        while ref[-1:] == obs:
+            start -= 1
+            obs = genome.seq(chr_, start, 1)
+            ref = obs + ref[:-1]
+        obs = b"-"
+        ref = ref[1:]
+        start += 1
+        return start, start + len(ref) - 1, ref, obs
+    return start, start + len(ref) - 1, ref, obs
+
+
+def hgvs_to_variant(t: Transcript, hgvs_c: str, genome) -> tuple:
+    """Transcript::hgvsToVariant — returns (chr, start, end, ref, obs) in
+    GSvar representation ('-' for empty side), left-aligned."""
+    import re as _re
+
+    if len(t.regions) == 0:
+        raise ValueError(f"Transcript '{t.name}' has no regions() defined!")
+    chr_ = t.regions.lines[0].chr
+    hgvs_c = hgvs_c.strip()
+    non_coding = False
+    if hgvs_c.startswith("c."):
+        hgvs_c = hgvs_c[2:]
+    elif hgvs_c.startswith("n."):
+        hgvs_c = hgvs_c[2:]
+        non_coding = True
+    else:
+        raise ValueError(f"Invalid HGVS.c prefix '{hgvs_c[:2]}'. Must be 'c.' or 'n.'!")
+
+    hgvs_c = _re.sub(r"dup[ACGTN]+", "dup", hgvs_c)
+    hgvs_c = _re.sub(r"del[ACGTN]+", "del", hgvs_c)
+    hgvs_c = _re.sub(r"dup[0-9]+", "dup", hgvs_c)
+    hgvs_c = _re.sub(r"del[0-9]+", "del", hgvs_c)
+
+    length = len(hgvs_c)
+    if length < 4:
+        raise ValueError(f"Invalid cDNA change '{hgvs_c}'!")
+
+    minus = t.strand != "+"
+    if (hgvs_c[length - 4].isdigit() and hgvs_c[length - 3].isalpha()
+            and hgvs_c[length - 2] == ">" and hgvs_c[length - 1].isalpha()):
+        # SNV
+        pos, offset = _hgvs_parse_position(t, hgvs_c[:length - 3], non_coding)
+        start = pos + (offset if not minus else -offset)
+        end = start
+        ref = hgvs_c[length - 3].upper().encode()
+        obs = hgvs_c[length - 1].upper().encode()
+        if minus:
+            ref = reverse_complement(ref)
+            obs = reverse_complement(obs)
+    elif hgvs_c.endswith("dup"):
+        start, end = _parse_range(t, hgvs_c[:-3], non_coding)
+        ref = b"-"
+        obs = genome.seq(chr_, start, end - start + 1)
+        start = start - 1  # GSvar insertions are to the right of the coordinate
+        end = start
+    elif hgvs_c.endswith("del"):
+        start, end = _parse_range(t, hgvs_c[:-3], non_coding)
+        ref = genome.seq(chr_, start, end - start + 1)
+        obs = b"-"
+    elif "delins" in hgvs_c:
+        i = hgvs_c.index("delins")
+        start, end = _parse_range(t, hgvs_c[:i], non_coding)
+        ref = genome.seq(chr_, start, end - start + 1)
+        obs = hgvs_c[i + 6:].encode()
+        if minus:
+            obs = reverse_complement(obs)
+    elif "ins" in hgvs_c and "_" in hgvs_c:
+        i = hgvs_c.index("ins")
+        if hgvs_c[i + 3:] == "":
+            raise ValueError(f"Insertion '{hgvs_c}' does not specify what was inserted!")
+        start, end = _parse_range(t, hgvs_c[:i], non_coding)
+        if start != end - 1:
+            raise ValueError(f"Insertion '{hgvs_c}' has coordinates that are not next to each other: {start}/{end}!")
+        end = start
+        ref = b"-"
+        obs = hgvs_c[i + 3:].encode()
+        if minus:
+            obs = reverse_complement(obs)
+    else:
+        raise ValueError(
+            f"Unsupported cDNA change '{hgvs_c}'. Please note:\n"
+            "- Adjacent SNVs changes e.g. 'c.1234CA>TC' are not supported. Spit them in single base changes or format them as 'delins'.\n"
+            "- Duplication must end with 'dup'. Remove everyhing after.\n"
+            "- Deletions must end with 'del'. Remove everyhing after.")
+
+    if end - start + 1 != len(ref):
+        raise ValueError(f"HGVS.c '{t.name}:{hgvs_c}': reference length of coordinates "
+                         f"({end - start + 1}) and sequence ({len(ref)}) do not match!")
+
+    start, end, ref, obs = left_align_gsvar(chr_, start, ref, obs, genome)
+    return chr_, start, end, ref, obs

@@ -207,3 +207,109 @@ def _overlaps(chr1, s1, e1, chr2_raw, s2, e2) -> bool:
 TOOLS = {
     "BedpeAnnotateCounts": BedpeAnnotateCountsTool,
 }
+
+
+def _find_match(bedpe: BedpeFile, sv, deep_ins_compare: bool, compare_ci: bool) -> int:
+    """BedpeFile::findMatch (BedpeFile.cpp) — exact / CI-fuzzy SV matching."""
+    pos_min_q = min(sv.start1, sv.end1, sv.start2, sv.end2)
+    pos_max_q = max(sv.start1, sv.end1, sv.start2, sv.end2)
+    for i, l in enumerate(bedpe.lines):
+        if l.type != sv.type or l.chr1.num != sv.chr1.num or l.chr2.num != sv.chr2.num:
+            continue
+        pos_min_r = min(l.start1, l.end1, l.start2, l.end2)
+        pos_max_r = max(l.start1, l.end1, l.start2, l.end2)
+        if compare_ci:
+            if sv.type == b"INS":
+                if not (pos_min_r <= pos_max_q and pos_min_q <= pos_max_r):
+                    continue
+            else:
+                if not (l.start1 <= sv.end1 and sv.start1 <= l.end1):
+                    continue
+                if not (l.start2 <= sv.end2 and sv.start2 <= l.end2):
+                    continue
+            return i
+        else:
+            if (l.start1, l.end1, l.start2, l.end2) != (sv.start1, sv.end1, sv.start2, sv.end2):
+                continue
+            return i
+    return -1
+
+
+class BedpeTrioAnalysisTool(ToolBase):
+    """Behavioral reference: src/BedpeTrioAnalysis/main.cpp."""
+
+    name = "BedpeTrioAnalysis"
+    description = "Combines the SVs of a trio (index, father, mother) into a single BEDPE file."
+
+    def setup(self):
+        self.add_infile("father", "Input SV file of the father (in BEDPE format).")
+        self.add_infile("mother", "Input SV file of the mother (in BEDPE format).")
+        self.add_infile("index", "Input SV file of the index (in BEDPE format).")
+        self.add_outfile("out", "Output SV file (in BEDPE format).")
+
+    @staticmethod
+    def _genotype(sv, annotation_headers) -> bytes:
+        gt = sv.format_value(annotation_headers, b"GT", error_on_missing_key=False).strip()
+        if gt == b"1/1":
+            return b"hom"
+        if gt in (b"0/1", b"1/0"):
+            return b"het"
+        return b"n/a"
+
+    def main(self):
+        svs_index = BedpeFile.from_file(self.get_infile("index"))
+        svs_father = BedpeFile.from_file(self.get_infile("father"))
+        svs_mother = BedpeFile.from_file(self.get_infile("mother"))
+
+        def headers_without_sample(f):
+            h = list(f.annotation_headers)
+            del h[h.index(b"FORMAT") + 1]
+            return h
+
+        if headers_without_sample(svs_index) != headers_without_sample(svs_father):
+            raise ToolError(f"The annotations of the BEDPE files '{self.get_infile('father')}' and "
+                            f"'{self.get_infile('index')}' do not match. Cannot combine these file! "
+                            "Make sure all files were created with the same pipeline verion and contain the same annotations.")
+        if headers_without_sample(svs_index) != headers_without_sample(svs_mother):
+            raise ToolError(f"The annotations of the BEDPE files '{self.get_infile('mother')}' and "
+                            f"'{self.get_infile('index')}' do not match. Cannot combine these file! "
+                            "Make sure all files were created with the same pipeline verion and contain the same annotations.")
+
+        for sv_index in svs_index.lines:
+            genotypes = [self._genotype(sv_index, svs_index.annotation_headers)]
+            i_father = _find_match(svs_father, sv_index, False, True)
+            if i_father != -1:
+                genotypes.append(self._genotype(svs_father.lines[i_father], svs_father.annotation_headers))
+                svs_father.remove_at(i_father)
+            else:
+                genotypes.append(b"wt")
+            i_mother = _find_match(svs_mother, sv_index, False, True)
+            if i_mother != -1:
+                genotypes.append(self._genotype(svs_mother.lines[i_mother], svs_mother.annotation_headers))
+                svs_mother.remove_at(i_mother)
+            else:
+                genotypes.append(b"wt")
+            sv_index.annotations = genotypes + sv_index.annotations
+
+        for sv_father in list(svs_father.lines):
+            genotypes = [b"wt", self._genotype(sv_father, svs_father.annotation_headers)]
+            i_mother = _find_match(svs_mother, sv_father, False, True)
+            if i_mother != -1:
+                genotypes.append(self._genotype(svs_mother.lines[i_mother], svs_mother.annotation_headers))
+                svs_mother.remove_at(i_mother)
+            else:
+                genotypes.append(b"wt")
+            sv_father.annotations = genotypes + sv_father.annotations
+            svs_index.append(sv_father)
+
+        for sv_mother in list(svs_mother.lines):
+            genotypes = [b"wt", b"wt", self._genotype(sv_mother, svs_mother.annotation_headers)]
+            sv_mother.annotations = genotypes + sv_mother.annotations
+            svs_index.append(sv_mother)
+
+        svs_index.annotation_headers = [b"index", b"father", b"mother"] + svs_index.annotation_headers
+        svs_index.sort()
+        svs_index.store(self.get_outfile("out"))
+
+
+TOOLS["BedpeTrioAnalysis"] = BedpeTrioAnalysisTool

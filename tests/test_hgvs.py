@@ -425,3 +425,37 @@ def test_ngsd_gene_burden_test(tmp_path, monkeypatch):
     assert abs(float(fields[1]) - fishers_exact_test(4, 1, 6, 9, "greater")) < 1e-6
     assert "case00_02: chr1:156 G>A" in fields[3]
     assert "control00_02: chr1:156 G>A" in fields[5]
+
+
+def test_hgvs_to_vcf_tool(tmp_path, monkeypatch):
+    """Synthetic end-to-end HgvsToVcf run against the mini NGSD/genome."""
+    from helpers import execute
+
+    monkeypatch.setenv("NGSBITS_NGSD_TEST", str(tmp_path / "ngsd.sqlite"))
+    from ngsbits_tpu.ngsd import NGSD
+    db = NGSD(True)
+    db.init()
+    db.execute("INSERT INTO gene (hgnc_id, symbol, name, type) VALUES (1, 'TESTG', 'test gene', 'protein-coding gene')")
+    db.commit()
+    db.close()
+    fa = _write_mini_ref(tmp_path)
+    gff = _write_mini_gff(tmp_path)
+    assert execute("NGSDImportEnsembl", ["-test", "-in", gff]) == 0
+
+    tsv = tmp_path / "in.tsv"
+    tsv.write_text("#transcript\thgvs_c\tnote\n"
+                   "ENST00000000001\tc.15T>A\tsyn\n"          # genomic chr1:145 T>A
+                   "ENST00000000001\tc.30+2T>C\tintron\n"     # genomic chr1:162 T>C
+                   "ENST00000000001\tc.-6G>C\tutr5\n"         # genomic chr1:125 G>C
+                   "ENST00000000001.1\tc.13_15del\tdel\n"     # del CTT at 143..145
+                   "ENSTUNKNOWN\tc.1A>G\tmissing\n")
+    out = tmp_path / "out.vcf"
+    assert execute("HgvsToVcf", ["-test", "-in", tsv, "-out", out, "-ref", fa]) == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    assert len(lines) == 4
+    assert lines[0].startswith("chr1\t145\t.\tT\tA\t.\t.\tHGVSc=ENST00000000001:c.15T>A;note=syn")
+    assert lines[1].startswith("chr1\t162\t.\tT\tC")
+    assert lines[2].startswith("chr1\t125\t.\tG\tC")
+    # deletion is left-aligned and VCF-converted with prefix base
+    f = lines[3].split("\t")
+    assert f[0] == "chr1" and len(f[3]) == 4 and len(f[4]) == 1
