@@ -257,9 +257,129 @@ def _parse_attributes(raw: str) -> dict[str, str]:
     return out
 
 
+CHROMOSOME_MAPPING = {
+    # NGSHelper::chromosomeMapping — chromosome to RefSeq sequence accession
+    "hg38": {
+        "chr1": "NC_000001.11", "chr2": "NC_000002.12", "chr3": "NC_000003.12",
+        "chr4": "NC_000004.12", "chr5": "NC_000005.10", "chr6": "NC_000006.12",
+        "chr7": "NC_000007.14", "chr8": "NC_000008.11", "chr9": "NC_000009.12",
+        "chr10": "NC_000010.11", "chr11": "NC_000011.10", "chr12": "NC_000012.12",
+        "chr13": "NC_000013.11", "chr14": "NC_000014.9", "chr15": "NC_000015.10",
+        "chr16": "NC_000016.10", "chr17": "NC_000017.11", "chr18": "NC_000018.10",
+        "chr19": "NC_000019.10", "chr20": "NC_000020.11", "chr21": "NC_000021.9",
+        "chr22": "NC_000022.11", "chrX": "NC_000023.11", "chrY": "NC_000024.10",
+        "chrMT": "NC_012920.1",
+    },
+    "hg19": {
+        "chr1": "NC_000001.10", "chr2": "NC_000002.11", "chr3": "NC_000003.11",
+        "chr4": "NC_000004.11", "chr5": "NC_000005.9", "chr6": "NC_000006.11",
+        "chr7": "NC_000007.13", "chr8": "NC_000008.10", "chr9": "NC_000009.11",
+        "chr10": "NC_000010.10", "chr11": "NC_000011.9", "chr12": "NC_000012.11",
+        "chr13": "NC_000013.10", "chr14": "NC_000014.8", "chr15": "NC_000015.9",
+        "chr16": "NC_000016.9", "chr17": "NC_000017.10", "chr18": "NC_000018.9",
+        "chr19": "NC_000019.9", "chr20": "NC_000020.10", "chr21": "NC_000021.8",
+        "chr22": "NC_000022.10", "chrX": "NC_000023.10", "chrY": "NC_000024.9",
+        "chrMT": "NC_012920.1",
+    },
+}
+
+
+def load_gff3_refseq(filename: str, include_all: bool = False,
+                     skip_not_hgnc: bool = False, print_to_stdout: bool = True) -> GffData:
+    """GffData::loadRefseq (GffData.cpp:360-530)."""
+    out = GffData()
+    id2chr = {v: k for k, v in CHROMOSOME_MAPPING["hg38"].items()}
+    geneid_to_data: dict[str, tuple[str, str, str]] = {}
+    pending: dict[str, dict] = {}
+
+    opener = gzip.open if str(filename).endswith(".gz") else open
+    with opener(filename, "rt") as fh:
+        for raw in fh:
+            line = raw.rstrip("\r\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            source_col = parts[1]
+            if not include_all and "RefSeq" not in source_col:
+                continue
+            chr_str = parts[0]
+            chr_ = Chromosome(id2chr.get(chr_str, chr_str))
+            details = parts[8]
+            if details.startswith("ID=gene-"):
+                attrs = _parse_attributes(details)
+                if not chr_.is_non_special():
+                    continue
+                hgnc_id = ""
+                for entry in attrs.get("Dbxref", "").split(","):
+                    if entry.startswith("HGNC:"):
+                        hgnc_id = entry[5:]
+                gene = attrs.get("Name", "")
+                if not gene and not hgnc_id:
+                    continue
+                if skip_not_hgnc and not hgnc_id:
+                    continue
+                geneid_to_data[attrs.get("ID", "")] = (gene, hgnc_id, attrs.get("gene_biotype", ""))
+            elif details.startswith("ID=rna-"):
+                attrs = _parse_attributes(details)
+                gene_id = attrs.get("Parent", "")
+                if gene_id not in geneid_to_data:
+                    continue
+                name = attrs.get("Name", "")
+                version = 0
+                if "." in name:
+                    name, _, v = name.rpartition(".")
+                    version = int(v)
+                gene, hgnc, biotype = geneid_to_data[gene_id]
+                try:
+                    biotype_str = string_to_biotype(biotype) if biotype else ""
+                except ValueError:
+                    biotype_str = ""
+                pending[attrs.get("ID", "")] = {
+                    "name": name, "version": version, "name_ccds": "",
+                    "gene_symbol": gene, "gene_id": gene_id, "hgnc_id": hgnc,
+                    "chr": chr_, "strand": parts[6], "biotype": biotype_str,
+                    "gencode_basic": False, "gencode_primary": False,
+                    "ensembl_canonical": False, "mane_select": False,
+                    "mane_plus_clinical": False,
+                    "start_coding": 0, "end_coding": 0, "exons": BedFile(),
+                }
+            elif parts[2] in ("CDS", "exon", "miRNA"):
+                attrs = _parse_attributes(details)
+                t_data = pending.get(attrs.get("Parent", ""))
+                if t_data is None:
+                    continue
+                if chr_.num != t_data["chr"].num:
+                    raise ValueError("Chromosome mismatch between transcript and exon!")
+                start, end = int(parts[3]), int(parts[4])
+                if parts[2] == "CDS":
+                    t_data["start_coding"] = start if t_data["start_coding"] == 0 else min(start, t_data["start_coding"])
+                    t_data["end_coding"] = end if t_data["end_coding"] == 0 else max(end, t_data["end_coding"])
+                t_data["exons"].append(BedLine(chr_, start, end))
+
+    for t_data in pending.values():
+        t_data["exons"].merge()
+        t = Transcript(
+            name=t_data["name"], version=t_data["version"],
+            gene=t_data["gene_symbol"], gene_id=t_data["gene_id"],
+            hgnc_id=t_data["hgnc_id"], source="refseq", chr=t_data["chr"],
+            strand=t_data["strand"], biotype=t_data["biotype"],
+            regions=t_data["exons"])
+        cs, ce = t_data["start_coding"], t_data["end_coding"]
+        if t.strand == "-":
+            cs, ce = ce, cs
+        t.coding_start, t.coding_end = cs, ce
+        out.transcripts.append(t)
+    if print_to_stdout:
+        sys.stdout.write(f"Parsed {out.gene_count()} genes from GFF\n")
+        sys.stdout.write(f"Parsed {len(out.transcripts)} transcripts from GFF\n")
+    return out
+
+
 def load_gff3(filename: str, include_all: bool = False, skip_not_hgnc: bool = False,
               print_to_stdout: bool = True, source: str = "ensembl") -> GffData:
     """GffData::load for Ensembl GFF3 (GffData.cpp:200-360)."""
+    if source == "refseq":
+        return load_gff3_refseq(filename, include_all, skip_not_hgnc, print_to_stdout)
     if source != "ensembl":
         raise ValueError(f"Invalid GFF source '{source}'!")
     out = GffData()

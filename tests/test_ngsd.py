@@ -1146,3 +1146,28 @@ def test_bedpe_annotate_counts(ngsd, tmp_path, ref_data_in, ref_data_out):
         "-ann_folder", str(ref_data_in / "BedpeAnnotateCounts") + "/",
         "-processing_system", "hpHBOCv5", "-out", out3]) == 0
     compare_files(out3, ref_data_out / "BedpeAnnotateCounts_out3.bedpe")
+
+
+def test_transcript_comparison(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "TranscriptComparison_init.sql")
+    out = tmp_path / "out1.tsv"
+    assert execute("TranscriptComparison", [
+        "-ensembl", ref_data_in / "TranscriptComparison_ensembl.gff3",
+        "-refseq", ref_data_in / "TranscriptComparison_refseq.gff3",
+        "-out", out, "-test"]) == 0
+    compare_files(out, ref_data_out / "TranscriptComparison_out1.tsv",
+                  strip_patterns=(r"##.*file:",))
+
+
+def test_splicing_to_bed(ngsd, tmp_path, ref_data_in, ref_data_out):
+    from helpers import compare_files
+    _init_from(ngsd, "SplicingToBed_init.sql")
+    report = tmp_path / "report.tsv"
+    genes = tmp_path / "genes.tsv"
+    bed = tmp_path / "out.bed"
+    assert execute("SplicingToBed", ["-test", "-in", ref_data_in / "splicing.tsv",
+                                     "-report", report, "-gene_report", genes, "-bed", bed]) == 0
+    compare_files(report, ref_data_out / "SplicingToBed_out1_report.tsv")
+    compare_files(genes, ref_data_out / "SplicingToBed_out1_genes.tsv")
+    compare_files(bed, ref_data_out / "SplicingToBed_out1.bed")
