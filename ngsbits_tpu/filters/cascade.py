@@ -662,3 +662,208 @@ class FilterCnvOMIM(FilterBase):
                 continue
             empty = v.annotations[index].strip() == b""
             result.flags[i] = (not empty) if action == "FILTER" else empty
+
+
+@register
+class FilterVariantQC(FilterBase):
+    """FilterCascade.cpp:2350-2470 — 'Variant quality' (quality column parts)."""
+    NAME = "Variant quality"
+    PARAMS = [("apply_to", STRING, "all"), ("qual", INT, 20), ("depth", INT, 0),
+              ("min_gq", INT, 0), ("min_af", DOUBLE, 0.0), ("max_af", DOUBLE, 1.0),
+              ("remove_special_calls", BOOL, False)]
+
+    def apply(self, gsvar, result):
+        index = _anno_col(gsvar, "quality")
+        apply_to = self.get("apply_to")
+        qual = self.get("qual")
+        depth = self.get("depth")
+        min_gq = self.get("min_gq")
+        min_af = self.get("min_af")
+        max_af = self.get("max_af")
+        remove_special = self.get("remove_special_calls")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            is_snv = len(v.ref) == 1 and len(v.obs) == 1 and v.ref != b"-" and v.obs != b"-"
+            if apply_to == "SNV" and not is_snv:
+                continue
+            if apply_to == "INDEL" and is_snv:
+                continue
+            for part in v.annotations[index].split(b";"):
+                if qual > 0 and part.startswith(b"QUAL="):
+                    qual_str = part[5:].strip()
+                    if qual_str == b".":
+                        continue
+                    if b"." in qual_str:
+                        qual_str = qual_str[:qual_str.index(b".")]
+                    if _to_i(qual_str) < qual:
+                        result.flags[i] = False
+                elif depth > 0 and part.startswith(b"DP="):
+                    for dp in part[3:].split(b","):
+                        if dp != b"." and _to_i(dp) < depth:
+                            result.flags[i] = False
+                elif min_gq > 0 and part.startswith(b"GQ="):
+                    for gq in part[3:].split(b","):
+                        if gq != b"." and _to_i(gq) < min_gq:
+                            result.flags[i] = False
+                elif (min_af > 0 or max_af < 1) and part.startswith(b"AF="):
+                    for af in part[3:].split(b","):
+                        if af == b".":
+                            continue
+                        af_num = _to_f(af)
+                        if min_af > 0 and af_num < min_af:
+                            result.flags[i] = False
+                        if max_af < 1 and af_num > max_af:
+                            result.flags[i] = False
+                elif remove_special and part.startswith(b"CT="):
+                    for ct in part[3:].split(b","):
+                        if ct != b".":
+                            result.flags[i] = False
+
+
+@register
+class FilterAnnotationPathogenic(FilterBase):
+    """FilterCascade.cpp — 'Annotated pathogenic' (ClinVar/HGMD)."""
+    NAME = "Annotated pathogenic"
+    PARAMS = [("sources", STRINGLIST, ["ClinVar", "HGMD"]),
+              ("also_likely_pathogenic", BOOL, False),
+              ("action", STRING, "KEEP")]
+
+    def apply(self, gsvar, result):
+        sources = self.get("sources")
+        also_likely = self.get("also_likely_pathogenic")
+        i_clinvar = _anno_col(gsvar, "ClinVar") if "ClinVar" in sources else -1
+        i_hgmd = _anno_col(gsvar, "HGMD", False) if "HGMD" in sources else -1
+
+        def pathogenic(v):
+            if i_clinvar != -1:
+                clinvar = v.annotations[i_clinvar]
+                if b"[pathogenic" in clinvar:
+                    return True
+                if also_likely and b"[likely pathogenic" in clinvar:
+                    return True
+            if i_hgmd != -1:
+                hgmd = v.annotations[i_hgmd]
+                if b"CLASS=DM" in hgmd:
+                    if also_likely:
+                        return True
+                    if b"CLASS=DM?" not in hgmd:
+                        return True
+            return False
+
+        if self.get("action") == "FILTER":
+            for i, v in enumerate(gsvar.variants):
+                if result.flags[i]:
+                    result.flags[i] = pathogenic(v)
+        else:  # KEEP
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    result.flags[i] = pathogenic(v)
+
+
+def max_entscan_impact(score_pairs: list[bytes], splice_site_only: bool) -> str:
+    """NGSHelper::maxEntScanImpact — impact of a MaxEntScan annotation entry."""
+    if len(score_pairs) < 1:
+        raise ValueError("MaxEntScan annotation contains less than one score pair")
+    if len(score_pairs) > 3:
+        raise ValueError("MaxEntScan annotation contains more than three score pairs")
+    impacts = []
+    for i, score_pair in enumerate(score_pairs):
+        parts = score_pair.split(b">")
+        if len(parts) != 2:
+            continue
+        if splice_site_only and i > 0:
+            continue
+        ref = max(0.0, _to_f(parts[0]))
+        alt = max(0.0, _to_f(parts[1]))
+        diff = ref - alt
+        if i == 0:
+            if diff > 0 and ref >= 3:
+                if alt < 6.2:
+                    impacts.append("HIGH" if diff >= 1.15 else "MODERATE")
+                elif alt <= 8.5 and diff > 1.15:
+                    impacts.append("MODERATE")
+        else:
+            if diff < -1.15 and ref < 3:
+                if alt > 8.5:
+                    impacts.append("HIGH")
+                elif alt >= 6.2:
+                    impacts.append("MODERATE")
+    if "HIGH" in impacts:
+        return "HIGH"
+    if "MODERATE" in impacts:
+        return "MODERATE"
+    return "LOW"
+
+
+@register
+class FilterSpliceEffect(FilterBase):
+    """FilterCascade.cpp — 'Splice effect' (MaxEntScan + SpliceAi)."""
+    NAME = "Splice effect"
+    PARAMS = [("MaxEntScan", STRING, "LOW"), ("SpliceAi", DOUBLE, 0.5),
+              ("splice_site_only", BOOL, False), ("action", STRING, "KEEP")]
+
+    def _mes_hit(self, mes_anno: bytes, min_mes: str, splice_site_only: bool) -> bool:
+        if mes_anno and min_mes != "LOW":
+            for entry in mes_anno.split(b","):
+                impact = max_entscan_impact(entry.split(b"/"), splice_site_only)
+                if impact == "HIGH":
+                    return True
+                if impact == "MODERATE" and min_mes == "MODERATE":
+                    return True
+        return False
+
+    @staticmethod
+    def _sai_hit(sai_anno: bytes, min_sai: float, splice_site_only: bool) -> bool:
+        if not sai_anno or min_sai <= 0:
+            return False
+        try:
+            return float(sai_anno) >= min_sai
+        except ValueError:
+            pass
+        max_score = 0.0
+        for entry in sai_anno.split(b","):
+            parts = entry.split(b"|")
+            if len(parts) != 9:
+                raise ValueError("Invalid SpliceAI annotation - not 9 parts: " + entry.decode())
+            indices = [2, 4] if splice_site_only else [2, 4, 1, 3]
+            for i in indices:
+                try:
+                    val = float(parts[i])
+                except ValueError:
+                    continue
+                if 0 <= val <= 1:
+                    max_score = max(max_score, val)
+        return max_score >= min_sai
+
+    def apply(self, gsvar, result):
+        idx_sai = _anno_col(gsvar, "SpliceAi")
+        idx_mes = _anno_col(gsvar, "MaxEntScan")
+        min_sai = self.get("SpliceAi")
+        min_mes = self.get("MaxEntScan")
+        splice_site_only = self.get("splice_site_only")
+        if min_sai == 0 and min_mes == "LOW":
+            return
+        if self.get("action") == "FILTER":
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                sai = v.annotations[idx_sai].strip()
+                mes = v.annotations[idx_mes].strip()
+                if not sai and not mes:
+                    result.flags[i] = False
+                    continue
+                if self._sai_hit(sai, min_sai, splice_site_only):
+                    continue
+                if self._mes_hit(mes, min_mes, splice_site_only):
+                    continue
+                result.flags[i] = False
+        else:  # KEEP
+            for i, v in enumerate(gsvar.variants):
+                if result.flags[i]:
+                    continue
+                if self._sai_hit(v.annotations[idx_sai].strip(), min_sai, splice_site_only):
+                    result.flags[i] = True
+                    continue
+                if self._mes_hit(v.annotations[idx_mes].strip(), min_mes, splice_site_only):
+                    result.flags[i] = True

@@ -78,7 +78,8 @@ class GSvarFile:
                         if b"=" in part:
                             k, v = part.split(b"=", 1)
                             kv[k.decode()] = v.decode()
-                    out.samples.append((kv.get("ID", ""), kv.get("Status", "")))
+                    out.samples.append((kv.get("ID", ""),
+                                        kv.get("Status", kv.get("DiseaseStatus", ""))))
                 continue
             if line.startswith(b"#"):
                 out.columns = [c.decode() for c in line[1:].split(b"\t")[5:]]

@@ -459,3 +459,68 @@ def test_hgvs_to_vcf_tool(tmp_path, monkeypatch):
     # deletion is left-aligned and VCF-converted with prefix base
     f = lines[3].split("\t")
     assert f[0] == "chr1" and len(f[3]) == 4 and len(f[4]) == 1
+
+
+def test_maxentscan_scorer():
+    """Scores pinned to the published MaxEntScan reference values
+    (Yeo & Burge; same examples as the VEP plugin documentation)."""
+    from ngsbits_tpu.tools.vcf_annotate_maxentscan import MaxEntScanScorer
+    s = MaxEntScanScorer()
+    assert abs(float(s.score5(b"CAGGTAAGT")) - 10.86) < 0.01
+    assert abs(float(s.score3(b"TTCCAAACGAACTTTTGTAGGGA")) - 2.89) < 0.01
+
+
+def test_vcf_annotate_maxentscan_tool(tmp_path):
+    from helpers import execute
+    fa = _write_mini_ref(tmp_path)
+    gff = _write_mini_gff(tmp_path)
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr1\t201\t.\tA\tG\t.\t.\t.",   # near 3' splice site of exon 2 CDS
+        "chr1\t160\t.\tT\tC\t.\t.\t.",   # near 5' splice site of exon 1 CDS
+    ]) + "\n")
+    out = tmp_path / "out.vcf"
+    assert execute("VcfAnnotateMaxEntScan", ["-in", vcf, "-gff", gff, "-ref", fa,
+                                             "-out", out, "-swa"]) == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    assert "MES=" in lines[0] and "MES_SWA=" in lines[0]
+    assert "MES=" in lines[1]
+    # MES entries have format ref&alt&transcript
+    mes = [f for f in lines[0].split("\t")[7].split(";") if f.startswith("MES=")][0]
+    assert mes.endswith("&ENST00000000001")
+    header = [l for l in out.read_text().splitlines() if l.startswith("##INFO=<ID=MES,")]
+    assert len(header) == 1
+
+
+def test_vcf_annotate_hexplorer_tool(tmp_path):
+    from helpers import execute
+    fa = _write_mini_ref(tmp_path)
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr1\t161\t.\tG\tC\t.\t.\t.",   # destroys the GT donor at intron 1
+    ]) + "\n")
+    out = tmp_path / "out.vcf"
+    assert execute("VcfAnnotateHexplorer", ["-in", vcf, "-out", out, "-ref", fa]) == 0
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    info = lines[0].split("\t")[7]
+    assert "hexplorer_delta=" in info and "hexplorer_wt=" in info
+    # wildtype contains the canonical donor GTAAGTATGTC (intron 1 start) -> HBond wt > 0
+    assert "max_hbond_wt=" in info
+    headers = [l for l in out.read_text().splitlines() if l.startswith("##INFO=<ID=hexplorer")]
+    assert len(headers) == 6
+    # cross-check one HZEI value against an independent recomputation
+    from ngsbits_tpu.tools.vcf_annotate_hexplorer import load_hexplorer_zscores
+    z = load_hexplorer_zscores()
+    seq = build_chr1()[150:181]  # wt context of chr1:161 (start-10, len 21+ref-1)
+    wt_seq = build_chr1()[150:171]
+    total = 0.0
+    for i in range(5, len(wt_seq) - 5):
+        und = wt_seq[i - 5:i + 6]
+        total += sum(float(z.get(und[k:k + 6], 0.0)) for k in range(6)) / 6
+    expected = total / (len(wt_seq) - 10)
+    got = float([e for e in info.split(";") if e.startswith("hexplorer_wt=")][0].split("=")[1])
+    assert abs(got - expected) < 0.01
