@@ -798,10 +798,22 @@ class NGSD:
                     same[sid] = combined - {sid}
         return same.get(sample_id, set())
 
+    def sample_phenotypes(self, sample_id) -> list:
+        """NGSD::samplePhenotypes — [(accession, name)] of HPO disease infos."""
+        out = []
+        for acc in self.get_values(
+                "SELECT disease_info FROM sample_disease_info WHERE sample_id=? AND type='HPO term id'",
+                params=(sample_id,)):
+            name = self.get_value("SELECT name FROM hpo_term WHERE hpo_id=?", params=(acc,))
+            if name is not None:
+                out.append((acc, name))
+        return out
+
     def get_sample_data(self, sample_id) -> dict:
         rows = self.get_rows(
             "SELECT s.name, s.name_external, s.gender, s.quality, s.comment, s.disease_group, "
-            "s.disease_status, s.tumor, s.ffpe, s.sample_type, s.tissue, s.patient_identifier "
+            "s.disease_status, s.tumor, s.ffpe, s.sample_type, s.tissue, s.patient_identifier, "
+            "s.year_of_birth, s.received, s.order_date, s.sampling_date "
             "FROM sample s WHERE id=?", params=(sample_id,))
         if not rows:
             raise NgsdError(f"Invalid 'id' for table 'sample' given: '{sample_id}'")
@@ -810,7 +822,10 @@ class NGSD:
                 "gender": r[2], "quality": r[3], "comments": (r[4] or "").strip(),
                 "disease_group": (r[5] or "").strip(), "disease_status": (r[6] or "").strip(),
                 "is_tumor": str(r[7]) == "1", "is_ffpe": str(r[8]) == "1",
-                "type": r[9], "tissue": r[10], "patient_identifier": r[11]}
+                "type": r[9], "tissue": r[10], "patient_identifier": r[11],
+                "year_of_birth": str(r[12]) if r[12] is not None else "",
+                "received_date": _qt_date(r[13]), "order_date": _qt_date(r[14]),
+                "sampling_date": _qt_date(r[15])}
 
     def get_processed_sample_data(self, ps_id) -> dict:
         rows = self.get_rows(
@@ -828,7 +843,10 @@ class NGSD:
                 "comments": (r[4] or "").strip(), "project_name": (r[5] or "").strip(),
                 "project_type": (r[6] or "").strip(), "run_name": (r[7] or "").strip(),
                 "normal_sample_name": self.processed_sample_name(r[8]) if r[8] is not None else "",
-                "gender": (r[9] or "").strip()}
+                "gender": (r[9] or "").strip(),
+                "ancestry": str(self.get_value(
+                    "SELECT population FROM processed_sample_ancestry WHERE processed_sample_id=?",
+                    params=(ps_id,)) or "")}
 
     def processed_sample_search(self, p: dict):
         """NGSD::processedSampleSearch (NGSD.cpp:280-745) — returns
@@ -1616,3 +1634,14 @@ def _ngsd_paths_ext(cls):
 
 
 _ngsd_paths_ext(NGSD)
+
+
+def _qt_date(v) -> str:
+    """QDate::toString("dd.MM.yyyy") of a SQL date value."""
+    if v is None or str(v) == "":
+        return ""
+    s = str(v)[:10]
+    parts = s.split("-")
+    if len(parts) == 3:
+        return f"{parts[2]}.{parts[1]}.{parts[0]}"
+    return s

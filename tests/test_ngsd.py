@@ -1302,3 +1302,22 @@ def test_sample_path(ngsd, capfd, tmp_path, monkeypatch):
     assert capfd.readouterr().out.strip().endswith("NA12878_01.bam")
     assert execute("SamplePath", ["-test", "-ps", "NA12878_01", "-type", "GSVAR"]) == 0
     assert capfd.readouterr().out.strip().endswith("NA12878_01.GSvar")
+
+
+@pytest.mark.parametrize("samples,extra,golden", [
+    ("NGSDExportStudyGHGA_in1.tsv", ["-include_bam"], "NGSDExportStudyGHGA_out1.json"),
+    ("NGSDExportStudyGHGA_in2.tsv", ["-include_bam", "-include_vcf"], "NGSDExportStudyGHGA_out2.json"),
+    ("NGSDExportStudyGHGA_in3.tsv", ["-use_sample_folder", "-include_bam", "-include_vcf"], "NGSDExportStudyGHGA_out3.json"),
+    ("NGSDExportStudyGHGA_in3.tsv", ["-use_sample_folder", "-group_analyses", "-include_vcf"], "NGSDExportStudyGHGA_out4.json"),
+    ("NGSDExportStudyGHGA_in3.tsv", ["-use_sample_folder"], "NGSDExportStudyGHGA_out5.json"),
+])
+def test_ngsd_export_study_ghga(ngsd, tmp_path, ref_data_in, ref_data_out, samples, extra, golden, monkeypatch):
+    from helpers import compare_files
+    _init_from(ngsd, "NGSDExportStudyGHGA_init.sql")
+    # the in3 sample TSV contains folders relative to the reference test dir
+    monkeypatch.chdir("/root/reference/src")
+    out = tmp_path / "out.json"
+    assert execute("NGSDExportStudyGHGA", [
+        "-data", ref_data_in / "NGSDExportStudyGHGA_in1.json",
+        "-samples", ref_data_in / samples, "-test", "-out", out] + extra) == 0
+    compare_files(out, ref_data_out / golden)
