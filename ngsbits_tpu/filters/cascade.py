@@ -90,6 +90,7 @@ class FilterBase:
 class FilterCascade:
     def __init__(self):
         self.filters: list[FilterBase] = []
+        self.errors: list[list[str]] = []
 
     def add(self, f: FilterBase):
         self.filters.append(f)
@@ -106,15 +107,33 @@ class FilterCascade:
                 out.add(create_filter(parts[0], parts[1:]))
         return out
 
-    def apply(self, target, subject: str) -> FilterResult:
+    @staticmethod
+    def from_text(lines) -> "FilterCascade":
+        """FilterCascade::fromText (FilterCascade.cpp:775-790)."""
+        out = FilterCascade()
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("\t")
+            out.add(create_filter(parts[0], parts[1:]))
+        return out
+
+    def apply(self, target, subject: str, throw_errors: bool = True) -> FilterResult:
         n = len(target.variants) if hasattr(target, "variants") else len(target)
         result = FilterResult(n)
-        for f in self.filters:
+        self.errors = [[] for _ in self.filters]
+        for i, f in enumerate(self.filters):
             if f.TYPE != subject:
                 kind = {"snv": "small variants", "sv": "structural variants",
                         "cnv": "CNVs"}[subject]
                 raise ValueError(f"Filter '{f.NAME}' cannot be applied to {kind}!")
-            f.apply(target, result)
+            try:
+                f.apply(target, result)
+            except Exception as e:  # FilterCascade::apply catches per filter
+                if throw_errors:
+                    raise
+                self.errors[i].append(str(e))
         return result
 
 

@@ -697,6 +697,42 @@ class NGSD:
         v = self.get_value("SELECT normal_id FROM processed_sample WHERE id=?", params=(ps_id,))
         return self.processed_sample_name(v) if v is not None else ""
 
+    def rna(self, ps_id, throw_on_error: bool = True) -> str:
+        """NGSD::rna (NGSD.cpp:961-995).
+
+        NOTE: replicates the reference's lookup of sample_relations with the
+        given (processed-sample) id, as relatedSamples is called with ps_id.
+        """
+        rna_sample_ids = self.related_samples(int(ps_id), "same sample", "RNA")
+        rna_ps_ids = []
+        for rna_s_id in rna_sample_ids:
+            rna_ps_ids.extend(self.get_values(
+                "SELECT ps.id FROM processed_sample ps WHERE sample_id=?", params=(rna_s_id,)))
+        newest = "2000-01-01"
+        newest_rna_ps_id = -1
+        for rna_ps_id in rna_ps_ids:
+            date = self.get_value(
+                "SELECT r.start_date FROM processed_sample ps, sequencing_run r "
+                "WHERE r.id=ps.sequencing_run_id AND ps.id=?", params=(rna_ps_id,))
+            if date is not None and newest < str(date):
+                newest = str(date)
+                newest_rna_ps_id = rna_ps_id
+        if newest_rna_ps_id != -1:
+            return self.processed_sample_name(newest_rna_ps_id)
+        if throw_on_error:
+            raise NgsdError(f"Could not find RNA sample of {self.processed_sample_name(ps_id)}!")
+        return ""
+
+    def get_qc_data(self, ps_id) -> dict:
+        """NGSD::getQCData (NGSD.cpp:4697-4735) — {qcml_id: value-string}."""
+        out = {}
+        for name, value, qcml_id in self.get_rows(
+                "SELECT n.name, nm.value, n.qcml_id FROM processed_sample_qc nm, qc_terms n "
+                "WHERE nm.processed_sample_id=? AND nm.qc_terms_id=n.id AND n.obsolete=0 "
+                "ORDER BY n.qcml_id", params=(ps_id,)):
+            out[str(qcml_id)] = str(value)
+        return out
+
     def studies(self, ps_id) -> list[str]:
         return sorted(self.get_values(
             "SELECT s.name FROM study s, study_sample ss WHERE s.id=ss.study_id AND ss.processed_sample_id=?",
@@ -1091,8 +1127,23 @@ class NGSD:
             cond = " AND type=?"
             params.append(only_type)
         return self.get_rows(
-            "SELECT type, disease_info FROM sample_disease_info WHERE sample_id=?" + cond,
+            "SELECT type, disease_info FROM sample_disease_info WHERE sample_id=?" + cond +
+            " ORDER BY type ASC, disease_info ASC",
             params=tuple(params))
+
+    def add_sample_disease_info(self, sample_id, disease_info: str, info_type: str,
+                                user: str = "genlab_import", date: str | None = None):
+        """NGSD::addSampleDiseaseInfo (NGSD.cpp:906-915)."""
+        user_id = self.get_value("SELECT id FROM user WHERE user_id=?", params=(user,))
+        if user_id is None:
+            raise NgsdError(f"Could not determine NGSD user ID for user name '{user}'!")
+        if date is None:
+            import datetime
+            date = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        self.execute("INSERT INTO sample_disease_info (`sample_id`, `disease_info`, `type`, "
+                     "`user_id`, `date`) VALUES (?, ?, ?, ?, ?)",
+                     (sample_id, disease_info, info_type, user_id, date))
+        self.commit()
 
     def get_gene_expression_values_of_sample(self, ps_id, allow_empty: bool = False) -> dict:
         rows = self.get_rows(
