@@ -179,7 +179,7 @@ class SeqPurgeEngine:
         min_len = np.minimum(len1, len2)
 
         # ---- step 1: insert match (device counts + host decisions) ----
-        m, mm = jax.device_get(ops.insert_scan(seq1, seq2rc, min_len))
+        m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
         m1, mm1, m2, mm2 = jax.device_get(ops.adapter_evidence(
             seq1, read2, len1, len2, self.a1_arr[:p.adapter_overlap],
             self.a2_arr[:p.adapter_overlap], p.adapter_overlap))
