@@ -1687,6 +1687,57 @@ def _ngsd_paths_ext(cls):
 _ngsd_paths_ext(NGSD)
 
 
+def _ngsd_users_ext(cls):
+    """User authentication (NGSD::checkPassword/setPassword/userId,
+    NGSD.cpp:140-178 — SHA1(salt+password) hex, salt falls back to the
+    login for legacy rows)."""
+    import hashlib
+    import secrets as _secrets
+
+    def check_password(self, user_name: str, password: str,
+                       only_active: bool = True) -> str:
+        uid = self.get_value("SELECT id FROM user WHERE user_id=?",
+                             params=(user_name,))
+        if uid in (None, ""):
+            return f"User '{user_name}' does not exist!"
+        if only_active:
+            active = self.get_value("SELECT active FROM user WHERE id=?",
+                                    params=(uid,))
+            if str(active) == "0":
+                return f"User '{user_name}' is no longer active!"
+        salt = self.get_value("SELECT salt FROM user WHERE id=?", params=(uid,))
+        if salt in (None, ""):
+            salt = user_name  # backward compatibility (NGSD.cpp:161)
+        digest = hashlib.sha1((str(salt) + password).encode()).hexdigest()
+        stored = self.get_value("SELECT password FROM user WHERE id=?",
+                                params=(uid,))
+        if digest != str(stored):
+            return f"Invalid password for user '{user_name}'!"
+        return ""
+
+    def set_password(self, user_db_id: int, password: str):
+        salt = _secrets.token_hex(20)  # 40 chars like Helper::randomString(40)
+        digest = hashlib.sha1((salt + password).encode()).hexdigest()
+        self.execute("UPDATE user SET password=?, salt=? WHERE id=?",
+                     (digest, salt, user_db_id))
+        self.commit()
+
+    def user_id(self, user_name: str, only_active: bool = False) -> int:
+        uid = self.get_value("SELECT id FROM user WHERE user_id=?",
+                             params=(user_name,))
+        if uid in (None, ""):
+            raise NgsdError(f"Could not determine NGSD id of user '{user_name}'!")
+        return int(uid)
+
+    cls.check_password = check_password
+    cls.set_password = set_password
+    cls.user_id = user_id
+    return cls
+
+
+_ngsd_users_ext(NGSD)
+
+
 def _qt_date(v) -> str:
     """QDate::toString("dd.MM.yyyy") of a SQL date value."""
     if v is None or str(v) == "":

@@ -51,7 +51,7 @@ class CfDnaQCTool(ToolBase):
         umivar_error_rate_file = self.get("error_rates") or ""
         min_mapq = self.get_int("min_mapq")
         build = self.get_enum("build")
-        ref = self.get("ref")
+        ref = self.get_ref()
         if not ref:
             raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
         threads = self.get_int("threads")

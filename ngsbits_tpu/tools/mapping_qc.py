@@ -43,7 +43,7 @@ class MappingQCTool(ToolBase):
         wgs = self.get_flag("wgs")
         rna = self.get_flag("rna")
         in_file = self.get("in")
-        ref_file = self.get("ref")
+        ref_file = self.get_ref()
         if not ref_file:
             raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
         cfdna = self.get_flag("cfdna")

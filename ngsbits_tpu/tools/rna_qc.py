@@ -38,7 +38,7 @@ class RnaQCTool(ToolBase):
         roi = self.get("roi") or ""
         splicing = self.get("splicing") or ""
         expression = self.get("expression") or ""
-        ref = self.get("ref")
+        ref = self.get_ref()
         if not ref:
             raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
 

@@ -46,7 +46,7 @@ class SomaticQCTool(ToolBase):
         target_exons = self.get("target_exons") or ""
         blacklist = self.get("blacklist") or ""
         tsg_bed = self.get("tsg_bed") or ""
-        ref = self.get("ref")
+        ref = self.get_ref()
         if not ref:
             raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
         links = self.get_infile_list("links")

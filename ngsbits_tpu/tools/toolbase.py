@@ -90,6 +90,15 @@ class ToolBase:
     def get_enum(self, name):
         return self.get(name)
 
+    def get_ref(self, name="ref", build="hg38"):
+        """Reference genome path: the CLI parameter, falling back to
+        'reference_genome' from settings.ini (MappingQC/main.cpp:61)."""
+        value = self.get(name) if name in self._args else ""
+        if value:
+            return value
+        from ..core import settings
+        return settings.reference_genome(build)
+
     # ---- to be implemented by tools ----
     def setup(self):
         raise NotImplementedError
