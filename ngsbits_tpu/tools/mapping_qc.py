@@ -56,37 +56,43 @@ class MappingQCTool(ToolBase):
         if cfdna and not roi_file:
             raise ToolError("The flag 'cfdna' can only be used with parameter 'roi'!")
 
+        from ..utils.trace import StageTimer
+        timer = StageTimer(enabled=self.get_flag("debug"))
+
         read_qc = self.get("read_qc").strip() if self.get("read_qc") else ""
         if read_qc:
-            stats = ReadStatistics(single_end=single_end)
-            update_from_bam(stats, in_file, single_end)
-            stats.get_result().store_to_qcml(read_qc, [in_file], "")
+            with timer.stage("Performing raw read QC"):
+                stats = ReadStatistics(single_end=single_end)
+                update_from_bam(stats, in_file, single_end)
+                stats.get_result().store_to_qcml(read_qc, [in_file], "")
 
         parameters = []
         build = self.get_enum("build")
-        if wgs:
-            if build == "non_human":
+        with timer.stage("Performing main QC"):
+            if wgs:
+                if build == "non_human":
+                    metrics = mapping_stats.mapping_no_roi(in_file, ref_file, min_mapq)
+                else:
+                    qc_bed = resources.omim_qc_bed(build)
+                    metrics = mapping_stats.mapping_wgs(in_file, qc_bed, min_mapq, ref_file)
+                parameters.append("-wgs")
+            elif rna:
                 metrics = mapping_stats.mapping_no_roi(in_file, ref_file, min_mapq)
+                parameters.append("-rna")
             else:
-                qc_bed = resources.omim_qc_bed(build)
-                metrics = mapping_stats.mapping_wgs(in_file, qc_bed, min_mapq, ref_file)
-            parameters.append("-wgs")
-        elif rna:
-            metrics = mapping_stats.mapping_no_roi(in_file, ref_file, min_mapq)
-            parameters.append("-rna")
-        else:
-            roi = BedFile.from_file(roi_file)
-            roi.merge()
-            metrics = mapping_stats.mapping_roi(roi, in_file, ref_file, min_mapq, cfdna)
-            parameters += ["-roi", os.path.basename(roi_file)]
-            if cfdna:
-                parameters.append("-cfdna")
+                roi = BedFile.from_file(roi_file)
+                roi.merge()
+                metrics = mapping_stats.mapping_roi(roi, in_file, ref_file, min_mapq, cfdna)
+                parameters += ["-roi", os.path.basename(roi_file)]
+                if cfdna:
+                    parameters.append("-cfdna")
 
         from ..core.qcml import QCCollection
         metrics_cont = QCCollection()
         if not self.get_flag("no_cont") and build != "non_human":
-            metrics_cont = mapping_stats.contamination(
-                build, in_file, roi_file or "", 20, 50, single_end)
+            with timer.stage("Performing contamination check"):
+                metrics_cont = mapping_stats.contamination(
+                    build, in_file, roi_file or "", 20, 50, single_end)
 
         somatic_bed = self.get("somatic_custom_bed")
         if somatic_bed:

@@ -79,6 +79,14 @@ class SeqPurgeTool(ToolBase):
         min_len = params.min_len
         import numpy as np
 
+        # -progress: periodic throughput status lines into the summary
+        # stream, like the reference (ThreadCoordinator.cpp:56-81)
+        from ..utils.trace import ProgressReporter
+        summary_path = self.get("summary")
+        summary_stream = open(summary_path, "w") if summary_path else sys.stdout
+        progress = ProgressReporter(self.get_int("progress"),
+                                    stream=summary_stream)
+
         for f1, f2 in zip(in1, in2):
             r1 = FastqReader(f1, batch_reads=block, keep_headers=True)
             r2 = FastqReader(f2, batch_reads=block, keep_headers=True)
@@ -106,6 +114,7 @@ class SeqPurgeTool(ToolBase):
                 else:
                     removed += 2 * int((~keep_pair).sum())
                 engine.stats.reads_removed += removed
+                progress.update(processed_reads=engine.stats.read_num)
 
         w1.close()
         w2.close()
@@ -113,8 +122,7 @@ class SeqPurgeTool(ToolBase):
             w3.close()
             w4.close()
 
-        summary_path = self.get("summary")
-        out = open(summary_path, "w") if summary_path else sys.stdout
+        out = summary_stream
         engine.write_summary(out, a1, a2)
         if params.ec:
             engine.write_ec_summary(out)
