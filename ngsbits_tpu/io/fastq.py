@@ -64,6 +64,25 @@ def _pad_2d(parts: list, lengths: np.ndarray, pad_to: int | None = None) -> np.n
     return arr
 
 
+def _pad_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Pack a flat concatenated byte buffer into a zero-padded [B, Lmax]
+    uint8 array (native decode path — one vectorized scatter)."""
+    n = len(lengths)
+    lmax = int(lengths.max()) if n else 0
+    if n == 0:
+        return np.zeros((0, lmax), dtype=np.uint8)
+    lengths = lengths.astype(np.int64)
+    if lengths.min() == lengths.max():
+        return flat[:n * lmax].reshape(n, lmax).copy()
+    arr = np.zeros((n, lmax), dtype=np.uint8)
+    total = int(lengths.sum())
+    rows = np.repeat(np.arange(n), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths[:-1]))) if n > 1 else np.zeros(1, np.int64)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    arr[rows, cols] = flat[:total]
+    return arr
+
+
 def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = ""):
     """Vectorized analogue of FastqEntry::validate (FastqFileStream.cpp:3-42)."""
     pos = np.arange(batch.bases.shape[1])[None, :]
@@ -121,6 +140,126 @@ class FastqReader:
         return raw
 
     def __iter__(self):
+        from . import native
+        if native.available() and not str(self.filename).startswith(("http://", "https://")):
+            yield from self._iter_native(native.get_lib())
+            return
+        yield from self._iter_python()
+
+    def _iter_native(self, lib):
+        """Batched decode through the C++ splitter (native/ngshost.cpp
+        ngs_fastq_read_batch): flat columnar buffers -> one vectorized pad."""
+        h = lib.ngs_fastq_open(str(self.filename).encode(), 1024)
+        if not lib.ngs_fastq_ok(h):
+            lib.ngs_fastq_close(h)
+            raise IOError(f"Could not open FASTQ file '{self.filename}'")
+        want = self.batch_reads
+        seq_cap = max(want * 256, 1 << 20)
+        hdr_cap = max(want * 128, 1 << 20)
+        try:
+            pending = []          # accumulated (bases, quals, h1, h2, lens, qlens, h1l, h2l)
+            pending_n = 0
+            eof = False
+            while not eof:
+                bases = np.empty(seq_cap, np.uint8)
+                quals = np.empty(seq_cap, np.uint8)
+                h1 = np.empty(hdr_cap, np.uint8)
+                h2 = np.empty(hdr_cap, np.uint8)
+                lens = np.empty(want, np.int32)
+                qlens = np.empty(want, np.int32)
+                h1l = np.empty(want, np.int32)
+                h2l = np.empty(want, np.int32)
+                n = lib.ngs_fastq_read_batch(
+                    h, want - pending_n, bases, quals, seq_cap,
+                    h1, h2, hdr_cap, lens, qlens, h1l, h2l)
+                if n == -2:       # one record larger than the buffers
+                    seq_cap *= 4
+                    hdr_cap *= 4
+                    continue
+                if n < 0:
+                    raise ValueError(
+                        f"FASTQ file '{self.filename}' has a line count that "
+                        "is not a multiple of 4"
+                        if b"multiple of 4" in lib.ngs_fastq_error(h)
+                        else lib.ngs_fastq_error(h).decode())
+                if n == 0:
+                    eof = True
+                else:
+                    pending.append((bases, quals, h1, h2,
+                                    lens[:n].copy(), qlens[:n].copy(),
+                                    h1l[:n].copy(), h2l[:n].copy()))
+                    pending_n += int(n)
+                if pending_n and (pending_n >= want or eof):
+                    yield self._native_batch(pending)
+                    pending = []
+                    pending_n = 0
+        finally:
+            lib.ngs_fastq_close(h)
+
+    def _native_batch(self, segments) -> FastqBatch:
+        if len(segments) == 1:
+            # common case: zero-copy views into the freshly allocated buffers
+            s = segments[0]
+            lens, qlens = s[4], s[5]
+            bases_flat = s[0][:int(lens.sum(dtype=np.int64))]
+            quals_flat = s[1][:int(qlens.sum(dtype=np.int64))]
+        else:
+            lens = np.concatenate([s[4] for s in segments])
+            qlens = np.concatenate([s[5] for s in segments])
+            bases_flat = np.concatenate(
+                [s[0][:int(s[4].sum(dtype=np.int64))] for s in segments])
+            quals_flat = np.concatenate(
+                [s[1][:int(s[5].sum(dtype=np.int64))] for s in segments])
+        n = len(lens)
+        same = np.array_equal(lens, qlens)
+        if not same and self.validate:
+            i = int(np.argwhere(lens != qlens)[0])
+            hdr = self._native_header(segments, i, 2)
+            raise ValueError(
+                "Invalid Fastq file entry: Differing length of bases and "
+                f"qualities string in sequence '{hdr.decode(errors='replace')}'.")
+        headers = headers2 = None
+        if self.keep_headers:
+            headers = self._native_headers(segments, 2, 6)
+            headers2 = self._native_headers(segments, 3, 7)
+        batch = FastqBatch(
+            bases=_pad_flat(bases_flat, lens),
+            quals=_pad_flat(quals_flat, qlens),
+            lengths=lens,
+            headers=headers,
+            headers2=headers2,
+            qual_lengths=None if same else qlens,
+        )
+        self.reads_seen += n
+        if self.validate:
+            validate_batch(batch, self.long_read, self.filename)
+        return batch
+
+    @staticmethod
+    def _native_headers(segments, buf_idx, len_idx) -> list:
+        out = []
+        for s in segments:
+            buf = s[buf_idx]
+            pos = 0
+            for ln in s[len_idx]:
+                out.append(buf[pos:pos + ln].tobytes())
+                pos += int(ln)
+        return out
+
+    @staticmethod
+    def _native_header(segments, target, buf_idx=2) -> bytes:
+        i = 0
+        for s in segments:
+            buf, hlens = s[buf_idx], s[6]
+            pos = 0
+            for ln in hlens:
+                if i == target:
+                    return buf[pos:pos + ln].tobytes()
+                pos += int(ln)
+                i += 1
+        return b""
+
+    def _iter_python(self):
         leftover = b""
         pending_lines: list[bytes] = []
         with self._open() as fh:

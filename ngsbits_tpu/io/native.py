@@ -97,6 +97,21 @@ def get_lib():
         lib.ngs_gzw_write.restype = ct.c_int64
         lib.ngs_gzw_write.argtypes = [ct.c_void_p, ct.c_char_p, ct.c_int64]
         lib.ngs_gzw_close.argtypes = [ct.c_void_p]
+        lib.ngs_fastq_open.restype = ct.c_void_p
+        lib.ngs_fastq_open.argtypes = [ct.c_char_p, ct.c_int]
+        lib.ngs_fastq_ok.argtypes = [ct.c_void_p]
+        lib.ngs_fastq_error.restype = ct.c_char_p
+        lib.ngs_fastq_error.argtypes = [ct.c_void_p]
+        lib.ngs_fastq_close.argtypes = [ct.c_void_p]
+        f = lib.ngs_fastq_read_batch
+        f.restype = ct.c_int64
+        f.argtypes = [
+            ct.c_void_p, ct.c_int64,
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"), ct.c_int64,
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"), ct.c_int64,
+            p(np.int32, flags="C"), p(np.int32, flags="C"),
+            p(np.int32, flags="C"), p(np.int32, flags="C"),
+        ]
         _lib = lib
         return _lib
 

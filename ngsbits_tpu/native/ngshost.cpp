@@ -423,6 +423,167 @@ void ngs_gz_close(void* h) {
     delete g;
 }
 
+// ---------------- batched FASTQ decoder ----------------
+// Decodes gz/plain FASTQ into flat columnar buffers at C speed: the Python
+// side turns (flat bases, lengths) into padded [B, L] arrays with one numpy
+// gather. Mirrors FastqFileStream record semantics (4 raw lines per entry,
+// '\r' preserved, final empty quality line tolerated at EOF).
+
+struct FastqReaderC {
+    gzFile gz = nullptr;
+    std::string error;
+    std::vector<uint8_t> buf;   // carry-over bytes between batches
+    size_t pos = 0;             // consumed prefix of buf
+    bool eof = false;
+    bool final_pad_done = false;
+};
+
+void* ngs_fastq_open(const char* path, int buffer_kb) {
+    auto* r = new FastqReaderC();
+    r->gz = gzopen(path, "rb");
+    if (r->gz) gzbuffer(r->gz, buffer_kb * 1024);
+    else r->error = "cannot open file";
+    return r;
+}
+
+int ngs_fastq_ok(void* h) { return static_cast<FastqReaderC*>(h)->gz != nullptr; }
+
+const char* ngs_fastq_error(void* h) {
+    return static_cast<FastqReaderC*>(h)->error.c_str();
+}
+
+void ngs_fastq_close(void* h) {
+    auto* r = static_cast<FastqReaderC*>(h);
+    if (r->gz) gzclose(r->gz);
+    delete r;
+}
+
+// Returns number of records decoded (0 = EOF), -1 on error, -2 when a flat
+// buffer is too small for even one record (caller grows and retries).
+// Record i: bases flat segment of lengths[i] bytes, quals of qlens[i],
+// header (line 1 incl '@') of header_lens[i], header2 (line 3 incl '+') of
+// header2_lens[i]. A batch ends early when buffers fill up; leftover input
+// bytes are carried to the next call.
+int64_t ngs_fastq_read_batch(
+    void* h, int64_t max_reads,
+    uint8_t* bases, uint8_t* quals, int64_t seq_cap,
+    uint8_t* headers, uint8_t* headers2, int64_t hdr_cap,
+    int32_t* lengths, int32_t* qlens,
+    int32_t* header_lens, int32_t* header2_lens) {
+    auto* r = static_cast<FastqReaderC*>(h);
+    int64_t n = 0;
+    int64_t seq_used = 0, qual_used = 0, h1_used = 0, h2_used = 0;
+
+    // Refill appends to the buffer after compacting the consumed prefix;
+    // returns the compaction shift (>= 0) so callers can fix recorded
+    // offsets, or -2 on error. EOF is signalled via r->eof with the shift
+    // still returned (the compaction happens regardless).
+    auto refill = [&]() -> int64_t {
+        int64_t shift = 0;
+        if (r->pos > 0) {
+            r->buf.erase(r->buf.begin(), r->buf.begin() + r->pos);
+            shift = (int64_t)r->pos;
+            r->pos = 0;
+        }
+        if (r->eof) return shift;
+        size_t old = r->buf.size();
+        size_t chunk = 4 << 20;
+        r->buf.resize(old + chunk);
+        int got = gzread(r->gz, r->buf.data() + old, (unsigned)chunk);
+        if (got < 0) { r->error = "gzread failed"; return -2; }
+        r->buf.resize(old + got);
+        if (got == 0) r->eof = true;
+        return shift;
+    };
+
+    // find the next newline at/after 'from'; returns npos-like -1 if absent
+    auto find_nl = [&](size_t from) -> int64_t {
+        const uint8_t* base = r->buf.data();
+        const void* p = memchr(base + from, '\n', r->buf.size() - from);
+        if (!p) return -1;
+        return (const uint8_t*)p - base;
+    };
+
+    while (n < max_reads) {
+        // locate 4 line breaks starting at r->pos, refilling as needed
+        size_t line_start[4], line_len[4];
+        size_t cursor = r->pos;
+        int lines_found = 0;
+        bool hit_eof = false;
+        for (;;) {
+            int64_t nl = find_nl(cursor);
+            if (nl < 0) {
+                bool was_eof = r->eof;
+                int64_t shift = refill();
+                if (shift == -2) return -1;           // error
+                // recorded offsets moved left by 'shift'
+                cursor -= (size_t)shift;
+                for (int k = 0; k < lines_found; ++k) line_start[k] -= (size_t)shift;
+                if (was_eof || (r->eof && cursor >= r->buf.size())) {
+                    hit_eof = true;
+                    break;
+                }
+                continue;
+            }
+            line_start[lines_found] = cursor;
+            line_len[lines_found] = (size_t)nl - cursor;
+            ++lines_found;
+            cursor = (size_t)nl + 1;
+            if (lines_found == 4) break;
+        }
+        (void)hit_eof;
+        if (lines_found < 4) {
+            // EOF: 'cursor' points past the last complete line
+            size_t rest = r->buf.size() - cursor;
+            if (lines_found == 0 && rest == 0) return n;  // clean EOF
+            if (lines_found < 4 && rest > 0) {
+                // final line without a trailing '\n'
+                line_start[lines_found] = cursor;
+                line_len[lines_found] = rest;
+                ++lines_found;
+            }
+            if (lines_found == 3 && !r->final_pad_done) {
+                // final empty quality line at EOF (FastqFileStream yields
+                // it as empty; mirrored by the Python reader too)
+                line_start[3] = r->buf.size();
+                line_len[3] = 0;
+                lines_found = 4;
+                r->final_pad_done = true;
+            }
+            if (lines_found < 4) {
+                r->error = "FASTQ line count is not a multiple of 4";
+                return -1;
+            }
+            cursor = r->buf.size();
+        }
+
+        int64_t blen = (int64_t)line_len[1];
+        int64_t qlen = (int64_t)line_len[3];
+        int64_t h1 = (int64_t)line_len[0];
+        int64_t h2 = (int64_t)line_len[2];
+        if (seq_used + blen > seq_cap || qual_used + qlen > seq_cap ||
+            h1_used + h1 > hdr_cap || h2_used + h2 > hdr_cap) {
+            if (n == 0) return -2;      // grow buffers
+            break;                      // emit what we have
+        }
+        memcpy(bases + seq_used, r->buf.data() + line_start[1], blen);
+        memcpy(quals + qual_used, r->buf.data() + line_start[3], qlen);
+        memcpy(headers + h1_used, r->buf.data() + line_start[0], h1);
+        memcpy(headers2 + h2_used, r->buf.data() + line_start[2], h2);
+        lengths[n] = (int32_t)blen;
+        qlens[n] = (int32_t)qlen;
+        header_lens[n] = (int32_t)h1;
+        header2_lens[n] = (int32_t)h2;
+        seq_used += blen;
+        qual_used += qlen;
+        h1_used += h1;
+        h2_used += h2;
+        r->pos = cursor;
+        ++n;
+    }
+    return n;
+}
+
 // gzip writer with explicit compression level (Z_BEST_SPEED default parity
 // with FastqFileStream.cpp:160-193)
 struct GzWriterC {

@@ -61,3 +61,24 @@ def readqc_batch(bases: jax.Array, quals: jax.Array, lengths: jax.Array):
     qhist = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)[:QHIST_SIZE]
 
     return counts5, qsum_cycle, qhist, read_qsum
+
+
+def readqc_batch_host(bases: np.ndarray, quals: np.ndarray,
+                      lengths: np.ndarray):
+    """Same contract as readqc_batch, computed with numpy on the host.
+
+    Used when no TPU is attached: CPU XLA materializes the [B, L, Q] one-hot
+    (measured ~2k reads/s at B=64k), while bincount streams it (~1M reads/s).
+    """
+    B, L = bases.shape
+    mask = np.arange(L, dtype=np.int32)[None, :] < lengths[:, None]
+    q = np.where(mask, quals.astype(np.int32) - 33, 0)
+    counts5 = np.stack([
+        np.sum((bases == code) & mask, axis=0, dtype=np.int32)
+        for code in BASE_CODES
+    ])
+    qsum_cycle = q.sum(axis=0, dtype=np.int32)
+    read_qsum = q.sum(axis=1, dtype=np.int32)
+    qhist = np.bincount(q[mask].ravel(), minlength=QHIST_SIZE)
+    qhist = qhist[:QHIST_SIZE].astype(np.int32)
+    return counts5, qsum_cycle, qhist, read_qsum

@@ -75,10 +75,17 @@ class ReadStatistics:
         if len(batch) == 0:
             return
         B = len(batch)
-        pb, pq, pl = self._bucket(batch)
-        counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
-            readqc_ops.readqc_batch(pb, pq, pl))
-        read_qsum = read_qsum[:B]
+        if jax.default_backend() == "tpu":
+            pb, pq, pl = self._bucket(batch)
+            counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
+                readqc_ops.readqc_batch(pb, pq, pl))
+            read_qsum = read_qsum[:B]
+        else:
+            # host fast path: no padding/bucketing, bincount histogram
+            counts5, qsum_cycle, qhist, read_qsum = readqc_ops.readqc_batch_host(
+                np.ascontiguousarray(batch.bases),
+                np.ascontiguousarray(batch.quals),
+                np.asarray(batch.lengths, dtype=np.int32))
         true_l = int(batch.lengths.max()) if B else 0
         counts5 = counts5[:, :true_l]
         qsum_cycle = qsum_cycle[:true_l]

@@ -50,11 +50,14 @@ class ReadQCTool(ToolBase):
         # so N50/median/mode extras appear exactly when -long_read is set.
         stats = ReadStatistics(single_end=long_read)
 
+        from ..utils.prefetch import prefetch
+
         infiles = []
         for i, f1 in enumerate(in1):
             n1 = 0
             reader = FastqReader(f1, keep_headers=w1 is not None, long_read=long_read)
-            for batch in reader:
+            # decode thread overlaps device compute (P1 pipeline analogue)
+            for batch in prefetch(reader, depth=2):
                 stats.update_batch(batch, FORWARD)
                 if w1:
                     w1.write_batch(batch)
@@ -62,7 +65,7 @@ class ReadQCTool(ToolBase):
             infiles.append(f1)
             if i < len(in2):
                 reader2 = FastqReader(in2[i], keep_headers=w2 is not None, long_read=long_read)
-                for batch in reader2:
+                for batch in prefetch(reader2, depth=2):
                     stats.update_batch(batch, REVERSE)
                     if w2:
                         w2.write_batch(batch)

@@ -1,0 +1,91 @@
+"""Native (C++) FASTQ batch decoder vs the pure-Python splitter."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from ngsbits_tpu.io import native
+from ngsbits_tpu.io.fastq import FastqReader
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+FIXTURES = [
+    "ReadQC_in1.fastq.gz", "ReadQC_in3.fastq.gz",  # plain + long-read-ish
+    "SeqPurge_in1.fastq.gz", "FastqConcat_in4.fastq.gz",
+]
+
+
+def _read_both(path, **kw):
+    nb = list(FastqReader(path, **kw))
+    os.environ["NGSHOST_DISABLE"] = "1"
+    try:
+        pb = list(FastqReader(path, **kw)._iter_python())
+    finally:
+        del os.environ["NGSHOST_DISABLE"]
+    return nb, pb
+
+
+def _assert_equal(nb, pb):
+    assert len(nb) == len(pb)
+    for a, b in zip(nb, pb):
+        np.testing.assert_array_equal(a.bases, b.bases)
+        np.testing.assert_array_equal(a.quals, b.quals)
+        np.testing.assert_array_equal(a.lengths, b.lengths)
+        assert a.headers == b.headers
+        assert a.headers2 == b.headers2
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_fixture_parity(ref_data_in, fixture):
+    path = str(ref_data_in / fixture)
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    nb, pb = _read_both(path, batch_reads=97, keep_headers=True, validate=False)
+    _assert_equal(nb, pb)
+
+
+def test_no_trailing_newline_and_empty_quals(tmp_path):
+    # final record without trailing newline; zero-length read
+    raw = b"@r1\nACGT\n+\nIIII\n@empty\n\n+\n\n@r3\nGG\n+\nII"
+    path = tmp_path / "odd.fastq.gz"
+    path.write_bytes(gzip.compress(raw))
+    nb, pb = _read_both(str(path), batch_reads=2, keep_headers=True,
+                        validate=False)
+    _assert_equal(nb, pb)
+    assert sum(len(b) for b in nb) == 3
+    assert list(np.concatenate([b.lengths for b in nb])) == [4, 0, 2]
+
+
+def test_plain_uncompressed(tmp_path):
+    raw = b"@a\nAC\n+\n!!\n@b\nGGG\n+\n!!!\n"
+    path = tmp_path / "plain.fastq"
+    path.write_bytes(raw)
+    nb, pb = _read_both(str(path), batch_reads=10, keep_headers=True,
+                        validate=False)
+    _assert_equal(nb, pb)
+
+
+def test_bad_line_count(tmp_path):
+    path = tmp_path / "bad.fastq.gz"
+    path.write_bytes(gzip.compress(b"@a\nAC\n+\n!!\n@b\nGG\n"))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        list(FastqReader(str(path), validate=False))
+
+
+def test_crosses_batch_boundaries(tmp_path):
+    # many records with varying lengths; batch smaller than total
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(333):
+        L = int(rng.integers(0, 40))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), L))
+        recs.append(b"@r%d desc\n%s\n+\n%s\n" % (i, seq, b"I" * L))
+    path = tmp_path / "many.fastq.gz"
+    path.write_bytes(gzip.compress(b"".join(recs)))
+    nb, pb = _read_both(str(path), batch_reads=50, keep_headers=True,
+                        validate=False)
+    _assert_equal(nb, pb)
+    assert sum(len(b) for b in nb) == 333
