@@ -26,6 +26,71 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host runtime bring-up (jax.distributed.initialize wrapper).
+
+    On a multi-host TPU slice each host calls this once before building the
+    global mesh; with no arguments JAX discovers the topology from the TPU
+    runtime environment. Safe to call when already initialized.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as exc:
+        if "already" not in str(exc).lower():
+            raise
+
+
+def sharded_coverage_step(mesh: Mesh, starts, ends, genome_bins: int):
+    """Data-parallel coverage accumulation over read spans.
+
+    starts/ends: [N] int32 bin indices of read alignment spans (half-open),
+    sharded over the mesh batch axis. Each device scatter-adds its shard
+    into a local diff array; diffs are psum-merged over ICI and prefix-summed
+    on device — the TPU-native analogue of WorkerLowOrHighCoverageChr's
+    per-base uint8 arrays (WorkerLowOrHighCoverage.cpp:173-204) without the
+    cap-at-254 artifact.
+
+    Returns [genome_bins] int32 coverage.
+    """
+    axis = mesh.axis_names[0]
+
+    def step(s, e):
+        diff = jnp.zeros((genome_bins + 1,), jnp.int32)
+        diff = diff.at[s].add(1)
+        diff = diff.at[e].add(-1)
+        diff = jax.lax.psum(diff, axis)
+        return jnp.cumsum(diff)[:genome_bins]
+
+    fn = jax.jit(jax.shard_map(step, mesh=mesh,
+                               in_specs=(P(axis), P(axis)),
+                               out_specs=P()))
+    return fn(jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32))
+
+
+def sharded_insert_scan(mesh: Mesh, seq1, seq2rc, min_len):
+    """SeqPurge insert-match scan sharded over read pairs.
+
+    Embarrassingly parallel over the batch axis (SURVEY §2.5 P3): outputs
+    stay sharded per pair, no collective needed. Uses the portable XLA
+    formulation inside shard_map (the Pallas kernel handles the single-chip
+    hot path; this demonstrates the multi-chip layout).
+    """
+    from ..ops import seqpurge as sp_ops
+    axis = mesh.axis_names[0]
+    fn = jax.jit(jax.shard_map(
+        lambda a, b, c: sp_ops.insert_scan.__wrapped__(a, b, c),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None)),
+    ))
+    return fn(jnp.asarray(seq1), jnp.asarray(seq2rc),
+              jnp.asarray(min_len, jnp.int32))
+
+
 def sharded_readqc_step(mesh: Mesh, bases, quals, lengths):
     """One data-parallel ReadQC reduction step over the mesh.
 

@@ -339,6 +339,74 @@ class BedAnnotateFromBedTool(ToolBase):
         f.store(self.get("out"))
 
 
+class BedAnnotateGCTool(ToolBase):
+    """BedAnnotateGC (BedAnnotateGC/main.cpp): GC fraction per region."""
+
+    name = "BedAnnotateGC"
+    description = "Annotates GC content fraction to regions in a BED file."
+
+    def setup(self):
+        self.add_infile("in", "Input BED file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output BED file. If unset, writes to STDOUT.", optional=True)
+        self.add_infile("ref", "Reference genome FASTA file. If unset, 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+        self.add_int("extend", "Bases to extend around the input region for calculating the GC content.", optional=True, default=0)
+        self.add_flag("clear", "Clear all annotations present in the input file.")
+
+    def main(self):
+        from ..io.fasta import FastaFileIndex
+        ref_file = self.get_ref()
+        if not ref_file:
+            raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+        reference = FastaFileIndex(ref_file)
+        extend = self.get_int("extend")
+        bed = BedFile.from_file(self.get("in"))
+        if self.get_flag("clear"):
+            bed.clear_annotations()
+        for line in bed:
+            seq = reference.seq(line.chr, line.start - extend,
+                                line.length() + 2 * extend).upper()
+            gc = seq.count(b"G") + seq.count(b"C")
+            at = seq.count(b"A") + seq.count(b"T")
+            if gc + at == 0:
+                line.annotations.append(b"n/a")
+            else:
+                line.annotations.append(f"{gc / (gc + at):.4f}".encode())
+        bed.store(self.get("out"))
+
+
+class BedToFastaTool(ToolBase):
+    """BedToFasta (BedToFasta/main.cpp): region sequences as FASTA."""
+
+    name = "BedToFasta"
+    description = "Converts a BED file to a FASTA file."
+
+    def setup(self):
+        self.add_infile("in", "Input BED file.")
+        self.add_outfile("out", "Output FASTA file. If unset, writes to STDOUT.", optional=True)
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+
+    def main(self):
+        import sys
+        from ..io.fasta import FastaFileIndex
+        ref_file = self.get_ref()
+        if not ref_file:
+            raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+        reference = FastaFileIndex(ref_file)
+        bed = BedFile.from_file(self.get("in"))
+        parts = []
+        for line in bed:
+            parts.append(f">{line.chr.str}:{line.start}-{line.end}\n".encode())
+            parts.append(reference.seq(line.chr, line.start, line.length(),
+                                       to_upper=False) + b"\n")
+        data = b"".join(parts)
+        out = self.get("out")
+        if out in ("", None):
+            sys.stdout.buffer.write(data)
+        else:
+            with open(out, "wb") as fh:
+                fh.write(data)
+
+
 TOOLS = {
     "BedSort": BedSortTool,
     "BedAnnotateFromBed": BedAnnotateFromBedTool,
@@ -350,4 +418,6 @@ TOOLS = {
     "BedIntersect": BedIntersectTool,
     "BedChunk": BedChunkTool,
     "BedInfo": BedInfoTool,
+    "BedAnnotateGC": BedAnnotateGCTool,
+    "BedToFasta": BedToFastaTool,
 }

@@ -160,8 +160,10 @@ class TsvMergeTool(ToolBase):
         files = [TsvFile.from_file(f) for f in in_files]
 
         key_idx = [f.check_columns(key_cols, self.get_flag("numeric")) for f in files]
-        # merged header: key cols + non-key cols of each file
-        header = list(key_cols)
+        # merged header: key cols + non-key cols of each file. With -numeric
+        # the key header names come from the first file, not the indices
+        # (pinned by TsvMerge_out1.tsv).
+        header = [files[0].header[i] for i in key_idx[0]]
         comments = []
         for f, ki in zip(files, key_idx):
             comments.extend(f.comments)

@@ -547,6 +547,349 @@ class VcfBreakMultiTool(ToolBase):
                 sys.stderr.write(f"Ignored invalid value count of FORMAT field '{k.decode()}' {v} times\n")
 
 
+_OP_NUMERIC = (">", ">=", "=", "!=", "<=", "<")
+_OP_STRING = ("is", "not", "contains")
+_VARIANT_TYPES = ("snp", "indel", "multi-allelic", "other")
+
+
+class _FilterDef:
+    """FilterDefinition (VcfFilter/main.cpp:12-43)."""
+
+    def __init__(self, field: str, op: str, value: str):
+        self.field = field.encode()
+        self.op = op
+        self.value = value.encode()
+        if op not in _OP_NUMERIC + _OP_STRING:
+            raise ToolError(f"Invalid filter definition '{field} {op} {value}'.")
+        if op in _OP_NUMERIC:
+            try:
+                float(value)
+            except ValueError:
+                raise ToolError(f"Invalid filter definition '{field} {op} {value}'.")
+
+    def satisfied(self, value: bytes, line: bytes) -> bool:
+        op = self.op
+        if op in _OP_NUMERIC:
+            try:
+                v = float(value)
+            except ValueError:
+                raise ToolError(
+                    f"Cannot convert value '{value.decode(errors='replace')}' to number "
+                    f"for filter '{self.field.decode()}' in line: {line.decode(errors='replace')}")
+            c = float(self.value)
+            return {"<": v < c, "<=": v <= c, "=": v == c, "!=": v != c,
+                    ">=": v >= c, ">": v > c}[op]
+        if op == "is":
+            return self.value == value
+        if op == "not":
+            return self.value != value
+        return self.value in value  # contains
+
+
+def _parse_filter_defs(expr: str) -> list:
+    import re as _re
+    out = []
+    for part in expr.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        m = _re.match(r"(\S+)\s+(\S+)\s+(\S+)", part)
+        if not m:
+            raise ToolError(f"Invalid filter definition '{part}'")
+        out.append(_FilterDef(*m.groups()))
+    return out
+
+
+class VcfFilterTool(ToolBase):
+    """VcfFilter (VcfFilter/main.cpp): streaming VCF filtering."""
+
+    name = "VcfFilter"
+    description = "Filters a VCF based on the given criteria."
+
+    def setup(self):
+        self.add_infile("in", "Input VCF file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output VCF list. If unset, writes to STDOUT.", optional=True)
+        self.add_string("reg", "Region of interest in BED format, or comma-separated list of regions.", optional=True)
+        self.add_flag("remove_invalid", "Removes invalid variants, i.e. invalid position of ref/alt.")
+        self.add_flag("remove_non_ref", "Remove '<NON_REF>' entries (used in gVCF files).")
+        self.add_string("variant_type", "Filters by variant type ('" + "','".join(_VARIANT_TYPES) + "').", optional=True)
+        self.add_string("id", "Filter by ID column (regular expression).", optional=True)
+        self.add_float("qual", "Filter by QUAL column (minimum).", optional=True, default=0.0)
+        self.add_string("filter", "Filter by FILTER column - keep matches (regular expression).", optional=True)
+        self.add_string("filter_exclude", "Filter by FILTER column - exclude matches (regular expression).", optional=True)
+        self.add_flag("filter_clear", "Remove filter entries of all variants, i.e. sets filter to PASS.")
+        self.add_flag("filter_empty", "Removes entries with non-empty FILTER column.")
+        self.add_string("info", "Filter by INFO column entries - ';'-separated, e.g. 'DP > 5;AO > 2'.", optional=True)
+        self.add_string("info_flags", "Filter by INFO flag(s) - keep matches (comma-separated list).", optional=True)
+        self.add_string("info_flags_exclude", "Filter by INFO flag(s) - exclude matches (comma-separated list).", optional=True)
+        self.add_string("sample", "Filter by sample-specific entries, e.g. 'GT is 1/1'.", optional=True)
+        self.add_flag("sample_one_match", "A line passes if one sample passes all filters (default: all samples).")
+        self.add_flag("no_special_chr", "Removes variants on special chromosomes.")
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+
+    def main(self):
+        import re as _re
+        from ..core.chromosome import Chromosome
+        from ..core.intervals import BedFile, BedLine, ChromosomalIndex
+
+        reg = self.get("reg")
+        roi_index = None
+        if reg:
+            import os
+            roi = BedFile()
+            if os.path.exists(reg):
+                roi = BedFile.from_file(reg)
+            else:
+                for region in reg.split(","):
+                    m = _re.match(r"^(.+):(\d+)-(\d+)$", region.replace(",", ""))
+                    if not m:
+                        raise ToolError(f"Invalid region '{region}' given in parameter 'reg'!")
+                    roi.append(BedLine(Chromosome(m.group(1)), int(m.group(2)), int(m.group(3))))
+            roi.merge()
+            roi_index = ChromosomalIndex(roi)
+
+        quality = self.get_float("qual")
+        filter_empty = self.get_flag("filter_empty")
+        remove_invalid = self.get_flag("remove_invalid")
+        sample_one_match = self.get_flag("sample_one_match")
+        no_special_chr = self.get_flag("no_special_chr")
+        remove_non_ref = self.get_flag("remove_non_ref")
+        filter_clear = self.get_flag("filter_clear")
+        filter_re = _re.compile(self.get("filter").encode()) if self.get("filter") else None
+        filter_ex_re = _re.compile(self.get("filter_exclude").encode()) if self.get("filter_exclude") else None
+        id_re = _re.compile(self.get("id").encode()) if self.get("id") else None
+        variant_type = self.get("variant_type")
+        if variant_type and variant_type not in _VARIANT_TYPES:
+            raise ToolError(f"Variant type {variant_type} is not a supported variant type!")
+        info_filters = _parse_filter_defs(self.get("info") or "")
+        sample_filters = _parse_filter_defs(self.get("sample") or "")
+        flags_keep = {f.encode() for f in (self.get("info_flags") or "").split(",") if f}
+        flags_exclude = {f.encode() for f in (self.get("info_flags_exclude") or "").split(",") if f}
+
+        reference = None
+        if remove_invalid:
+            from ..io.fasta import FastaFileIndex
+            ref_file = self.get_ref()
+            if not ref_file:
+                raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+            reference = FastaFileIndex(ref_file)
+
+        out = _TextOut(self.get("out"))
+        column_count = 0
+        for line in _open_lines(self.get("in")):
+            if not line.strip():
+                continue
+            parts = [p.strip() for p in line.split(b"\t")]
+            if line.startswith(b"#"):
+                if not line.startswith(b"##"):
+                    column_count = len(parts)
+                if filter_clear and line.startswith(b"##FILTER="):
+                    continue
+                out.write(line + b"\n")
+                continue
+
+            if roi_index is not None:
+                pos = int(parts[1])
+                if roi_index.matching_index(Chromosome(parts[0].decode()), pos,
+                                            pos + len(parts[3]) - 1) == -1:
+                    continue
+            if no_special_chr and not Chromosome(parts[0].decode()).is_non_special():
+                continue
+            if variant_type:
+                ref_c, alt_c = parts[3], parts[4]
+                if len(ref_c) == 1 and len(alt_c) == 1:
+                    vtype = "snp"
+                elif b"," in alt_c:
+                    vtype = "multi-allelic"
+                elif alt_c.startswith(b"<"):
+                    vtype = "other"
+                elif len(ref_c) > 1 or len(alt_c) > 1:
+                    vtype = "indel"
+                else:
+                    raise ToolError(f"Unsupported variant type '{alt_c.decode()}' in line {line.decode(errors='replace')}")
+                if vtype != variant_type:
+                    continue
+            if remove_invalid:
+                chrom = Chromosome(parts[0].decode())
+                pos = int(parts[1])
+                ref_c = parts[3].upper()
+                valid = bool(ref_c) and all(c in b"ACGTN" for c in ref_c)
+                if valid:
+                    try:
+                        valid = reference.seq(chrom, pos, len(ref_c)).upper() == ref_c
+                    except Exception:
+                        valid = False
+                if valid:
+                    for a in parts[4].split(b","):
+                        if a.startswith(b"<") or a == b"*":
+                            continue
+                        if not a or not all(c in b"ACGTN" for c in a.upper()):
+                            valid = False
+                if not valid:
+                    print(f"filtered invalid variant: {parts[0].decode()}:{parts[1].decode()} "
+                          f"{parts[3].decode()}>{parts[4].decode()}", file=sys.stderr)
+                    continue
+            if remove_non_ref and b"<NON_REF>" in parts[4].split(b","):
+                print(f"filtered '<NON_REF>' variant: {parts[0].decode()}:{parts[1].decode()} "
+                      f"{parts[3].decode()}>{parts[4].decode()}", file=sys.stderr)
+                continue
+            if quality > 0 and float(parts[5]) < quality:
+                continue
+            if filter_empty and parts[6] not in (b".", b"", b"PASS"):
+                continue
+            if filter_re is not None and not filter_re.search(parts[6]):
+                continue
+            if filter_ex_re is not None and filter_ex_re.search(parts[6]):
+                continue
+            if id_re is not None and not id_re.search(parts[2]):
+                continue
+
+            if info_filters or flags_keep or flags_exclude:
+                var_flags = set()
+                passes = True
+                for entry in parts[7].split(b";"):
+                    sep = entry.find(b"=")
+                    if sep == -1:
+                        var_flags.add(entry)
+                    elif info_filters:
+                        name = entry[:sep]
+                        for fd in info_filters:
+                            if fd.field == name and not fd.satisfied(entry[sep + 1:], line):
+                                passes = False
+                    if not passes:
+                        break
+                if not passes:
+                    continue
+                if flags_keep and not (var_flags & flags_keep):
+                    continue
+                if var_flags & flags_exclude:
+                    continue
+
+            if sample_filters:
+                format_entries = parts[8].split(b":") if len(parts) > 8 else []
+                samples_passing = 0
+                samples_failing = 0
+                for i in range(9, column_count):
+                    sample_parts = parts[i].split(b":")
+                    current_passes = True
+                    for fd in sample_filters:
+                        try:
+                            idx = format_entries.index(fd.field)
+                        except ValueError:
+                            continue
+                        if not fd.satisfied(sample_parts[idx], line):
+                            current_passes = False
+                            break
+                    if current_passes:
+                        samples_passing += 1
+                        if sample_one_match:
+                            break
+                    else:
+                        samples_failing += 1
+                        if not sample_one_match:
+                            break
+                if (sample_one_match and samples_passing == 0) or \
+                   (not sample_one_match and samples_failing != 0):
+                    continue
+
+            if filter_clear:
+                parts[6] = b"PASS"
+                line = b"\t".join(parts)
+            out.write(line + b"\n")
+        out.close()
+
+
+class VcfCheckTool(ToolBase):
+    """VcfCheck (VcfCheck/main.cpp): VCF validity checking."""
+
+    name = "VcfCheck"
+    description = "Checks a VCF file for errors."
+
+    def setup(self):
+        self.add_infile("in", "Input VCF file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output file. If unset, writes to STDOUT.", optional=True)
+        self.add_int("lines", "Number of variant lines to check in the VCF file (unlimited if 0)", optional=True, default=5000)
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+        self.add_flag("info", "Add general information about the input file to the output.")
+        self.add_flag("duplicates", "Check for variants occuring twice (input VCF needs to be sorted).")
+
+    def main(self):
+        from ..io.vcf_check import vcf_is_valid
+        ref_file = self.get_ref()
+        if not ref_file:
+            raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+        lines = self.get_int("lines")
+        if lines <= 0:
+            lines = 2 ** 31 - 1
+        out = _TextOut(self.get("out"))
+        ok = vcf_is_valid(self.get("in"), ref_file, out,
+                          self.get_flag("info"), lines,
+                          self.get_flag("duplicates"))
+        out.close()
+        if not ok:
+            raise ToolError("VCF check failed - see 'out' file for details!")
+
+
+class VcfLeftNormalizeTool(ToolBase):
+    """VcfLeftNormalize (VcfLeftNormalize/main.cpp): InDel left/right shifting."""
+
+    name = "VcfLeftNormalize"
+    description = "Normalizes all variants and shifts indels to the left in a VCF file."
+
+    def setup(self):
+        self.add_infile("in", "Input VCF or VCF.GZ file. If unset, reads from STDIN.", optional=True)
+        self.add_outfile("out", "Output VCF or VCF.GZ file. If unset, writes to STDOUT.", optional=True)
+        self.add_infile("ref", "Reference genome FASTA file. If unset 'reference_genome' from the 'settings.ini' file is used.", optional=True)
+        self.add_int("compression_level", "Output VCF compression level from 1 (fastest) to 9 (best compression).", optional=True, default=0)
+        self.add_flag("stream", "Stream the input and output VCF without loading the whole file into memory.")
+        self.add_flag("right", "Right-normalize VCF instead of left-normalizing it.")
+
+    def main(self):
+        from ..core.normalize import LEFT, RIGHT, normalize_variant
+        from ..io.fasta import FastaFileIndex
+
+        ref_file = self.get_ref()
+        if not ref_file:
+            raise ToolError("Reference genome FASTA unset in both command-line and settings.ini file!")
+        reference = FastaFileIndex(ref_file)
+        direction = RIGHT if self.get_flag("right") else LEFT
+        from ..core.chromosome import Chromosome
+
+        level = self.get_int("compression_level")
+        out_path = self.get("out")
+        out_lines = []
+        for line in _open_lines(self.get("in")):
+            if not line.strip():
+                continue
+            if line.startswith(b"#"):
+                out_lines.append(line)
+                continue
+            parts = line.split(b"\t")
+            if len(parts) < 5:
+                raise ToolError(f"VCF with too few columns: {line.decode(errors='replace')}")
+            chrom = Chromosome(parts[0].decode())
+            pos = int(parts[1])
+            ref = parts[3].upper()
+            alt = parts[4].upper()
+            if b"," not in alt:
+                _, pos, ref, alt = normalize_variant(chrom, pos, ref, alt,
+                                                     reference, direction)
+            parts[1] = b"%d" % pos
+            parts[3] = ref
+            parts[4] = alt
+            out_lines.append(b"\t".join(parts))
+        data = b"".join(l + b"\n" for l in out_lines)
+        if out_path in ("", None):
+            sys.stdout.buffer.write(data)
+        elif str(out_path).endswith(".gz") or level > 0:
+            from ..io.bgzf import bgzf_compress
+            with open(out_path, "wb") as fh:
+                fh.write(bgzf_compress(data, level if level > 0 else 1))
+        else:
+            with open(out_path, "wb") as fh:
+                fh.write(data)
+
+
 TOOLS = {
     "VcfSort": VcfSortTool,
     "VcfToTsv": VcfToTsvTool,
@@ -557,4 +900,7 @@ TOOLS = {
     "VcfSubtract": VcfSubtractTool,
     "VcfStreamSort": VcfStreamSortTool,
     "VcfBreakMulti": VcfBreakMultiTool,
+    "VcfFilter": VcfFilterTool,
+    "VcfCheck": VcfCheckTool,
+    "VcfLeftNormalize": VcfLeftNormalizeTool,
 }
