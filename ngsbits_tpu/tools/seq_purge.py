@@ -87,14 +87,13 @@ class SeqPurgeTool(ToolBase):
         progress = ProgressReporter(self.get_int("progress"),
                                     stream=summary_stream)
 
+        from ..utils.prefetch import prefetch_paired
+
         for f1, f2 in zip(in1, in2):
             r1 = FastqReader(f1, batch_reads=block, keep_headers=True)
             r2 = FastqReader(f2, batch_reads=block, keep_headers=True)
-            it1 = iter(r1)
-            it2 = iter(r2)
-            while True:
-                b1 = next(it1, None)
-                b2 = next(it2, None)
+            # paired decode thread overlaps the device scans (P1 analogue)
+            for b1, b2 in prefetch_paired(r1, r2, depth=2):
                 if b1 is None and b2 is None:
                     break
                 if b1 is None or b2 is None or len(b1) != len(b2):
