@@ -96,7 +96,22 @@ class BamBatch:
 
 
 class BamReader:
-    def __init__(self, filename: str, n_threads: int = 4, batch_records: int = 1 << 16):
+    def __new__(cls, filename: str, n_threads: int = 4,
+                batch_records: int = 1 << 16, ref: str | None = None):
+        # CRAM files are handled by the CRAM 3.0 decoder (io/cram.py), which
+        # exposes the same batch interface (BamReader.h handles both formats
+        # transparently through htslib in the reference)
+        if str(filename).endswith(".cram"):
+            from .cram import CramReader
+            if ref is None:
+                from ..core import settings
+                ref = settings.reference_genome() or None
+            return CramReader(str(filename), ref=ref,
+                              batch_records=batch_records)
+        return super().__new__(cls)
+
+    def __init__(self, filename: str, n_threads: int = 4,
+                 batch_records: int = 1 << 16, ref: str | None = None):
         self.filename = filename
         self.batch_records = batch_records
         self._lib = native.get_lib()

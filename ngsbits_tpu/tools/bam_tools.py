@@ -39,9 +39,9 @@ class BamInfoTool(ToolBase):
                 magic = fh.read(6)
             if magic.startswith(b"CRAM"):
                 fmt = f"CRAM {magic[4]}.{magic[5]}"
-                raise ToolError("CRAM is not supported by this build")
-            fmt = "BAM"
-            reader = BamReader(filename)
+            else:
+                fmt = "BAM"
+            reader = BamReader(filename, ref=self.get("ref") or None)
             build = reader.build_from_chr1()
             # masked false duplications: detected via specific contig (hg38 only)
             masked = "no"
