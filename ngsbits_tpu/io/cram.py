@@ -573,11 +573,6 @@ class CramRecord:
         self.bases_raw = b""
 
 
-_TAG_STRUCT = {ord("c"): ("<b", 1), ord("C"): ("<B", 1), ord("s"): ("<h", 2),
-               ord("S"): ("<H", 2), ord("i"): ("<i", 4), ord("I"): ("<I", 4),
-               ord("f"): ("<f", 4), ord("A"): ("<c", 1)}
-
-
 class SliceDecoder:
     def __init__(self, comp: CompressionHeader, slice_hdr: SliceHeader,
                  ctx: SliceContext, ref_names):

@@ -531,7 +531,6 @@ int64_t ngs_fastq_read_batch(
             cursor = (size_t)nl + 1;
             if (lines_found == 4) break;
         }
-        (void)hit_eof;
         if (lines_found < 4) {
             // EOF: 'cursor' points past the last complete line
             size_t rest = r->buf.size() - cursor;

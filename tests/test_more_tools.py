@@ -6,7 +6,6 @@ ships in this environment — the reference CI also skips those without one).
 """
 
 import pathlib
-import re
 
 import pytest
 
