@@ -79,6 +79,8 @@ def readqc_batch_host(bases: np.ndarray, quals: np.ndarray,
     ])
     qsum_cycle = q.sum(axis=0, dtype=np.int32)
     read_qsum = q.sum(axis=1, dtype=np.int32)
-    qhist = np.bincount(q[mask].ravel(), minlength=QHIST_SIZE)
+    qflat = q[mask].ravel()
+    qflat = qflat[qflat >= 0]  # device one-hot drops out-of-range too
+    qhist = np.bincount(qflat, minlength=QHIST_SIZE)
     qhist = qhist[:QHIST_SIZE].astype(np.int32)
     return counts5, qsum_cycle, qhist, read_qsum

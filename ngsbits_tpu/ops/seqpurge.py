@@ -32,7 +32,21 @@ def insert_scan_auto(seq1, seq2rc, min_len):
     if jax.default_backend() == "tpu":
         from .pallas_kernels import insert_scan_pallas
         return insert_scan_pallas(seq1, seq2rc, min_len)
-    return insert_scan(seq1, seq2rc, min_len)
+    # CPU: the XLA formulation materializes a [B, O, L] gather — chunk the
+    # batch so memory stays bounded at default block sizes (B=10000, L=1000
+    # would otherwise be ~10 GB)
+    import numpy as np
+    B = seq1.shape[0]
+    chunk = max(1, (64 << 20) // max(1, seq1.shape[1] ** 2))
+    if B <= chunk:
+        return insert_scan(seq1, seq2rc, min_len)
+    ms, mms = [], []
+    for i in range(0, B, chunk):
+        m, mm = insert_scan(seq1[i:i + chunk], seq2rc[i:i + chunk],
+                            min_len[i:i + chunk])
+        ms.append(np.asarray(m))
+        mms.append(np.asarray(mm))
+    return np.concatenate(ms), np.concatenate(mms)
 
 
 @partial(jax.jit, static_argnums=())
