@@ -625,7 +625,8 @@ class SliceDecoder:
                 if not comp.rn:
                     r.name = self.dec("RN").read_bytes()
                 r.mate_ref_id = self.dec("NS").read_int()
-                r.mate_pos = self.dec("NP").read_int()
+                # NP is 1-based (0 = unset) — store 0-based like BamBatch.pos
+                r.mate_pos = self.dec("NP").read_int() - 1
                 r.tlen = self.dec("TS").read_int()
                 if r.mate_flags & 0x1:
                     r.flags |= 0x20   # mate reverse strand
@@ -949,9 +950,11 @@ class CramReader:
             return []
         br = ByteReader(raw)
         h = read_container_header(br)
-        if h.n_records == 0 and h.n_blocks <= 1:
-            # EOF container (or other empty container)
-            self._eof = True
+        if h.n_records == 0:
+            # empty container (legal mid-file, e.g. at reference-sequence
+            # boundaries) or the EOF container — skip it; real EOF is
+            # detected at the end of the file. htslib likewise skips empty
+            # containers rather than treating them as EOF.
             return []
         comp_block = read_block(br)
         if comp_block.content_type != CT_COMPRESSION_HEADER:

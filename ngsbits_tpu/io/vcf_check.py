@@ -181,7 +181,18 @@ def vcf_is_valid(filename: str, ref_file: str, out_stream,
     reference = FastaFileIndex(ref_file)
     obo_terms = _miso_terms()
 
-    opener = gzip.open if str(filename).endswith(".gz") else open
+    if filename in ("", "-", None):
+        # stdin fallback (VersatileFile(filename, true) in the reference)
+        import io as _io
+        import sys as _sys
+        raw = _sys.stdin.buffer.read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+
+        def opener(_fn, _mode):
+            return _io.BytesIO(raw)
+    else:
+        opener = gzip.open if str(filename).endswith(".gz") else open
     defined_filters: dict[bytes, _Definition] = {}
     defined_formats: dict[bytes, _Definition] = {}
     defined_infos: dict[bytes, _Definition] = {}

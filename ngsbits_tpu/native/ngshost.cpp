@@ -510,6 +510,7 @@ int64_t ngs_fastq_read_batch(
         size_t cursor = r->pos;
         int lines_found = 0;
         bool hit_eof = false;
+        bool used_final_pad = false;
         for (;;) {
             int64_t nl = find_nl(cursor);
             if (nl < 0) {
@@ -543,11 +544,13 @@ int64_t ngs_fastq_read_batch(
             }
             if (lines_found == 3 && !r->final_pad_done) {
                 // final empty quality line at EOF (FastqFileStream yields
-                // it as empty; mirrored by the Python reader too)
+                // it as empty; mirrored by the Python reader too). The flag
+                // is only committed below, once the record is emitted, so a
+                // buffer-full retry re-pads instead of erroring.
                 line_start[3] = r->buf.size();
                 line_len[3] = 0;
                 lines_found = 4;
-                r->final_pad_done = true;
+                used_final_pad = true;
             }
             if (lines_found < 4) {
                 r->error = "FASTQ line count is not a multiple of 4";
@@ -577,6 +580,7 @@ int64_t ngs_fastq_read_batch(
         qual_used += qlen;
         h1_used += h1;
         h2_used += h2;
+        if (used_final_pad) r->final_pad_done = true;
         r->pos = cursor;
         ++n;
     }

@@ -42,6 +42,7 @@ class GSvarServer:
         self.sessions = SessionManager(valid_period=session_duration)
         self.urls = UrlManager()
         self.endpoints = EndpointManager()
+        self._start_time = time.time()
         self._register_endpoints()
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -210,9 +211,7 @@ class GSvarServer:
             return 403, "text/plain", b"Access denied"
         if not os.path.isfile(target):
             return 404, "text/plain", b"File not found"
-        with open(target, "rb") as fh:
-            data = fh.read()
-        return 200, _guess_type(target), data
+        return 200, _guess_type(target), FilePayload(target)
 
     def _temp(self, req):
         rel = req["path_params"]
@@ -221,9 +220,7 @@ class GSvarServer:
         entity = self.urls.get(rel[0])
         if entity is None:
             return 404, "text/plain", b"Link expired or invalid"
-        with open(entity.filename_with_path, "rb") as fh:
-            data = fh.read()
-        return 200, _guess_type(entity.filename), data
+        return 200, _guess_type(entity.filename), FilePayload(entity.filename_with_path)
 
     def _upload(self, req):
         filename = req["params"].get("filename", "")
@@ -255,7 +252,22 @@ class GSvarServer:
         n = self.sessions.remove_expired() + self.urls.remove_expired()
         return 200, "text/plain", f"Removed {n} expired entries".encode()
 
-    _start_time = time.time()
+
+class FilePayload:
+    """Marker telling the dispatcher to stream from disk (range requests
+    read only the requested slice — BAM/IGV streaming must not buffer the
+    whole file per request)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def size(self) -> int:
+        return os.path.getsize(self.path)
+
+    def read_range(self, start: int, end: int) -> bytes:
+        with open(self.path, "rb") as fh:
+            fh.seek(start)
+            return fh.read(end - start + 1)
 
 
 def _guess_type(path: str) -> str:
@@ -318,29 +330,48 @@ def _make_handler(server: GSvarServer):
                 self._send(500, "text/plain", str(exc).encode(), method)
                 return
 
+            is_file = isinstance(data, FilePayload)
+            total = data.size() if is_file else len(data)
+
             # byte ranges (HttpResponse.cpp:182-)
             range_header = self.headers.get("Range")
             if status == 200 and range_header and method in ("GET", "HEAD"):
-                ranges = _parse_range(range_header, len(data))
+                ranges = _parse_range(range_header, total)
                 if ranges is None:
                     self.send_response(416)
-                    self.send_header("Content-Range", f"bytes */{len(data)}")
+                    self.send_header("Content-Range", f"bytes */{total}")
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
                 start, end = ranges
-                chunk = data[start:end + 1]
                 self.send_response(206)
                 self.send_header("Content-Type", content_type)
                 self.send_header("Content-Range",
-                                 f"bytes {start}-{end}/{len(data)}")
+                                 f"bytes {start}-{end}/{total}")
                 self.send_header("Accept-Ranges", "bytes")
-                self.send_header("Content-Length", str(len(chunk)))
+                self.send_header("Content-Length", str(end - start + 1))
                 self.end_headers()
                 if method != "HEAD":
+                    # only the requested slice is read from disk
+                    chunk = (data.read_range(start, end) if is_file
+                             else data[start:end + 1])
                     self.wfile.write(chunk)
                 return
 
+            if is_file:
+                self.send_response(status)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(total))
+                self.send_header("Accept-Ranges", "bytes")
+                self.end_headers()
+                if method != "HEAD":
+                    with open(data.path, "rb") as fh:
+                        while True:
+                            chunk = fh.read(1 << 20)
+                            if not chunk:
+                                break
+                            self.wfile.write(chunk)
+                return
             self._send(status, content_type, data, method)
 
         def _send(self, status, content_type, data, method):

@@ -857,37 +857,50 @@ class VcfLeftNormalizeTool(ToolBase):
 
         level = self.get_int("compression_level")
         out_path = self.get("out")
-        out_lines = []
-        for line in _open_lines(self.get("in")):
-            if not line.strip():
-                continue
-            if line.startswith(b"#"):
-                out_lines.append(line)
-                continue
-            parts = line.split(b"\t")
-            if len(parts) < 5:
-                raise ToolError(f"VCF with too few columns: {line.decode(errors='replace')}")
-            chrom = Chromosome(parts[0].decode())
-            pos = int(parts[1])
-            ref = parts[3].upper()
-            alt = parts[4].upper()
-            if b"," not in alt:
-                _, pos, ref, alt = normalize_variant(chrom, pos, ref, alt,
-                                                     reference, direction)
-            parts[1] = b"%d" % pos
-            parts[3] = ref
-            parts[4] = alt
-            out_lines.append(b"\t".join(parts))
-        data = b"".join(l + b"\n" for l in out_lines)
-        if out_path in ("", None):
-            sys.stdout.buffer.write(data)
-        elif str(out_path).endswith(".gz") or level > 0:
-            from ..io.bgzf import bgzf_compress
-            with open(out_path, "wb") as fh:
-                fh.write(bgzf_compress(data, level if level > 0 else 1))
+        stream = self.get_flag("stream")
+        if stream and (str(out_path).endswith(".gz") or level > 0):
+            raise ToolError("Streaming is only supported with uncompressed VCF files!")
+
+        def normalized_lines():
+            for line in _open_lines(self.get("in")):
+                if not line.strip():
+                    continue
+                if line.startswith(b"#"):
+                    yield line
+                    continue
+                parts = line.split(b"\t")
+                if len(parts) < 5:
+                    raise ToolError(f"VCF with too few columns: {line.decode(errors='replace')}")
+                chrom = Chromosome(parts[0].decode())
+                pos = int(parts[1])
+                ref = parts[3].upper()
+                alt = parts[4].upper()
+                if b"," not in alt:
+                    _, pos, ref, alt = normalize_variant(chrom, pos, ref, alt,
+                                                         reference, direction)
+                parts[1] = b"%d" % pos
+                parts[3] = ref
+                parts[4] = alt
+                yield b"\t".join(parts)
+
+        if stream or out_path in ("", None):
+            # line-by-line: constant memory (streamVcf in the reference)
+            fh = sys.stdout.buffer if out_path in ("", None) else open(out_path, "wb")
+            try:
+                for line in normalized_lines():
+                    fh.write(line + b"\n")
+            finally:
+                if fh is not sys.stdout.buffer:
+                    fh.close()
         else:
-            with open(out_path, "wb") as fh:
-                fh.write(data)
+            data = b"".join(l + b"\n" for l in normalized_lines())
+            if str(out_path).endswith(".gz") or level > 0:
+                from ..io.bgzf import bgzf_compress
+                with open(out_path, "wb") as fh:
+                    fh.write(bgzf_compress(data, level if level > 0 else 1))
+            else:
+                with open(out_path, "wb") as fh:
+                    fh.write(data)
 
 
 TOOLS = {

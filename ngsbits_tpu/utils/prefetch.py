@@ -19,30 +19,49 @@ def prefetch(iterable, depth: int = 2):
     """Yield items of `iterable`, decoded ahead in a background thread.
 
     Exceptions raised by the producer are re-raised at the consumption
-    point; the thread is a daemon so abandoning the generator cannot hang
-    interpreter shutdown.
+    point. If the consumer abandons the generator (break / exception), the
+    producer is signalled via a stop event so it releases its input handle
+    instead of blocking forever on the bounded queue.
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     error: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as exc:  # noqa: BLE001 — forwarded to consumer
             error.append(exc)
         finally:
-            q.put(_SENTINEL)
+            # keep trying while the consumer is alive — it may be blocked in
+            # q.get() waiting for exactly this sentinel
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_paired(it1, it2, depth: int = 2):

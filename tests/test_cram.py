@@ -91,3 +91,31 @@ def test_other_cram_fixtures_decode(path):
     rec = BamRecord.from_batch(batch, 0)
     assert len(rec.qual) == rec.length()
     r.close()
+
+
+def test_mate_pos_consistent_across_containers():
+    # detached mates (NP series) must be 0-based like BamBatch.pos
+    # (regression: they were stored 1-based, off by one vs NF-linked mates)
+    r = CramReader(CRAM, batch_records=1 << 16)
+    pos_by_name = {}
+    entries = []
+    for batch in r:
+        for i in range(len(batch)):
+            fl = int(batch.flag[i])
+            if fl & (0x100 | 0x800 | 0x4):
+                continue
+            name = batch.name(i)
+            pos_by_name.setdefault(name, {})[fl & 0xC0] = int(batch.pos[i])
+            entries.append((name, fl & 0xC0, int(batch.mate_pos[i])))
+    r.close()
+    checked = 0
+    mismatched = 0
+    for name, which, mate_pos in entries:
+        other = pos_by_name.get(name, {}).get(0xC0 ^ which)
+        if other is None or mate_pos < 0:
+            continue
+        checked += 1
+        if mate_pos != other:
+            mismatched += 1
+    assert checked > 1000
+    assert mismatched == 0

@@ -89,3 +89,20 @@ def test_crosses_batch_boundaries(tmp_path):
                         validate=False)
     _assert_equal(nb, pb)
     assert sum(len(b) for b in nb) == 333
+
+
+def test_capacity_break_before_padded_final_record(tmp_path):
+    # last record has a quality line without trailing newline AND the flat
+    # buffer fills just before it: the EOF pad must not be consumed by the
+    # rejected attempt (regression: stale final_pad_done -> spurious error)
+    n, L = 105, 10000
+    recs = []
+    for i in range(n):
+        recs.append(b"@r%d\n" % i + b"A" * L + b"\n+\n" + b"I" * L + b"\n")
+    raw = b"".join(recs)[:-1]  # strip the very last newline
+    path = tmp_path / "cap.fastq.gz"
+    path.write_bytes(gzip.compress(raw))
+    nb, pb = _read_both(str(path), batch_reads=1024, keep_headers=True,
+                        validate=False)
+    _assert_equal(nb, pb)
+    assert sum(len(b) for b in nb) == n
