@@ -9,6 +9,8 @@ from __future__ import annotations
 import bisect
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 
 class GeneSet:
     def __init__(self):
@@ -64,7 +66,7 @@ class GeneSet:
     @staticmethod
     def create_from_file(filename: str) -> "GeneSet":
         out = GeneSet()
-        fh = open(filename, "rb") if filename else sys.stdin.buffer
+        fh = open(filename, "rb") if filename else stdin_binary()
         for raw in fh:
             line = raw.rstrip(b"\r\n")
             if line.startswith(b"#"):

@@ -15,6 +15,8 @@ same max_length walk-back bound.
 from __future__ import annotations
 
 import sys
+
+from ngsbits_tpu.utils.stdio import stdin_binary
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -87,7 +89,7 @@ class BedFile:
     def from_file(filename: str, read_annotations: bool = True) -> "BedFile":
         out = BedFile()
         if filename in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         else:
             with open(filename, "rb") as fh:
                 data = fh.read()

@@ -8,6 +8,9 @@ fallback, BedpeFile.cpp:850-907).
 
 from __future__ import annotations
 
+import sys
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..core.chromosome import Chromosome
 from ..core.intervals import BedFile, BedLine
 
@@ -200,7 +203,7 @@ class BedpeFile:
         out = BedpeFile()
         out.filename = filename or "-"
         if filename in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         else:
             opener = open
             if str(filename).endswith(".gz"):
@@ -294,7 +297,7 @@ class BedpeFile:
             out.append(line.to_tsv())
         data = b"\n".join(out) + b"\n"
         if filename in ("", "-", None):
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
         else:
             with open(filename, "wb") as fh:
                 fh.write(data)

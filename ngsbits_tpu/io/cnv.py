@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..core.chromosome import Chromosome
 
 _TYPES = {
@@ -73,7 +75,7 @@ class CnvList:
     def from_file(filename: str, header_only: bool = False) -> "CnvList":
         out = CnvList()
         if filename in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         else:
             with open(filename, "rb") as fh:
                 data = fh.read()
@@ -237,7 +239,7 @@ def _store_cnv_list(self, filename: str | None):
         with open(filename, "wb") as fh:
             fh.write(data)
     else:
-        _sys.stdout.buffer.write(data)
+        _stdout_binary().write(data)
 
 
 CnvList.store = _store_cnv_list

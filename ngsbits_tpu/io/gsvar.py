@@ -9,6 +9,8 @@ one '#chr start end ref obs [annotations...]' column header, TSV rows with
 from __future__ import annotations
 
 import sys
+
+from ngsbits_tpu.utils.stdio import stdout_binary
 from dataclasses import dataclass, field
 
 from ..core.chromosome import Chromosome
@@ -172,4 +174,4 @@ class GSvarFile:
             with open(filename, "wb") as fh:
                 fh.write(data)
         else:
-            _sys.stdout.buffer.write(data)
+            _stdout_binary().write(data)

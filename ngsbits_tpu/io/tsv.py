@@ -9,6 +9,8 @@ from __future__ import annotations
 import gzip
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 
 class TsvFile:
     def __init__(self):
@@ -20,7 +22,7 @@ class TsvFile:
     def from_file(path: str) -> "TsvFile":
         out = TsvFile()
         if path in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         else:
             with open(path, "rb") as fh:
                 data = fh.read()
@@ -88,7 +90,7 @@ def write_tsv(path: str | None, comments, header, rows):
         parts.append(b"\t".join(r))
     data = b"\n".join(parts) + b"\n"
     if path in ("", "-", None):
-        sys.stdout.buffer.write(data)
+        stdout_binary().write(data)
     else:
         with open(path, "wb") as fh:
             fh.write(data)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import gzip
 import sys
+
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -355,7 +357,7 @@ class VcfFile:
     def from_file(filename: str) -> "VcfFile":
         out = VcfFile()
         if filename in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         else:
             with open(filename, "rb") as fh:
                 magic = fh.read(2)
@@ -431,7 +433,7 @@ class VcfFile:
     def store(self, filename: str | None):
         data = self.to_text()
         if filename in ("", "-", None):
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
         elif filename.endswith(".gz"):
             from .bgzf import bgzf_compress
             with open(filename, "wb") as fh:
@@ -577,7 +579,7 @@ def vcf_store(f: "VcfFile", filename: str | None, compression_level: int = 0,
         out.append(b"\t".join(fields))
     data = b"\n".join(out) + b"\n"
     if filename in ("", "-", None):
-        sys.stdout.buffer.write(data)
+        stdout_binary().write(data)
     elif compression_level > 0 or (filename and filename.endswith(".gz")):
         from .bgzf import bgzf_compress
         with open(filename, "wb") as fh:
@@ -642,7 +644,7 @@ def vcf_store_as_tsv(f: "VcfFile", filename: str | None):
         out.append(b"\t".join(row))
     data = b"\n".join(out) + b"\n"
     if filename in ("", "-", None):
-        sys.stdout.buffer.write(data)
+        stdout_binary().write(data)
     else:
         with open(filename, "wb") as fh:
             fh.write(data)

@@ -10,6 +10,9 @@ embedded sequence-ontology OBO (Resources/so-xp_3_1_0.obo).
 
 from __future__ import annotations
 
+import sys
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 import gzip
 import re
 
@@ -185,7 +188,7 @@ def vcf_is_valid(filename: str, ref_file: str, out_stream,
         # stdin fallback (VersatileFile(filename, true) in the reference)
         import io as _io
         import sys as _sys
-        raw = _sys.stdin.buffer.read()
+        raw = _stdin_binary().read()
         if raw[:2] == b"\x1f\x8b":
             raw = gzip.decompress(raw)
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import sys
 
+from ngsbits_tpu.utils.stdio import stdout_binary
+
 from ..core.chromosome import Chromosome
 from ..core.intervals import BedFile, BedLine
 from ..qc import statistics
@@ -401,7 +403,7 @@ class BedToFastaTool(ToolBase):
         data = b"".join(parts)
         out = self.get("out")
         if out in ("", None):
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
         else:
             with open(out, "wb") as fh:
                 fh.write(data)

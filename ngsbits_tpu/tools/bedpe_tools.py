@@ -8,6 +8,8 @@ main.cpp files.
 from __future__ import annotations
 
 import sys
+
+from ngsbits_tpu.utils.stdio import stdout_binary
 from urllib.parse import unquote
 
 from ..core.intervals import BedFile, BedLine, ChromosomalIndex
@@ -21,7 +23,7 @@ def _write_buffer(out: str, buf: list[bytes]):
         with open(out, "wb") as fh:
             fh.write(data)
     else:
-        sys.stdout.buffer.write(data)
+        stdout_binary().write(data)
 
 
 class BedpeSortTool(ToolBase):

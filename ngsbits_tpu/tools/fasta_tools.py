@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 import numpy as np
 
 from ..core.chromosome import Chromosome
@@ -16,7 +18,7 @@ from .toolbase import ToolBase, ToolError
 
 def _read_lines(path):
     if path in ("", "-", None):
-        data = sys.stdin.buffer.read()
+        data = stdin_binary().read()
     else:
         with open(path, "rb") as fh:
             data = fh.read()

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..core.geneset import GeneSet
 from ..core.intervals import BedFile
 from ..ngsd import NGSD, NgsdError
@@ -58,7 +60,7 @@ class GenesToTranscriptsTool(ToolBase):
         out = open(out_path, "w") if out_path else sys.stdout
         out.write("#gene\ttranscript\tbiotype\texons\tflags\n")
         in_path = self.get_infile("in")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         for raw in fh:
             gene = raw.decode().strip()
             if not gene or gene.startswith("#"):
@@ -105,7 +107,7 @@ class TranscriptsToBedTool(ToolBase):
         mode = self.get_enum("mode")
         output = BedFile()
         in_path = self.get_infile("in")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         for raw in fh:
             name = raw.decode().strip()
             if not name or name.startswith("#"):
@@ -143,7 +145,7 @@ class TranscriptToProteinTool(ToolBase):
             sys.stderr.write("Warning: When using the hg19 build, it is neccessary to also use a NGSD instance containing hg19 data and a hg19 reference genome.\n")
         db = NGSD(self.get_flag("test"))
         in_path = self.get_infile("in")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         out = open(self.get_outfile("out"), "w")
         for raw in fh:
             line = raw.rstrip(b"\r\n").decode()

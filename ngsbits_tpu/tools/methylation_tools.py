@@ -9,6 +9,8 @@ from __future__ import annotations
 import gzip
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..core.chromosome import Chromosome
 from ..core.intervals import BedFile
 from ..io.fasta import FastaFileIndex
@@ -70,7 +72,7 @@ class BedToEpigenTool(ToolBase):
         out.write(f"ID_REF\t{self.get_string('sample')}\n")
 
         in_path = self.get_infile("in")
-        fh = _open_maybe_gz(in_path) if in_path else sys.stdin.buffer
+        fh = _open_maybe_gz(in_path) if in_path else stdin_binary()
         for raw in fh:
             line = raw.rstrip(b"\r\n")
             if not line or line.startswith(b"#"):

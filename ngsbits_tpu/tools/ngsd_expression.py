@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdout_binary
+
 import numpy as np
 
 from ..core.chromosome import Chromosome
@@ -446,7 +448,7 @@ class NGSDAnnotateRNATool(ToolBase):
             with open(out_path, "wb") as fh:
                 fh.write(data)
         else:
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
         db.close()
 
     @staticmethod

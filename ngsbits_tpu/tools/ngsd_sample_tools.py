@@ -11,6 +11,8 @@ from __future__ import annotations
 import datetime
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..ngsd import NGSD, NgsdError
 from .toolbase import ToolBase, ToolError
 
@@ -247,7 +249,7 @@ class NGSDSampleUsersTool(ToolBase):
     def main(self):
         db = NGSD(self.get_flag("test"))
         in_path = self.get_infile("in")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         out_path = self.get_outfile("out")
         out = open(out_path, "w") if out_path else sys.stdout
         out.write("#ps\treport_config_created\treport_config_last_update\treport_config_finalized\tdiag_status\n")

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..ngsd import NGSD, NgsdError
 from .toolbase import ToolBase, ToolError
 
@@ -233,7 +235,7 @@ class GenesToApprovedTool(ToolBase):
         out_path = self.get_outfile("out")
         if in_path and in_path == out_path:
             raise ToolError("Input and output files must be different when streaming!")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         out = open(out_path, "w") if out_path else sys.stdout
         for raw in fh:
             gene = raw.decode().strip().upper()

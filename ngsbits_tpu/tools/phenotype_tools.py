@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..ngsd import NGSD
 from .toolbase import ToolBase, ToolError
 
@@ -49,7 +51,7 @@ class PhenotypesToGenesTool(ToolBase):
         ignore_non_pheno = self.get_flag("ignore_non_phenotype")
 
         hpo_ids = []
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         for raw in fh:
             line = raw.decode().strip()
             if not line or line.startswith("#"):

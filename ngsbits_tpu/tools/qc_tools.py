@@ -9,6 +9,8 @@ from __future__ import annotations
 import re
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 from ..core.ontology import qcml_terms
 from ..core.qcml import QCCollection, QCValue
 from .toolbase import ToolBase, ToolError
@@ -90,7 +92,7 @@ class TsvToQCTool(ToolBase):
             with open(in_path, "rb") as fh:
                 data = fh.read()
         else:
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         for raw in data.split(b"\n"):
             line = raw.strip()
             if not line or line.startswith(b"#"):

@@ -9,6 +9,8 @@ import math
 import os
 import sys
 
+from ngsbits_tpu.utils.stdio import stdout_binary
+
 from ..io.tsv import TsvFile, write_tsv
 from .toolbase import ToolBase, ToolError
 
@@ -368,7 +370,7 @@ class TsvToTool(ToolBase):
             with open(path, "wb") as fh:
                 fh.write(data)
         else:
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
 
 
 class TsvDiffTool(ToolBase):
@@ -553,7 +555,7 @@ class TsvDiffTool(ToolBase):
             with open(out, "wb") as fh:
                 fh.write(data)
         else:
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
 
         if has_diff and not no_error:
             raise SystemExit(1)

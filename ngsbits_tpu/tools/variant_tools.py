@@ -10,6 +10,8 @@ from __future__ import annotations
 import re
 import sys
 
+from ngsbits_tpu.utils.stdio import stdout_binary
+
 from ..core.chromosome import Chromosome
 from ..core.intervals import BedFile, BedLine, ChromosomalIndex
 from ..io.gsvar import GSvarFile
@@ -151,7 +153,7 @@ class VariantFilterRegionsTool(ToolBase):
             with open(out, "wb") as fh:
                 fh.write(data)
         else:
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
 
 
 TOOLS = {"VariantFilterRegions": VariantFilterRegionsTool}

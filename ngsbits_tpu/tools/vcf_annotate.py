@@ -12,6 +12,8 @@ import gzip
 import os
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..core.intervals import BedFile, ChromosomalIndex
 from .toolbase import ToolBase, ToolError
 
@@ -36,7 +38,7 @@ def decode_info_value(v: bytes) -> bytes:
 
 def _read_lines(path):
     if path in ("", "-", None):
-        data = sys.stdin.buffer.read()
+        data = stdin_binary().read()
     elif str(path).endswith(".gz"):
         data = gzip.decompress(open(path, "rb").read())
     else:
@@ -47,7 +49,7 @@ def _read_lines(path):
 def _write(path, lines):
     data = b"".join(lines)
     if path in ("", "-", None):
-        sys.stdout.buffer.write(data)
+        stdout_binary().write(data)
     else:
         with open(path, "wb") as fh:
             fh.write(data)

@@ -11,6 +11,8 @@ import gzip
 import os
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..core.chromosome import Chromosome
 from ..io.bigwig import BigWigReader
 from .toolbase import ToolBase, ToolError
@@ -74,7 +76,7 @@ class VcfAnnotateFromBigWigTool(ToolBase):
             if data[:2] == b"\x1f\x8b":
                 data = gzip.decompress(data)
         else:
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
 
         out_lines = []
         for raw in data.split(b"\n"):
@@ -118,7 +120,7 @@ class VcfAnnotateFromBigWigTool(ToolBase):
         data_out = b"".join(l + b"\n" for l in out_lines)
         out_path = self.get_outfile("out")
         if not out_path:
-            sys.stdout.buffer.write(data_out)
+            stdout_binary().write(data_out)
         elif out_path.endswith(".gz"):
             from ..io.bgzf import bgzf_compress
             with open(out_path, "wb") as fh:

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..core.chromosome import Chromosome
 from ..core.hgvs import HgvsVariant, VariantHgvsAnnotator, consequence_type_to_impact, TYPE_STRINGS
 from ..core.intervals import BedFile, BedLine, ChromosomalIndex
@@ -83,8 +85,8 @@ class VcfAnnotateConsequenceTool(ToolBase):
 
         in_path = self.get_infile("in")
         out_path = self.get_outfile("out")
-        fh_in = open(in_path, "rb") if in_path else sys.stdin.buffer
-        out = open(out_path, "wb") if out_path else sys.stdout.buffer
+        fh_in = open(in_path, "rb") if in_path else stdin_binary()
+        out = open(out_path, "wb") if out_path else stdout_binary()
         for raw in fh_in:
             line = raw.strip()
             if not line:

@@ -11,6 +11,8 @@ import os
 import re
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary
+
 import numpy as np
 
 from ..core.chromosome import Chromosome
@@ -106,7 +108,7 @@ class VcfAnnotateHexplorerTool(ToolBase):
         self.hbond = load_hbond_scores()
 
         in_path = self.get_infile("in")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
         out = open(self.get_outfile("out"), "wb")
 
         new_info_head_added = False

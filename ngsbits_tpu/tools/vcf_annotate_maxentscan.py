@@ -11,6 +11,8 @@ import gzip
 import os
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 import numpy as np
 
 from ..core.chromosome import Chromosome
@@ -154,8 +156,8 @@ class VcfAnnotateMaxEntScanTool(ToolBase):
 
         in_path = self.get_infile("in")
         out_path = self.get_outfile("out")
-        fh = open(in_path, "rb") if in_path else sys.stdin.buffer
-        out = open(out_path, "wb") if out_path else sys.stdout.buffer
+        fh = open(in_path, "rb") if in_path else stdin_binary()
+        out = open(out_path, "wb") if out_path else stdout_binary()
         for raw in fh:
             line = raw
             if not line.strip():

@@ -9,6 +9,8 @@ from __future__ import annotations
 import gzip
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from .toolbase import ToolBase, ToolError
 
 # VCF fixed-column indices (VcfFile.h enum)
@@ -17,7 +19,7 @@ CHROM, POS, ID, REF, ALT, QUAL, FILTER, INFO, FORMAT = range(9)
 
 def _read_lines(path):
     if path in ("", "-", None):
-        data = sys.stdin.buffer.read()
+        data = stdin_binary().read()
     elif str(path).endswith(".gz"):
         data = gzip.decompress(open(path, "rb").read())
     else:
@@ -27,7 +29,7 @@ def _read_lines(path):
 
 def _open_out(path):
     if path in ("", "-", None):
-        return sys.stdout.buffer
+        return stdout_binary()
     return open(path, "wb")
 
 
@@ -53,7 +55,7 @@ class VcfSplitTool(ToolBase):
         lines = self.get_int("lines")
         path = self.get("in")
         if path in ("", "-", None):
-            data = sys.stdin.buffer.read()
+            data = stdin_binary().read()
         elif str(path).endswith(".gz"):
             data = gzip.decompress(open(path, "rb").read())
         else:
@@ -117,7 +119,7 @@ class VcfReplaceSamplesTool(ToolBase):
                         line = line.replace(old, new)
                     break
             out_fh.write(line + b"\n")
-        if out_fh is not sys.stdout.buffer:
+        if out_fh is not stdout_binary():
             out_fh.close()
 
 
@@ -172,7 +174,7 @@ class SnifflesVcfFixTool(ToolBase):
                 parts[INFO] = b";".join(info_values)
 
             out_fh.write(b"\t".join(parts) + b"\n")
-        if out_fh is not sys.stdout.buffer:
+        if out_fh is not stdout_binary():
             out_fh.close()
 
 
@@ -245,7 +247,7 @@ class MantaVcfFixTool(ToolBase):
 
         for line in output_buffer:
             out_fh.write(line)
-        if out_fh is not sys.stdout.buffer:
+        if out_fh is not stdout_binary():
             out_fh.close()
 
 

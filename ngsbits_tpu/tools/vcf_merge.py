@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 import sys
+
+from ngsbits_tpu.utils.stdio import stdout_binary
 import time
 
 from ..core.chromosome import Chromosome
@@ -367,7 +369,7 @@ class VcfMergeTool(ToolBase):
             with open(out, "wb") as fh:
                 fh.write(payload)
         else:
-            sys.stdout.buffer.write(payload)
+            stdout_binary().write(payload)
 
         log.write("output:\n")
         log.write(f"  variants written: {len(var_details)}\n")

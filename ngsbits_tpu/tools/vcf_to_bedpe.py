@@ -11,6 +11,8 @@ from __future__ import annotations
 import gzip
 import math
 import sys
+
+from ngsbits_tpu.utils.stdio import stdout_binary
 import time
 
 from ..core.chromosome import Chromosome
@@ -345,7 +347,7 @@ class _Converter:
             with open(out_file, "wb") as fh:
                 fh.write(data)
         else:
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
 
 
 class VcfToBedpeTool(ToolBase):

@@ -9,6 +9,8 @@ from __future__ import annotations
 import gzip
 import sys
 
+from ngsbits_tpu.utils.stdio import stdin_binary, stdout_binary
+
 from ..io.vcf import VcfFile, vcf_sort, vcf_store, vcf_store_as_tsv
 from .toolbase import ToolBase, ToolError
 
@@ -16,7 +18,7 @@ from .toolbase import ToolBase, ToolError
 def _open_lines(path: str):
     """Yield lines (without trailing newline/CR) from plain or gzipped file/stdin."""
     if path in ("", "-", None):
-        data = sys.stdin.buffer.read()
+        data = stdin_binary().read()
     else:
         with open(path, "rb") as fh:
             data = fh.read()
@@ -37,7 +39,7 @@ class _TextOut:
     def close(self):
         data = b"".join(self.parts)
         if self.path in ("", "-", None):
-            sys.stdout.buffer.write(data)
+            stdout_binary().write(data)
         else:
             with open(self.path, "wb") as fh:
                 fh.write(data)
@@ -885,12 +887,12 @@ class VcfLeftNormalizeTool(ToolBase):
 
         if stream or out_path in ("", None):
             # line-by-line: constant memory (streamVcf in the reference)
-            fh = sys.stdout.buffer if out_path in ("", None) else open(out_path, "wb")
+            fh = stdout_binary() if out_path in ("", None) else open(out_path, "wb")
             try:
                 for line in normalized_lines():
                     fh.write(line + b"\n")
             finally:
-                if fh is not sys.stdout.buffer:
+                if fh is not stdout_binary():
                     fh.close()
         else:
             data = b"".join(l + b"\n" for l in normalized_lines())

@@ -76,4 +76,18 @@ def compare_files_delta(out_path, ref_path, delta=0.01, strip_patterns=(), sep=N
                 f"line {i + 1}: {x} vs {y} differ by more than {delta}\n  out: {a}\n  ref: {b}")
 
 
+def bam_to_text(bam_path, txt_path):
+    """BAM_TO_TEXT analogue: render a BAM semantically as SAM-like text.
+
+    Both sides of a comparison go through this same renderer, so it serves
+    the same purpose as the reference macro (semantic BAM equality)."""
+    from ngsbits_tpu.io.bam import BamReader, batch_to_sam_text
+
+    lines = []
+    with BamReader(str(bam_path)) as rd:
+        for batch in rd:
+            lines.extend(batch_to_sam_text(batch, rd.ref_names))
+    Path(txt_path).write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
 QCML_STRIP = (r"creation ", r"<binary>")
