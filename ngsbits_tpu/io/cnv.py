@@ -233,13 +233,12 @@ def _store_cnv_list(self, filename: str | None):
                      + str(v.start).encode() + b"\t" + str(v.end).encode()
                      + b"\t" + b"\t".join(annos))
 
-    import sys as _sys
     data = b"".join(l + b"\n" for l in lines)
     if filename:
         with open(filename, "wb") as fh:
             fh.write(data)
     else:
-        _stdout_binary().write(data)
+        stdout_binary().write(data)
 
 
 CnvList.store = _store_cnv_list

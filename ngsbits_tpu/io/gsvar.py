@@ -154,7 +154,6 @@ class GSvarFile:
         """VariantList::store (VariantList.cpp:937-1004): comments, then
         ##DESCRIPTION lines, then ##FILTER lines (sorted by id), then header
         and rows (values with newlines/tabs replaced by spaces)."""
-        import sys as _sys
         lines = [c for c in self.comments if not c.startswith(b"##fileformat=")]
         for name, desc in self.descriptions:
             if not desc or name == ".":
@@ -174,4 +173,4 @@ class GSvarFile:
             with open(filename, "wb") as fh:
                 fh.write(data)
         else:
-            _stdout_binary().write(data)
+            stdout_binary().write(data)

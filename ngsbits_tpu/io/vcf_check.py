@@ -187,8 +187,7 @@ def vcf_is_valid(filename: str, ref_file: str, out_stream,
     if filename in ("", "-", None):
         # stdin fallback (VersatileFile(filename, true) in the reference)
         import io as _io
-        import sys as _sys
-        raw = _stdin_binary().read()
+        raw = stdin_binary().read()
         if raw[:2] == b"\x1f\x8b":
             raw = gzip.decompress(raw)
 

@@ -17,13 +17,26 @@ import sys
 
 
 class _TextBinaryAdapter:
-    """Minimal binary file-object facade over a text stream."""
+    """Minimal binary file-object facade over a text stream.
+
+    Text-only by design: the fallback exists for redirected text streams
+    (test harnesses, notebooks), where binary payloads (gzip/BGZF) cannot
+    round-trip.  ``write`` therefore fails loudly on non-UTF-8 bytes
+    instead of silently corrupting output.
+    """
 
     def __init__(self, text_stream):
         self._ts = text_stream
 
     def write(self, data: bytes) -> int:
-        self._ts.write(data.decode("utf-8", errors="replace"))
+        try:
+            text = data.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                "binary (non-UTF-8) write to a redirected text stdout; "
+                "pass an explicit output file for binary output"
+            ) from exc
+        self._ts.write(text)
         return len(data)
 
     def flush(self):
@@ -34,6 +47,13 @@ class _TextBinaryAdapter:
 
     def read(self, n: int = -1) -> bytes:
         return self._ts.read(n).encode("utf-8")
+
+    def readline(self, limit: int = -1) -> bytes:
+        return self._ts.readline(limit).encode("utf-8")
+
+    def __iter__(self):
+        for line in self._ts:
+            yield line.encode("utf-8")
 
 
 def _binary(stream, attr: str):
