@@ -114,16 +114,21 @@ def match_probability(p: float, matches: int, count: int) -> float:
     (0.1,1,3)->0.271, (0.1,1,5)->0.40951, (0.1,5,5)->0.00001.
 
     For count beyond the reference's factorial table (170! is the largest
-    finite double) the reference halves matches/count until computable
-    (UpdHunter Q-score goldens: exact for one halving, within ~0.1 log10
-    units for repeated halvings — the residual of the reference's linear-
-    space summation is not reproducible without its cppCORE source).
+    finite double) the reference recursively halves *matches* and
+    *mismatches* separately with integer truncation (count' =
+    matches/2 + (count-matches)/2) until the sum is computable.  The
+    scheme was reverse-engineered from the UpdHunter_out2.tsv goldens:
+    (157,1590)->(9,98), (190,1129)->(23,140), (120,469)->(30,117) are
+    the unique integer pairs reproducing the golden Q-scores, and the
+    matches/mismatches halving chain is the unique rule hitting all
+    three (see tests/test_basicstats.py).
     """
     if matches > count:
         raise ValueError("matches > count")
     while count > FACTORIAL_LIMIT:
+        mismatches = (count - matches) // 2
         matches //= 2
-        count //= 2
+        count = matches + mismatches
     lf = _log_factorials(count)
     log_p = math.log(p)
     log_q = math.log1p(-p) if p < 1.0 else -math.inf

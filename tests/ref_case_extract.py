@@ -24,7 +24,8 @@ _COMPARE_RX = re.compile(
 _BAM2TXT_RX = re.compile(r"BAM_TO_TEXT\(\s*(.*?)\);", re.S)
 _REMOVE_RX = re.compile(
     r'REMOVE_LINES\(\s*(.*?),\s*QRegularExpression\("((?:[^"\\]|\\.)*)"\)\s*\);', re.S)
-_SKIP_RX = re.compile(r"SKIP_IF_NO_(HG19|HG38)_GENOME|SKIP_IF\(|NGSD\s|NGSD\(|QSKIP")
+_SKIP_RX = re.compile(
+    r"SKIP_IF_NO_\w+|SKIP_IF\(|NGSD\s|NGSD\(|QSKIP|\bSKIP\(")
 
 
 def _resolve_expr(expr: str) -> str:

@@ -42,3 +42,16 @@ def test_round_half_away():
     assert bs.round_half_away(2.5) == 3.0
     assert bs.round_half_away(-0.5) == -1.0
     assert bs.round_half_away(2.4) == 2.0
+
+
+def test_match_probability_large_count_reduction():
+    """Counts beyond the 170! double limit reduce by halving matches and
+    mismatches separately (int truncation).  Pinned by the UpdHunter
+    positive1 goldens (UpdHunter_out2.tsv Q-scores 617.78/701.26/659.19),
+    whose unique reproducing reduced pairs are (9,98)/(23,140)/(30,117)."""
+    p = 0.0023545960491713046
+    for big, reduced in [((157, 1590), (9, 98)),
+                         ((190, 1129), (23, 140)),
+                         ((120, 469), (30, 117))]:
+        assert math.isclose(bs.match_probability(p, *big),
+                            bs.match_probability(p, *reduced), rel_tol=1e-15)
