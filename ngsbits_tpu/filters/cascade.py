@@ -886,3 +886,1513 @@ class FilterSpliceEffect(FilterBase):
                     continue
                 if self._mes_hit(v.annotations[idx_mes].strip(), min_mes, splice_site_only):
                     result.flags[i] = True
+
+
+# ------------------------------------------------- additional SNV filters
+
+def _sample_infos(gsvar):
+    """(name, column_index, affected, gender) per ##SAMPLE header
+    (SampleHeaderInfo, reference NGSHelper.cpp / VariantList sample headers)."""
+    out = []
+    for raw in gsvar.comments:
+        line = raw.strip()
+        if not line.startswith(b"##SAMPLE=<"):
+            continue
+        parts = line[10:-1].split(b",")
+        i = 1
+        while i < len(parts):
+            if b"=" not in parts[i]:
+                parts[i - 1] += b"," + parts[i]
+                del parts[i]
+            else:
+                i += 1
+        name, props = "", {}
+        for part in parts:
+            sep = part.find(b"=")
+            k = part[:sep].decode()
+            v = part[sep + 1:].decode()
+            if k == "ID":
+                name = v
+            else:
+                props[k.lower()] = v.lower()
+        affected = (props.get("status") == "affected"
+                    or props.get("diseasestatus") == "affected")
+        gender = props.get("gender", "n/a")
+        try:
+            col = gsvar.annotation_index(name)
+        except KeyError:
+            col = -1
+        out.append((name, col, affected, gender))
+    return out
+
+
+def _gene_set(text: bytes) -> set[bytes]:
+    """GeneSet::createFromText with ',' separator (uppercased, trimmed)."""
+    return {g.strip().upper() for g in text.split(b",") if g.strip()}
+
+
+def _gene_info_terms(anno: bytes):
+    """Yield per-gene 'key=value' term lists from a gene_info annotation,
+    e.g. 'PRPF31 (inh=AD pLI=0.97), 34P13.14 (inh=n/a pLI=n/a)'."""
+    for gene in anno.split(b","):
+        start = gene.find(b"(")
+        if start == -1:
+            continue
+        yield gene[start + 1: len(gene) - 1].split(b" ")
+
+
+@register
+class FilterGenes(FilterBase):
+    """FilterCascade.cpp:1047-1101 (Genes) — preserves a gene set; '*'
+    entries switch to regexp matching."""
+    NAME = "Genes"
+    PARAMS = [("genes", STRINGLIST, [])]
+
+    def apply(self, gsvar, result):
+        genes = {g.strip().upper().encode() for g in self.get("genes") if g.strip()}
+        i_gene = _anno_col(gsvar, "gene")
+        joined = b"|".join(sorted(genes))
+        if b"*" not in joined:
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                result.flags[i] = bool(genes & _gene_set(v.annotations[i_gene]))
+        else:
+            import re as _re
+            pattern = joined.decode().replace("-", "\\-").replace("*", "[A-Z0-9-]*")
+            rx = _re.compile(pattern)
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                result.flags[i] = any(rx.search(g.decode())
+                                      for g in _gene_set(v.annotations[i_gene]))
+
+
+@register
+class FilterGeneInheritance(FilterBase):
+    """FilterCascade.cpp:1548-1603 (Gene inheritance) — gene_info inh= modes."""
+    NAME = "Gene inheritance"
+    PARAMS = [("modes", STRINGLIST, [])]
+
+    def apply(self, gsvar, result):
+        modes_passing = set(self.get("modes"))
+        i_geneinfo = _anno_col(gsvar, "gene_info")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(v.annotations[i_geneinfo]):
+                for entry in terms:
+                    if entry.startswith(b"inh="):
+                        for mode in entry[4:].decode().split("+"):
+                            if mode in modes_passing:
+                                passed = True
+            result.flags[i] = passed
+
+
+@register
+class FilterGeneConstraint(FilterBase):
+    """FilterCascade.cpp:1605-1660 (Gene constraint) — gene_info oe_lof=."""
+    NAME = "Gene constraint"
+    PARAMS = [("max_oe_lof", DOUBLE, 0.35)]
+
+    def apply(self, gsvar, result):
+        max_oe_lof = self.get("max_oe_lof")
+        i_geneinfo = _anno_col(gsvar, "gene_info")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(v.annotations[i_geneinfo]):
+                for entry in terms:
+                    if entry.startswith(b"oe_lof="):
+                        try:
+                            oe = float(entry[7:])
+                        except ValueError:
+                            continue  # 'n/a' in SNV context > skip
+                        if oe <= max_oe_lof:
+                            passed = True
+            result.flags[i] = passed
+
+
+@register
+class FilterColumnMatchRegexp(FilterBase):
+    """FilterCascade.cpp:1945-2007 (Column match) — regexp on a column."""
+    NAME = "Column match"
+    PARAMS = [("pattern", STRING, ""), ("column", STRING, ""),
+              ("action", STRING, "KEEP")]
+
+    def apply(self, gsvar, result):
+        import re as _re
+        index = _anno_col(gsvar, self.get("column"))
+        rx = _re.compile(self.get("pattern").encode())
+
+        def match(v):
+            return rx.search(v.annotations[index].strip()) is not None
+
+        _apply_action(gsvar.variants, result, self.get("action"), match)
+
+
+@register
+class FilterPredictionPathogenic(FilterBase):
+    """FilterCascade.cpp:2095-2211 (Predicted pathogenic) — phyloP, CADD,
+    REVEL and AlphaMissense votes."""
+    NAME = "Predicted pathogenic"
+    PARAMS = [("min", INT, 1), ("action", STRING, "FILTER"),
+              ("skip_high_impact", BOOL, False),
+              ("cutoff_phylop", DOUBLE, 1.6), ("cutoff_cadd", DOUBLE, 22.7),
+              ("cutoff_revel", DOUBLE, 0.9),
+              ("cutoff_alphamissense", DOUBLE, 0.564)]
+
+    def apply(self, gsvar, result):
+        min_count = self.get("min")
+        i_phylop = _anno_col(gsvar, "phyloP")
+        i_cadd = _anno_col(gsvar, "CADD")
+        i_revel = _anno_col(gsvar, "REVEL")
+        i_am = _anno_col(gsvar, "AlphaMissense", False)  # optional (old files)
+        skip_high = self.get("skip_high_impact")
+        i_co_sp = _anno_col(gsvar, "coding_and_splicing")
+        c_phylop = self.get("cutoff_phylop")
+        c_cadd = self.get("cutoff_cadd")
+        c_revel = self.get("cutoff_revel")
+        c_am = self.get("cutoff_alphamissense")
+
+        def score_at_least(v, idx, cutoff):
+            try:
+                return float(v.annotations[idx]) >= cutoff
+            except ValueError:
+                return False
+
+        def pathogenic(v):
+            count = 0
+            if c_phylop > -10 and score_at_least(v, i_phylop, c_phylop):
+                count += 1
+            if c_cadd > 0 and score_at_least(v, i_cadd, c_cadd):
+                count += 1
+            if c_revel > 0 and score_at_least(v, i_revel, c_revel):
+                count += 1
+            if i_am >= 0 and c_am > 0 and score_at_least(v, i_am, c_am):
+                count += 1
+            return count >= min_count
+
+        if self.get("action") == "FILTER":
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                if skip_high and b":HIGH:" in v.annotations[i_co_sp]:
+                    continue
+                result.flags[i] = pathogenic(v)
+        else:  # KEEP
+            for i, v in enumerate(gsvar.variants):
+                if result.flags[i]:
+                    continue
+                if skip_high and b":HIGH:" in v.annotations[i_co_sp]:
+                    continue
+                result.flags[i] = pathogenic(v)
+
+
+@register
+class FilterVariantTypeSO(FilterBase):
+    """FilterCascade.cpp:2279-2348 (Variant type) — sequence-ontology terms
+    matched against coding_and_splicing."""
+    NAME = "Variant type"
+    PARAMS = [("HIGH", STRINGLIST, ["frameshift_variant", "splice_acceptor_variant",
+                                    "splice_donor_variant", "start_lost",
+                                    "start_retained_variant", "stop_gained", "stop_lost"]),
+              ("MODERATE", STRINGLIST, ["inframe_deletion", "inframe_insertion",
+                                        "missense_variant"]),
+              ("LOW", STRINGLIST, ["splice_region_variant"]),
+              ("MODIFIER", STRINGLIST, [])]
+
+    def apply(self, gsvar, result):
+        types = [t.strip().encode()
+                 for key in ("HIGH", "MODERATE", "LOW", "MODIFIER")
+                 for t in self.get(key)]
+        index = _anno_col(gsvar, "coding_and_splicing")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = any(t in v.annotations[index] for t in types)
+
+
+@register
+class FilterTrio(FilterBase):
+    """FilterCascade.cpp:2476-2705 (Trio) — de-novo/recessive/comp-het/LOH/
+    x-linked/imprinting with AF-corrected genotypes."""
+    NAME = "Trio"
+    PARAMS = [("types", STRINGLIST, ["de-novo", "recessive", "comp-het",
+                                     "LOH", "x-linked"]),
+              ("gender_child", STRING, "n/a"), ("build", STRING, "hg38")]
+
+    def apply(self, gsvar, result):
+        from ..core.resources import pseudoautosomal_regions
+        from ..ngsd.db import _imprinting_genes
+
+        infos = _sample_infos(gsvar)
+        gender_child = self.get("gender_child")
+        if gender_child == "n/a":
+            for _n, _c, affected, gender in infos:
+                if affected:
+                    gender_child = gender
+                    break
+        if gender_child == "n/a":
+            raise ValueError("Could not determine gender of child, please set it!")
+
+        i_quality = _anno_col(gsvar, "quality")
+        i_gene = _anno_col(gsvar, "gene")
+        i_c = next((c for _n, c, a, _g in infos if a), -1)
+        i_f = next((c for _n, c, a, g in infos if not a and g == "male"), -1)
+        i_m = next((c for _n, c, a, g in infos if not a and g == "female"), -1)
+        if -1 in (i_c, i_f, i_m):
+            raise ValueError("Trio filter requires child, father and mother samples!")
+        order = sorted([i_c, i_f, i_m])
+        i_af_c, i_af_f, i_af_m = order.index(i_c), order.index(i_f), order.index(i_m)
+
+        par_region = pseudoautosomal_regions(self.get("build"))
+
+        def corrected_genotypes(v):
+            geno_c = v.annotations[i_c]
+            geno_f = v.annotations[i_f]
+            geno_m = v.annotations[i_m]
+            for part in v.annotations[i_quality].split(b";"):
+                if part.startswith(b"AF="):
+                    afs = part[3:].split(b",")
+                    if geno_f == b"wt" and 0.05 <= _to_f(afs[i_af_f]) <= 0.3:
+                        geno_f = b"het"
+                    if geno_m == b"wt" and 0.05 <= _to_f(afs[i_af_m]) <= 0.3:
+                        geno_m = b"het"
+                    if geno_c == b"het" and _to_f(afs[i_af_c]) < 0.1:
+                        geno_c = b"wt"
+            return geno_c, geno_f, geno_m
+
+        def diploid(v):
+            return (v.chr.is_autosome()
+                    or (v.chr.is_x() and gender_child == "female")
+                    or (v.chr.is_x() and par_region.overlaps_with(v.chr, v.start, v.end)))
+
+        types = set(self.get("types"))
+
+        genes_comphet = set()
+        if "comp-het" in types:
+            het_father, het_mother = set(), set()
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                if not diploid(v):
+                    continue
+                geno_c, geno_f, geno_m = corrected_genotypes(v)
+                if geno_c == b"het" and geno_f == b"het" and geno_m == b"wt":
+                    het_mother |= _gene_set(v.annotations[i_gene])
+                if geno_c == b"het" and geno_f == b"wt" and geno_m == b"het":
+                    het_father |= _gene_set(v.annotations[i_gene])
+            genes_comphet = het_mother & het_father
+
+        imprinting = _imprinting_genes() if "imprinting" in types else {}
+
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            geno_c, geno_f, geno_m = corrected_genotypes(v)
+            if geno_c == b"wt":
+                result.flags[i] = False
+                continue
+            if b"n/a" in (geno_c, geno_f, geno_m):
+                result.flags[i] = False
+                continue
+            dip = diploid(v)
+            match = False
+            if "de-novo" in types and geno_f == b"wt" and geno_m == b"wt":
+                match = True
+            if "recessive" in types and dip and (geno_c, geno_f, geno_m) == (b"hom", b"het", b"het"):
+                match = True
+            if "LOH" in types and dip and geno_c == b"hom" and (
+                    (geno_f, geno_m) in ((b"het", b"wt"), (b"wt", b"het"))):
+                match = True
+            if "comp-het" in types and dip and geno_c == b"het" and (
+                    (geno_f, geno_m) in ((b"het", b"wt"), (b"wt", b"het"))):
+                if genes_comphet & _gene_set(v.annotations[i_gene]):
+                    match = True
+            if "x-linked" in types and v.chr.is_x() and gender_child == "male" \
+                    and (geno_c, geno_f, geno_m) == (b"hom", b"wt", b"het"):
+                match = True
+            if "imprinting" in types:
+                if (geno_c, geno_f, geno_m) == (b"het", b"het", b"wt"):
+                    for gene in _gene_set(v.annotations[i_gene]):
+                        info = imprinting.get(gene.decode())
+                        if info and info[0] != "maternal":
+                            match = True
+                if (geno_c, geno_f, geno_m) == (b"het", b"wt", b"het"):
+                    for gene in _gene_set(v.annotations[i_gene]):
+                        info = imprinting.get(gene.decode())
+                        if info and info[0] != "paternal":
+                            match = True
+            result.flags[i] = match
+
+
+@register
+class FilterOMIM(FilterBase):
+    """FilterCascade.cpp:2707-2752 (OMIM genes) — 'OMIM' column non-empty."""
+    NAME = "OMIM genes"
+    PARAMS = [("action", STRING, "FILTER")]
+
+    def apply(self, gsvar, result):
+        index = _anno_col(gsvar, "OMIM")
+        keep_nonempty = self.get("action") == "FILTER"
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            empty = v.annotations[index].strip() == b""
+            result.flags[i] = (not empty) if keep_nonempty else empty
+
+
+@register
+class FilterConservedness(FilterBase):
+    """FilterCascade.cpp:2754-2786 (Conservedness) — phyloP cutoff."""
+    NAME = "Conservedness"
+    PARAMS = [("min_score", DOUBLE, 1.6)]
+
+    def apply(self, gsvar, result):
+        i_phylop = _anno_col(gsvar, "phyloP")
+        min_score = self.get("min_score")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            try:
+                ok = float(v.annotations[i_phylop]) >= min_score
+            except ValueError:
+                ok = False
+            result.flags[i] = ok
+
+
+@register
+class FilterRegulatory(FilterBase):
+    """FilterCascade.cpp:2788-2836 (Regulatory) — 'regulatory' non-empty."""
+    NAME = "Regulatory"
+    PARAMS = [("action", STRING, "FILTER")]
+
+    def apply(self, gsvar, result):
+        index = _anno_col(gsvar, "regulatory")
+        keep_nonempty = self.get("action") == "FILTER"
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            empty = v.annotations[index].strip() == b""
+            result.flags[i] = (not empty) if keep_nonempty else empty
+
+
+@register
+class FilterSomaticAlleleFrequency(FilterBase):
+    """FilterCascade.cpp:5010-5077 (Somatic allele frequency)."""
+    NAME = "Somatic allele frequency"
+    PARAMS = [("min_af_tum", DOUBLE, 5.0), ("max_af_nor", DOUBLE, 1.0)]
+
+    def apply(self, gsvar, result):
+        min_af_tum = self.get("min_af_tum") / 100.0
+        if min_af_tum > 0.0:
+            i_af = _anno_col(gsvar, "tumor_af")
+            for i, v in enumerate(gsvar.variants):
+                if result.flags[i] and _to_f(v.annotations[i_af]) < min_af_tum:
+                    result.flags[i] = False
+        max_af_nor = self.get("max_af_nor") / 100.0
+        if max_af_nor < 1.0:
+            i_af = _anno_col(gsvar, "normal_af")
+            for i, v in enumerate(gsvar.variants):
+                if result.flags[i] and _to_f(v.annotations[i_af]) > max_af_nor:
+                    result.flags[i] = False
+
+
+@register
+class FilterTumorOnlyHomHet(FilterBase):
+    """FilterCascade.cpp:5079-5147 (Tumor zygosity) — drop germline het/hom."""
+    NAME = "Tumor zygosity"
+    PARAMS = [("het_af_range", DOUBLE, 0.0), ("hom_af_range", DOUBLE, 0.0)]
+
+    def apply(self, gsvar, result):
+        het_range = self.get("het_af_range") / 100.0
+        if het_range != 0.0:
+            i_af = _anno_col(gsvar, "tumor_af")
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                af = _to_f(v.annotations[i_af])
+                if 0.5 - het_range < af < 0.5 + het_range:
+                    result.flags[i] = False
+        hom_range = self.get("hom_af_range") / 100.0
+        if hom_range != 0.0:
+            i_af = _anno_col(gsvar, "tumor_af")
+            for i, v in enumerate(gsvar.variants):
+                if not result.flags[i]:
+                    continue
+                if _to_f(v.annotations[i_af]) > 1.0 - hom_range:
+                    result.flags[i] = False
+
+
+@register
+class FilterGSvarScoreAndRank(FilterBase):
+    """FilterCascade.cpp:5149-5186 (GSvar score/rank) — top-X by GSvar_rank."""
+    NAME = "GSvar score/rank"
+    PARAMS = [("top", INT, 10)]
+
+    def apply(self, gsvar, result):
+        top = self.get("top")
+        i_rank = _anno_col(gsvar, "GSvar_rank")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            rank = v.annotations[i_rank]
+            if not rank or _to_i(rank) > top:
+                result.flags[i] = False
+
+
+@register
+class FilterVariantLrSrOverlap(FilterBase):
+    """FilterCascade.cpp:5676-5712 (lr short-read overlap)."""
+    NAME = "lr short-read overlap"
+    PARAMS = [("invert", BOOL, False)]
+
+    def apply(self, gsvar, result):
+        invert = self.get("invert")
+        index = _anno_col(gsvar, "in_short-read")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            empty = v.annotations[index].strip() == b""
+            result.flags[i] = empty if invert else not empty
+
+
+# ------------------------------------------------- RNA filters
+
+def _rna_multi_value_min(gsvar, result, column, cutoff, absolute=False):
+    """Shared RNA pattern: pass if ANY comma-separated value >= cutoff
+    (n/a and empty entries skipped; no valid entry -> fail)."""
+    idx = _anno_col(gsvar, column)
+    import math as _math
+    for i, v in enumerate(gsvar.variants):
+        if not result.flags[i]:
+            continue
+        passed = False
+        for part in v.annotations[idx].split(b","):
+            if not part or part.startswith(b"n/a"):
+                continue
+            val = float(part)
+            if absolute:
+                val = _math.fabs(val)
+            if val >= cutoff:
+                passed = True
+                break
+        result.flags[i] = passed
+
+
+@register
+class FilterVariantRNAAseAlleleFrequency(FilterBase):
+    """FilterCascade.cpp:5344-5389 (RNA ASE allele frequency)."""
+    NAME = "RNA ASE allele frequency"
+    PARAMS = [("min_af", DOUBLE, 0.0), ("max_af", DOUBLE, 1.0)]
+
+    def apply(self, gsvar, result):
+        min_af, max_af = self.get("min_af"), self.get("max_af")
+        idx = _anno_col(gsvar, "ASE_af")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            s = v.annotations[idx].strip()
+            if not s or s.startswith(b"n/a"):
+                result.flags[i] = False
+                continue
+            af = float(s)
+            result.flags[i] = min_af <= af <= max_af
+
+
+@register
+class FilterVariantRNAAseDepth(FilterBase):
+    """FilterCascade.cpp:5390-5422 (RNA ASE depth)."""
+    NAME = "RNA ASE depth"
+    PARAMS = [("min_depth", INT, 20)]
+
+    def apply(self, gsvar, result):
+        min_depth = self.get("min_depth")
+        idx = _anno_col(gsvar, "ASE_depth")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = int(v.annotations[idx]) >= min_depth
+
+
+@register
+class FilterVariantRNAAseAlt(FilterBase):
+    """FilterCascade.cpp:5423-5462 (RNA ASE alternative count)."""
+    NAME = "RNA ASE alternative count"
+    PARAMS = [("min_ac", INT, 5)]
+
+    def apply(self, gsvar, result):
+        min_ac = self.get("min_ac")
+        idx = _anno_col(gsvar, "ASE_alt")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            s = v.annotations[idx].strip()
+            if not s or s.startswith(b"n/a"):
+                result.flags[i] = False
+                continue
+            result.flags[i] = int(s) >= min_ac
+
+
+@register
+class FilterVariantRNAAsePval(FilterBase):
+    """FilterCascade.cpp:5464-5504 (RNA ASE p-value)."""
+    NAME = "RNA ASE p-value"
+    PARAMS = [("max_pval", DOUBLE, 0.05)]
+
+    def apply(self, gsvar, result):
+        max_pval = self.get("max_pval")
+        idx = _anno_col(gsvar, "ASE_pval")
+        for i, v in enumerate(gsvar.variants):
+            if not result.flags[i]:
+                continue
+            s = v.annotations[idx].strip()
+            if not s or s.startswith(b"n/a"):
+                result.flags[i] = False
+                continue
+            result.flags[i] = float(s) <= max_pval
+
+
+@register
+class FilterVariantRNAAberrantSplicing(FilterBase):
+    """FilterCascade.cpp:5506-5547 (RNA aberrant splicing fraction)."""
+    NAME = "RNA aberrant splicing fraction"
+    PARAMS = [("min_asf", DOUBLE, 0.01)]
+
+    def apply(self, gsvar, result):
+        _rna_multi_value_min(gsvar, result, "aberrant_splicing", self.get("min_asf"))
+
+
+@register
+class FilterVariantRNAGeneExpression(FilterBase):
+    """FilterCascade.cpp:5549-5589 (RNA gene expression, TPM)."""
+    NAME = "RNA gene expression"
+    PARAMS = [("min_tpm", DOUBLE, 5.0)]
+
+    def apply(self, gsvar, result):
+        _rna_multi_value_min(gsvar, result, "tpm", self.get("min_tpm"))
+
+
+@register
+class FilterVariantRNAExpressionFC(FilterBase):
+    """FilterCascade.cpp:5591-5631 (RNA expression fold-change, abs log2)."""
+    NAME = "RNA expression fold-change"
+    PARAMS = [("min_fc", DOUBLE, 2.0)]
+
+    def apply(self, gsvar, result):
+        _rna_multi_value_min(gsvar, result, "expr_log2fc", self.get("min_fc"),
+                             absolute=True)
+
+
+@register
+class FilterVariantRNAExpressionZScore(FilterBase):
+    """FilterCascade.cpp:5633-5674 (RNA expression z-score, abs)."""
+    NAME = "RNA expression z-score"
+    PARAMS = [("min_zscore", DOUBLE, 2.0)]
+
+    def apply(self, gsvar, result):
+        _rna_multi_value_min(gsvar, result, "expr_zscore", self.get("min_zscore"),
+                             absolute=True)
+
+
+# ------------------------------------------------- additional CNV filters
+
+@register
+class FilterCnvAlleleFrequency(FilterBase):
+    """FilterCascade.cpp:2966-3001 (CNV allele frequency) — potential_AF."""
+    NAME = "CNV allele frequency"
+    TYPE = "cnv"
+    PARAMS = [("max_af", DOUBLE, 0.05)]
+
+    def apply(self, cnvs, result):
+        max_af = self.get("max_af")
+        i_af = cnvs.annotation_index_by_name(b"potential_AF", True)
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            if _to_f(v.annotations[i_af]) > max_af:
+                result.flags[i] = False
+
+
+@register
+class FilterCnvMaxLoglikelihood(FilterBase):
+    """FilterCascade.cpp:3003-3050 (CNV maximum log-likelihood) —
+    tumor-normal pairs only; no-op on other list types."""
+    NAME = "CNV maximum log-likelihood"
+    TYPE = "cnv"
+    PARAMS = [("max_ll", DOUBLE, 200.0), ("scale_by_regions", BOOL, False)]
+
+    def apply(self, cnvs, result):
+        if cnvs.type != "tumor_normal":
+            return
+        max_ll = self.get("max_ll")
+        scale = self.get("scale_by_regions")
+        i_ll = cnvs.annotation_index_by_name(b"loglikelihood", True)
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            ll = _to_f(v.annotations[i_ll])
+            if scale:
+                if v.num_regs < 1:
+                    raise ValueError("Invalid/unset number of regions!")
+                ll = ll / v.num_regs
+            if ll > max_ll:
+                result.flags[i] = False
+
+
+@register
+class FilterCnvCompHet(FilterBase):
+    """FilterCascade.cpp:3198-3267 (CNV compound-heterozygous).
+
+    ``het_hit_genes`` (set of uppercased gene symbols) is injected by the
+    caller for mode CNV-SNV/INDEL, like the reference's setHetHitGenes."""
+    NAME = "CNV compound-heterozygous"
+    TYPE = "cnv"
+    PARAMS = [("mode", STRING, "n/a")]
+
+    def __init__(self):
+        super().__init__()
+        self.het_hit_genes: set[bytes] = set()
+
+    def apply(self, cnvs, result):
+        mode = self.get("mode")
+        if mode == "n/a":
+            return
+        gene_count: dict[bytes, int] = {}
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            for gene in v.genes:
+                g = gene.strip().upper()
+                gene_count[g] = gene_count.get(g, 0) + 1
+        if mode == "CNV-CNV":
+            comphet_hit = {g for g, n in gene_count.items() if n > 1}
+        else:  # CNV-SNV/INDEL
+            comphet_hit = {g for g in gene_count if g in self.het_hit_genes}
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = any(g.strip().upper() in comphet_hit for g in v.genes)
+
+
+@register
+class FilterCnvCnpOverlap(FilterBase):
+    """FilterCascade.cpp:3317-3351 (CNV polymorphism region) — first 5 chars
+    of the CNP column parsed as overlap fraction."""
+    NAME = "CNV polymorphism region"
+    TYPE = "cnv"
+    PARAMS = [("column", STRING, "overlap af_genomes_imgag"), ("max_ol", DOUBLE, 0.95)]
+
+    def apply(self, cnvs, result):
+        index = cnvs.annotation_index_by_name(self.get("column").encode(), True)
+        max_ol = self.get("max_ol")
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            if _to_f(v.annotations[index][:5]) > max_ol:
+                result.flags[i] = False
+
+
+@register
+class FilterCnvGeneConstraint(FilterBase):
+    """FilterCascade.cpp:3353-3408 (CNV gene constraint) — gene_info oe_lof=,
+    unparsable values count as 1.0 (pass-through)."""
+    NAME = "CNV gene constraint"
+    TYPE = "cnv"
+    PARAMS = [("max_oe_lof", DOUBLE, 0.35)]
+
+    def apply(self, cnvs, result):
+        i_geneinfo = cnvs.annotation_index_by_name(b"gene_info", True)
+        max_oe_lof = self.get("max_oe_lof")
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(v.annotations[i_geneinfo]):
+                for term in terms:
+                    if term.startswith(b"oe_lof="):
+                        try:
+                            oe = float(term[7:])
+                        except ValueError:
+                            oe = 1.0  # value 'n/a' > pass
+                        if oe <= max_oe_lof:
+                            passed = True
+            result.flags[i] = passed
+
+
+@register
+class FilterCnvTumorCopyNumberChange(FilterBase):
+    """FilterCascade.cpp:3410-3442 (CNV tumor CN change)."""
+    NAME = "CNV tumor CN change"
+    TYPE = "cnv"
+    PARAMS = [("min_tumor_cn", INT, 0), ("max_tumor_cn", INT, 10)]
+
+    def apply(self, cnvs, result):
+        i_cn = cnvs.annotation_index_by_name(b"tumor_CN_change", True)
+        min_cn, max_cn = self.get("min_tumor_cn"), self.get("max_tumor_cn")
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            try:
+                cn = float(v.annotations[i_cn].strip())
+            except ValueError:
+                continue  # unparsable > keep
+            result.flags[i] = min_cn <= cn <= max_cn
+
+
+@register
+class FilterCnvClonality(FilterBase):
+    """FilterCascade.cpp:3444-3478 (CNV clonality) — strict bounds."""
+    NAME = "CNV clonality"
+    TYPE = "cnv"
+    PARAMS = [("min_clonality", DOUBLE, 0.0), ("max_clonality", DOUBLE, 1.0)]
+
+    def apply(self, cnvs, result):
+        i_clon = cnvs.annotation_index_by_name(b"tumor_clonality", True)
+        min_c, max_c = self.get("min_clonality"), self.get("max_clonality")
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            try:
+                clonality = float(v.annotations[i_clon].strip())
+            except ValueError:
+                continue  # unparsable > keep
+            result.flags[i] = min_c < clonality < max_c
+
+
+@register
+class FilterCnvGeneOverlap(FilterBase):
+    """FilterCascade.cpp:3479-3540 (CNV gene overlap) — gene_info region=."""
+    NAME = "CNV gene overlap"
+    TYPE = "cnv"
+    PARAMS = [("complete", BOOL, True), ("exonic/splicing", BOOL, True),
+              ("intronic/intergenic", BOOL, False)]
+
+    def _selected(self):
+        out = []
+        if self.get("complete"):
+            out.append(b"complete")
+        if self.get("exonic/splicing"):
+            out.append(b"exonic/splicing")
+        if self.get("intronic/intergenic"):
+            out.append(b"intronic/intergenic")
+        return out
+
+    def apply(self, cnvs, result):
+        i_geneinfo = cnvs.annotation_index_by_name(b"gene_info", True)
+        selected = self._selected()
+        for i, v in enumerate(cnvs.variants):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(v.annotations[i_geneinfo]):
+                for term in terms:
+                    if term.startswith(b"region=") and term[7:] in selected:
+                        passed = True
+            result.flags[i] = passed
+
+
+@register
+class FilterCnvPathogenicCnvOverlap(FilterBase):
+    """FilterCascade.cpp:3542-3594 (CNV pathogenic CNV overlap)."""
+    NAME = "CNV pathogenic CNV overlap"
+    TYPE = "cnv"
+    PARAMS = [("action", STRING, "FILTER")]
+
+    def apply(self, cnvs, result):
+        index = cnvs.annotation_index_by_name(b"ngsd_pathogenic_cnvs", True)
+        action = self.get("action")
+        if action == "FILTER":
+            for i, v in enumerate(cnvs.variants):
+                if result.flags[i] and v.annotations[index].strip() == b"":
+                    result.flags[i] = False
+        elif action == "KEEP":
+            for i, v in enumerate(cnvs.variants):
+                if v.annotations[index].strip() != b"":
+                    result.flags[i] = True
+        else:
+            raise ValueError(f"Invalid action '{action}'provided!")
+
+
+# ------------------------------------------------- additional SV filters
+
+def _sv_is_affected(info) -> bool:
+    props = {k.lower(): v.lower() for k, v in info.properties.items()}
+    return (props.get("status") == "affected"
+            or props.get("diseasestatus") == "affected")
+
+
+def _sv_gender(info) -> str:
+    props = {k.lower(): v.lower() for k, v in info.properties.items()}
+    return props.get("gender", "n/a")
+
+
+def _sv_geno_from_gt(gt: bytes, allow_phased: bool) -> bytes:
+    """GT string -> GSvar genotype (FilterSvGenotypeControl accepts only
+    '0/1'/'1/0'; FilterSvGenotypeAffected additionally accepts phased
+    '0|1'/'1|0' — the asymmetry is mirrored from the reference)."""
+    gt = gt.strip()
+    if gt in (b"0/1", b"1/0") or (allow_phased and gt in (b"0|1", b"1|0")):
+        return b"het"
+    if gt == b"1/1":
+        return b"hom"
+    if gt == b"0/0":
+        return b"wt"
+    return b"n/a"
+
+
+def _sv_format_data_indices(svs, affected: bool, name: str) -> list[int]:
+    """Data-column indices for affected/control samples; single-sample lists
+    use FORMAT+1 for affected."""
+    fmt = svs.format()
+    if affected and fmt not in ("germline_multi", "germline_trio"):
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        return [i_format + 1]
+    out = [info.column_index for info in svs.sample_header_info
+           if _sv_is_affected(info) == affected and info.column_index != -1]
+    if not out:
+        kind = "affected" if affected else "control"
+        raise ValueError(f"Cannot apply filter '{name}' to variant list "
+                         f"without {kind} samples!")
+    return out
+
+
+def _sv_gt_index(svs, sv, i_format, name: str) -> int:
+    keys = sv.annotations[i_format].split(b":")
+    try:
+        return keys.index(b"GT")
+    except ValueError:
+        raise ValueError(f"Cannot apply filter '{name}' to variant list "
+                         "because could not find GT field in format column.")
+
+
+@register
+class FilterSvGenotypeControl(FilterBase):
+    """FilterCascade.cpp:3669-3743 (SV genotype control)."""
+    NAME = "SV genotype control"
+    TYPE = "sv"
+    PARAMS = [("genotypes", STRINGLIST, []), ("same_genotype", BOOL, False)]
+
+    def apply(self, svs, result):
+        data_indices = _sv_format_data_indices(svs, False, self.NAME)
+        genotypes = [g.encode() for g in self.get("genotypes")]
+        same_genotype = self.get("same_genotype")
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            gt_idx = _sv_gt_index(svs, sv, i_format, self.NAME)
+            seen = set()
+            for data_idx in data_indices:
+                values = sv.annotations[data_idx].split(b":")
+                geno = _sv_geno_from_gt(values[gt_idx], allow_phased=False)
+                if geno not in genotypes:
+                    result.flags[i] = False
+                seen.add(geno)
+            if same_genotype and len(seen) > 1:
+                result.flags[i] = False
+
+
+@register
+class FilterSvGenotypeAffected(FilterBase):
+    """FilterCascade.cpp:3745-3825 (SV genotype affected)."""
+    NAME = "SV genotype affected"
+    TYPE = "sv"
+    PARAMS = [("genotypes", STRINGLIST, []), ("same_genotype", BOOL, False)]
+
+    def apply(self, svs, result):
+        data_indices = _sv_format_data_indices(svs, True, self.NAME)
+        genotypes = [g.encode() for g in self.get("genotypes")]
+        same_genotype = self.get("same_genotype")
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            gt_idx = _sv_gt_index(svs, sv, i_format, self.NAME)
+            seen = set()
+            for data_idx in data_indices:
+                values = sv.annotations[data_idx].split(b":")
+                geno = _sv_geno_from_gt(values[gt_idx], allow_phased=True)
+                if geno not in genotypes:
+                    result.flags[i] = False
+                seen.add(geno)
+            if same_genotype and len(seen) > 1:
+                result.flags[i] = False
+
+
+@register
+class FilterSvQuality(FilterBase):
+    """FilterCascade.cpp:3827-3866 (SV quality) — QUAL column cutoff."""
+    NAME = "SV quality"
+    TYPE = "sv"
+    PARAMS = [("quality", INT, 0)]
+
+    def apply(self, svs, result):
+        if svs.format() == "somatic_tumor_normal":
+            raise ValueError(f"Filter '{self.NAME}' cannot be applied to "
+                             "somatic tumor normal sample!")
+        min_quality = self.get("quality")
+        i_qual = svs.annotation_index_by_name(b"QUAL")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = float(sv.annotations[i_qual]) >= min_quality
+
+
+def _sv_read_af_apply(svs, result, name, key, center, only_affected):
+    """Shared PR/SR allele-frequency window check (+/- 10%)."""
+    if svs.format() == "somatic_tumor_normal":
+        raise ValueError(f"Filter '{name}' cannot be applied to somatic "
+                         "tumor normal sample!")
+    upper, lower = center + 0.1, center - 0.1
+    i_format = svs.annotation_index_by_name(b"FORMAT")
+    multi = svs.format() in ("germline_multi", "germline_trio")
+    sample_count = len(svs.sample_header_info) if multi else 1
+    for i, sv in enumerate(svs.lines):
+        if not result.flags[i]:
+            continue
+        keys = sv.annotations[i_format].split(b":")
+        try:
+            key_idx = keys.index(key)
+        except ValueError:
+            if key == b"SR":
+                # SVs without split-read info (e.g. DUP) are removed
+                result.flags[i] = False
+                continue
+            raise ValueError(f"Missing {key.decode()} entry in SV {i}!")
+        for sample_idx in range(sample_count):
+            if multi and only_affected \
+                    and not _sv_is_affected(svs.sample_header_info[sample_idx]):
+                continue
+            values = sv.annotations[i_format + sample_idx + 1].split(b":")
+            entry = values[key_idx].split(b",")
+            if len(entry) != 2:
+                raise ValueError(f"Invalid paired read entry ({key.decode()}) "
+                                 f"in sv {i}!")
+            ref, alt = int(entry[0]), int(entry[1])
+            af = alt / (alt + ref) if alt + ref != 0 else 0.0
+            if af > upper or af < lower:
+                result.flags[i] = False
+                break
+
+
+@register
+class FilterSvPairedReadAF(FilterBase):
+    """FilterCascade.cpp:3939-4023 (SV paired read AF)."""
+    NAME = "SV paired read AF"
+    TYPE = "sv"
+    PARAMS = [("Paired Read AF", DOUBLE, 0.0), ("only_affected", BOOL, False)]
+
+    def apply(self, svs, result):
+        _sv_read_af_apply(svs, result, self.NAME, b"PR",
+                          self.get("Paired Read AF"), self.get("only_affected"))
+
+
+@register
+class FilterSvSplitReadAF(FilterBase):
+    """FilterCascade.cpp:4025-4115 (SV split read AF)."""
+    NAME = "SV split read AF"
+    TYPE = "sv"
+    PARAMS = [("Split Read AF", DOUBLE, 0.0), ("only_affected", BOOL, False)]
+
+    def apply(self, svs, result):
+        _sv_read_af_apply(svs, result, self.NAME, b"SR",
+                          self.get("Split Read AF"), self.get("only_affected"))
+
+
+@register
+class FilterSvPeReadDepth(FilterBase):
+    """FilterCascade.cpp:4117-4194 (SV PE read depth) — PR alt count."""
+    NAME = "SV PE read depth"
+    TYPE = "sv"
+    PARAMS = [("PE Read Depth", INT, 0), ("only_affected", BOOL, False)]
+
+    def apply(self, svs, result):
+        if svs.format() == "somatic_tumor_normal":
+            raise ValueError(f"Filter '{self.NAME}' cannot be applied to "
+                             "somatic tumor normal samples!")
+        min_depth = self.get("PE Read Depth")
+        only_affected = self.get("only_affected")
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        multi = svs.format() in ("germline_multi", "germline_trio")
+        sample_count = len(svs.sample_header_info) if multi else 1
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            keys = sv.annotations[i_format].split(b":")
+            try:
+                pr_idx = keys.index(b"PR")
+            except ValueError:
+                raise ValueError(f"Missing paired read entry (PR) in SV {i}!")
+            for sample_idx in range(sample_count):
+                if multi and only_affected \
+                        and not _sv_is_affected(svs.sample_header_info[sample_idx]):
+                    continue
+                values = sv.annotations[i_format + sample_idx + 1].split(b":")
+                entry = values[pr_idx].split(b",")
+                if len(entry) != 2:
+                    raise ValueError(f"Invalid paired read entry (PR) in SV {i}!")
+                if int(entry[1]) < min_depth:
+                    result.flags[i] = False
+                    break
+
+
+@register
+class FilterSvSomaticscore(FilterBase):
+    """FilterCascade.cpp:4196-4241 (SV SomaticScore)."""
+    NAME = "SV SomaticScore"
+    TYPE = "sv"
+    PARAMS = [("Somaticscore", INT, 0)]
+
+    def apply(self, svs, result):
+        if svs.format() != "somatic_tumor_normal":
+            raise ValueError(f"Filter '{self.NAME}' can only be applied to "
+                             "somatic tumor normal samples!")
+        min_score = self.get("Somaticscore")
+        i_score = svs.annotation_index_by_name(b"SOMATICSCORE")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = min_score <= float(sv.annotations[i_score])
+
+
+@register
+class FilterSvGeneConstraint(FilterBase):
+    """FilterCascade.cpp:4243-4307 (SV gene constraint) — GENE_INFO oe_lof=."""
+    NAME = "SV gene constraint"
+    TYPE = "sv"
+    PARAMS = [("max_oe_lof", DOUBLE, 0.35)]
+
+    def apply(self, svs, result):
+        i_gene_info = svs.annotation_index_by_name(b"GENE_INFO", True)
+        if i_gene_info == -1:
+            raise ValueError("No 'GENE_INFO' column found in BEDPE file! "
+                             "Please reannotate structural variant file.")
+        max_oe_lof = self.get("max_oe_lof")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(sv.annotations[i_gene_info]):
+                for term in terms:
+                    if term.startswith(b"oe_lof="):
+                        try:
+                            oe = float(term[7:])
+                        except ValueError:
+                            oe = 1.0  # value 'n/a' > pass
+                        if oe <= max_oe_lof:
+                            passed = True
+                            break
+                if passed:
+                    break
+            result.flags[i] = passed
+
+
+@register
+class FilterSvGeneOverlap(FilterBase):
+    """FilterCascade.cpp:4309-4379 (SV gene overlap) — GENE_INFO region=;
+    the 'intronic/near gene' option maps to region value
+    'intronic/intergenic' like in the reference."""
+    NAME = "SV gene overlap"
+    TYPE = "sv"
+    PARAMS = [("complete", BOOL, True), ("exonic/splicing", BOOL, True),
+              ("intronic/near gene", BOOL, False)]
+
+    def _selected(self):
+        out = []
+        if self.get("complete"):
+            out.append(b"complete")
+        if self.get("exonic/splicing"):
+            out.append(b"exonic/splicing")
+        if self.get("intronic/near gene"):
+            out.append(b"intronic/intergenic")
+        return out
+
+    def apply(self, svs, result):
+        i_gene_info = svs.annotation_index_by_name(b"GENE_INFO", True)
+        if i_gene_info == -1:
+            raise ValueError("No 'GENE_INFO' column found in BEDPE file! "
+                             "Please reannotate structural variant file.")
+        selected = self._selected()
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            passed = False
+            for terms in _gene_info_terms(sv.annotations[i_gene_info]):
+                for term in terms:
+                    if term.startswith(b"region=") and term[7:] in selected:
+                        passed = True
+                        break
+                if passed:
+                    break
+            result.flags[i] = passed
+
+
+@register
+class FilterSvCompHet(FilterBase):
+    """FilterCascade.cpp:4470-4544 (SV compound-heterozygous); see
+    FilterCnvCompHet for het_hit_genes injection."""
+    NAME = "SV compound-heterozygous"
+    TYPE = "sv"
+    PARAMS = [("mode", STRING, "n/a")]
+
+    def __init__(self):
+        super().__init__()
+        self.het_hit_genes: set[bytes] = set()
+
+    def apply(self, svs, result):
+        mode = self.get("mode")
+        if mode == "n/a":
+            return
+        i_genes = svs.annotation_index_by_name(b"GENES")
+        gene_count: dict[bytes, int] = {}
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            for g in _gene_set(sv.annotations[i_genes]):
+                gene_count[g] = gene_count.get(g, 0) + 1
+        if mode == "SV-SV":
+            comphet_hit = {g for g, n in gene_count.items() if n > 1}
+        else:  # SV-SNV/INDEL
+            comphet_hit = {g for g in gene_count if g in self.het_hit_genes}
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            result.flags[i] = bool(_gene_set(sv.annotations[i_genes]) & comphet_hit)
+
+
+@register
+class FilterSvCountNGSD(FilterBase):
+    """FilterCascade.cpp:4546-4661 (SV count NGSD) — NGSD_HOM/NGSD_HET
+    annotation counts, with pre-2022 NGSD_COUNT fallback."""
+    NAME = "SV count NGSD"
+    TYPE = "sv"
+    PARAMS = [("max_count", INT, 20), ("ignore_genotype", BOOL, False)]
+
+    def apply(self, svs, result):
+        max_count = self.get("max_count")
+        idx_old = svs.annotation_index_by_name(b"NGSD_COUNT", False)
+        if idx_old != -1 and svs.annotation_index_by_name(b"NGSD_HOM", False) == -1:
+            for i, sv in enumerate(svs.lines):
+                if not result.flags[i]:
+                    continue
+                text = sv.annotations[idx_old]
+                if b"(" in text:
+                    text = text.split(b"(")[0]
+                result.flags[i] = int(text) <= max_count
+            return
+        idx_hom = svs.annotation_index_by_name(b"NGSD_HOM")
+        idx_het = svs.annotation_index_by_name(b"NGSD_HET")
+        if self.get("ignore_genotype"):
+            for i, sv in enumerate(svs.lines):
+                if not result.flags[i]:
+                    continue
+                total = int(sv.annotations[idx_hom]) + int(sv.annotations[idx_het])
+                result.flags[i] = total <= max_count
+            return
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        if i_format < 0:
+            raise ValueError(f"Cannot apply filter '{self.NAME}' to structural "
+                             "variant list without 'FORMAT' column!")
+        data_indices = _sv_format_data_indices(svs, True, self.NAME)
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            gt_idx = _sv_gt_index(svs, sv, i_format, self.NAME)
+            count_hom = int(sv.annotations[idx_hom])
+            count_het = int(sv.annotations[idx_het])
+            for data_idx in data_indices:
+                values = sv.annotations[data_idx].split(b":")
+                gt = values[gt_idx].strip()
+                result.flags[i] = False
+                count = count_hom if gt == b"1/1" else count_het
+                if count <= max_count:
+                    result.flags[i] = True
+                    break
+
+
+@register
+class FilterSvAfNGSD(FilterBase):
+    """FilterCascade.cpp:4663-4721 (SV allele frequency NGSD)."""
+    NAME = "SV allele frequency NGSD"
+    TYPE = "sv"
+    PARAMS = [("max_af", DOUBLE, 1.0)]
+
+    def apply(self, svs, result):
+        max_af = self.get("max_af") / 100.0
+        idx_old = svs.annotation_index_by_name(b"NGSD_COUNT", False)
+        if idx_old != -1 and svs.annotation_index_by_name(b"NGSD_AF", False) == -1:
+            for i, sv in enumerate(svs.lines):
+                if not result.flags[i]:
+                    continue
+                text = sv.annotations[idx_old]
+                if b"(" in text:
+                    text = text.split(b"(")[0]
+                if b")" in text:
+                    text = text.split(b")")[0]
+                result.flags[i] = float(text) <= max_af
+            return
+        idx_af = svs.annotation_index_by_name(b"NGSD_AF")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            raw = sv.annotations[idx_af].strip()
+            result.flags[i] = True if raw == b"" else float(raw) <= max_af
+
+
+@register
+class FilterSvBreakpointDensityNGSD(FilterBase):
+    """FilterCascade.cpp:4723-4781 (SV break point density NGSD)."""
+    NAME = "SV break point density NGSD"
+    TYPE = "sv"
+    PARAMS = [("max_density", INT, 20), ("remove_strict", BOOL, False),
+              ("only_system_specific", BOOL, False)]
+
+    def apply(self, svs, result):
+        max_density = self.get("max_density")
+        remove_strict = self.get("remove_strict")
+        col = (b"NGSD_SV_BREAKPOINT_DENSITY_SYS" if self.get("only_system_specific")
+               else b"NGSD_SV_BREAKPOINT_DENSITY")
+        idx = svs.annotation_index_by_name(col)
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            density = sv.annotations[idx]
+            if density.strip() == b"":
+                continue
+            parts = density.split(b"/")
+            if len(parts) == 1:
+                result.flags[i] = int(density) <= max_density
+            elif remove_strict:
+                result.flags[i] = (int(parts[0]) <= max_density
+                                   and int(parts[1]) <= max_density)
+            else:
+                result.flags[i] = (int(parts[0]) <= max_density
+                                   or int(parts[1]) <= max_density)
+
+
+@register
+class FilterSvTrio(FilterBase):
+    """FilterCascade.cpp:4783-5008 (SV trio)."""
+    NAME = "SV trio"
+    TYPE = "sv"
+    PARAMS = [("types", STRINGLIST, ["de-novo", "recessive", "comp-het",
+                                     "LOH", "x-linked"]),
+              ("gender_child", STRING, "n/a"), ("build", STRING, "hg19")]
+
+    @staticmethod
+    def _genotype(format_col: bytes, data_col: bytes) -> bytes:
+        keys = format_col.split(b":")
+        values = data_col.split(b":")
+        try:
+            gt_idx = keys.index(b"GT")
+        except ValueError:
+            raise ValueError("No genotype entry found for SV!")
+        gt = values[gt_idx]
+        if gt in (b"0/1", b"1/0"):
+            return b"het"
+        if gt == b"1/1":
+            return b"hom"
+        if gt == b"0/0":
+            return b"wt"
+        return b"n/a"
+
+    def apply(self, svs, result):
+        from ..core.resources import pseudoautosomal_regions
+        from ..ngsd.db import _imprinting_genes
+
+        if svs.format() != "germline_trio":
+            raise ValueError("Trio filter can only be applied to trio SV samples!")
+        gender_child = self.get("gender_child")
+        if gender_child == "n/a":
+            for info in svs.sample_header_info:
+                if _sv_is_affected(info):
+                    gender_child = _sv_gender(info)
+                    break
+        if gender_child == "n/a":
+            raise ValueError("Could not determine gender of child, please set it!")
+
+        i_gene = svs.annotation_index_by_name(b"GENES")
+        i_c = next((x.column_index for x in svs.sample_header_info
+                    if _sv_is_affected(x)), -1)
+        i_f = next((x.column_index for x in svs.sample_header_info
+                    if not _sv_is_affected(x) and _sv_gender(x) == "male"), -1)
+        i_m = next((x.column_index for x in svs.sample_header_info
+                    if not _sv_is_affected(x) and _sv_gender(x) == "female"), -1)
+        i_format = svs.annotation_index_by_name(b"FORMAT")
+        par_region = pseudoautosomal_regions(self.get("build"))
+        types = set(self.get("types"))
+
+        def diploid(sv):
+            region = sv.affected_region()
+            dip = (sv.chr1.is_autosome()
+                   or (sv.chr1.is_x() and gender_child == "female")
+                   or (sv.chr1.is_x() and par_region.overlaps_with(
+                       region[0].chr, region[0].start, region[0].end)))
+            if sv.type == b"BND":
+                dip = (dip or sv.chr2.is_autosome()
+                       or (sv.chr2.is_x() and gender_child == "female")
+                       or (sv.chr2.is_x() and par_region.overlaps_with(
+                           region[1].chr, region[1].start, region[1].end)))
+            return dip
+
+        def genos(sv):
+            fmt = sv.annotations[i_format]
+            return (self._genotype(fmt, sv.annotations[i_c]),
+                    self._genotype(fmt, sv.annotations[i_f]),
+                    self._genotype(fmt, sv.annotations[i_m]))
+
+        genes_comphet = set()
+        if "comp-het" in types:
+            het_father, het_mother = set(), set()
+            for i, sv in enumerate(svs.lines):
+                if not result.flags[i]:
+                    continue
+                if not diploid(sv):
+                    continue
+                geno_c, geno_f, geno_m = genos(sv)
+                if (geno_c, geno_f, geno_m) == (b"het", b"het", b"wt"):
+                    het_mother |= _gene_set(sv.annotations[i_gene])
+                if (geno_c, geno_f, geno_m) == (b"het", b"wt", b"het"):
+                    het_father |= _gene_set(sv.annotations[i_gene])
+            genes_comphet = het_mother & het_father
+
+        imprinting = _imprinting_genes() if "imprinting" in types else {}
+
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            geno_c, geno_f, geno_m = genos(sv)
+            if geno_c == b"wt":
+                result.flags[i] = False
+                continue
+            if b"n/a" in (geno_c, geno_f, geno_m):
+                result.flags[i] = False
+                continue
+            dip = diploid(sv)
+            match = False
+            if "de-novo" in types and geno_f == b"wt" and geno_m == b"wt":
+                match = True
+            if "recessive" in types and dip \
+                    and (geno_c, geno_f, geno_m) == (b"hom", b"het", b"het"):
+                match = True
+            if "LOH" in types and dip and geno_c == b"hom" \
+                    and (geno_f, geno_m) in ((b"het", b"wt"), (b"wt", b"het")):
+                match = True
+            if "comp-het" in types and dip and geno_c == b"het" \
+                    and (geno_f, geno_m) in ((b"het", b"wt"), (b"wt", b"het")):
+                if genes_comphet & _gene_set(sv.annotations[i_gene]):
+                    match = True
+            if "x-linked" in types and sv.chr1.is_x() and sv.chr2.is_x() \
+                    and gender_child == "male" \
+                    and (geno_c, geno_f, geno_m) == (b"hom", b"wt", b"het"):
+                match = True
+            if "imprinting" in types:
+                if (geno_c, geno_f, geno_m) == (b"het", b"het", b"wt"):
+                    for gene in _gene_set(sv.annotations[i_gene]):
+                        info = imprinting.get(gene.decode())
+                        if info and info[0] != "maternal":
+                            match = True
+                if (geno_c, geno_f, geno_m) == (b"het", b"wt", b"het"):
+                    for gene in _gene_set(sv.annotations[i_gene]):
+                        info = imprinting.get(gene.decode())
+                        if info and info[0] != "paternal":
+                            match = True
+            result.flags[i] = match
+
+
+@register
+class FilterSvCnvOverlap(FilterBase):
+    """FilterCascade.cpp:5714-5756 (SV CNV overlap)."""
+    NAME = "SV CNV overlap"
+    TYPE = "sv"
+    PARAMS = [("min_ol", DOUBLE, 0.50), ("min_size", INT, 10000)]
+
+    def apply(self, svs, result):
+        min_ol = self.get("min_ol")
+        min_size = self.get("min_size")
+        ol_col = svs.annotation_index_by_name(b"CNV_OVERLAP")
+        if ol_col == -1:
+            raise ValueError("Missing column CNV_OVERLAP")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            ol_str = sv.annotations[ol_col].strip()
+            if ol_str == b"":
+                continue  # not DEL/DUP
+            if svs.estimated_sv_size(i) < min_size:
+                continue  # too small for CNV calling support
+            if _to_f(ol_str) < min_ol:
+                result.flags[i] = False
+
+
+@register
+class FilterSvLrAF(FilterBase):
+    """FilterCascade.cpp:5758-5817 (SV-lr AF) — long-read AF window."""
+    NAME = "SV-lr AF"
+    TYPE = "sv"
+    PARAMS = [("min_af", DOUBLE, 0.0), ("max_af", DOUBLE, 1.0)]
+
+    def apply(self, svs, result):
+        if svs.format() == "somatic_tumor_normal":
+            raise ValueError(f"Filter '{self.NAME}' cannot be applied to "
+                             "somatic tumor normal sample!")
+        if svs.format() in ("germline_multi", "germline_trio"):
+            raise ValueError(f"Filter '{self.NAME}' cannot be applied on "
+                             "multi-samples!")
+        upper = self.get("max_af")
+        lower = self.get("min_af")
+        col = svs.annotation_index_by_name(b"AF", False)
+        if col == -1:
+            col = svs.annotation_index_by_name(b"VAF")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            raw = sv.annotations[col]
+            if raw == b"":
+                continue  # no AF due to insufficient coverage > keep
+            af = float(raw)
+            if af > upper or af < lower:
+                result.flags[i] = False
+
+
+@register
+class FilterSvLrSupportReads(FilterBase):
+    """FilterCascade.cpp:5819-5853 (SV-lr support reads)."""
+    NAME = "SV-lr support reads"
+    TYPE = "sv"
+    PARAMS = [("min_support", INT, 5)]
+
+    def apply(self, svs, result):
+        col = svs.annotation_index_by_name(b"SUPPORT")
+        min_support = self.get("min_support")
+        for i, sv in enumerate(svs.lines):
+            if not result.flags[i]:
+                continue
+            if int(sv.annotations[col]) < min_support:
+                result.flags[i] = False
+
+
+@register
+class FilterSvPathogenic(FilterBase):
+    """FilterCascade.cpp:5855-5903 (SV annotated pathogenic)."""
+    NAME = "SV annotated pathogenic"
+    TYPE = "sv"
+    PARAMS = [("action", STRING, "FILTER")]
+
+    def apply(self, svs, result):
+        index = svs.annotation_index_by_name(b"NGSD_PATHOGENIC_SVS", True)
+        action = self.get("action")
+        if action == "FILTER":
+            for i, sv in enumerate(svs.lines):
+                if result.flags[i] and sv.annotations[index].strip() == b"":
+                    result.flags[i] = False
+        elif action == "KEEP":
+            for i, sv in enumerate(svs.lines):
+                if sv.annotations[index].strip() != b"":
+                    result.flags[i] = True
+        else:
+            raise ValueError(f"Invalid action '{action}'provided!")
