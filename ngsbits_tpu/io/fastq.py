@@ -323,18 +323,72 @@ class FastqReader:
         return batch
 
 
-class FastqWriter:
-    """Gzip FASTQ writer. Matches the reference default compression
-    (Z_BEST_SPEED=1, FastqFileStream.cpp:160-193); mtime pinned to 0 for
-    reproducible output bytes."""
+def _format_batch(batch: FastqBatch, keep, lengths) -> bytes:
+    lens = batch.lengths if lengths is None else lengths
+    qlens = batch.qlen() if lengths is None else lengths
+    idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
+    parts = []
+    bases = batch.bases
+    quals = batch.quals
+    for i in idx:
+        li = int(lens[i])
+        parts.append(batch.headers[i])
+        parts.append(b"\n")
+        parts.append(bases[i, :li].tobytes())
+        parts.append(b"\n")
+        parts.append(batch.headers2[i])
+        parts.append(b"\n")
+        parts.append(quals[i, :int(qlens[i])].tobytes())
+        parts.append(b"\n")
+    return b"".join(parts)
 
-    def __init__(self, filename: str, compression_level: int = 1):
+
+class FastqWriter:
+    """Gzip FASTQ writer with a background compression worker per stream.
+
+    Matches the reference default compression (Z_BEST_SPEED=1,
+    FastqFileStream.cpp:160-193); mtime pinned to 0 for reproducible output
+    bytes.  Formatting + gzip deflate run on a dedicated thread fed by a
+    bounded queue — the analogue of the reference's per-output OutputWorker
+    threads (SeqPurge/OutputWorker.cpp:23-32, Auxilary.h:89-97): with two
+    output streams the two deflates overlap (zlib releases the GIL) and the
+    analysis thread never blocks on compression.  Batch order is preserved
+    per stream.  Pass ``async_io=False`` for a synchronous writer."""
+
+    def __init__(self, filename: str, compression_level: int = 1,
+                 async_io: bool = True, queue_depth: int = 16):
+        import queue as _queue
+        import threading as _threading
+
         self.filename = filename
         self._raw = open(filename, "wb")
-        if filename.endswith(".gz") or True:
-            self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
-                                     compresslevel=compression_level, mtime=0)
-        self._buf = io.BytesIO()
+        self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
+                                 compresslevel=compression_level, mtime=0)
+        self._queue = None
+        self._worker = None
+        self._error = None
+        if async_io:
+            self._queue = _queue.Queue(maxsize=queue_depth)
+            self._worker = _threading.Thread(target=self._drain, daemon=True)
+            self._worker.start()
+
+    def _drain(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            try:
+                if self._error is None:
+                    self._fh.write(_format_batch(*item))
+            except Exception as e:  # surfaced on the caller's next call/close
+                self._error = e
+            finally:
+                self._queue.task_done()
+
+    def _check_error(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     def write_batch(self, batch: FastqBatch, keep: np.ndarray | None = None,
                     lengths: np.ndarray | None = None):
@@ -342,27 +396,20 @@ class FastqWriter:
         lengths (e.g. after trimming)."""
         if batch.headers is None or batch.headers2 is None:
             raise ValueError("FastqWriter requires batches read with keep_headers=True")
-        lens = batch.lengths if lengths is None else lengths
-        qlens = batch.qlen() if lengths is None else lengths
-        idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
-        parts = []
-        bases = batch.bases
-        quals = batch.quals
-        for i in idx:
-            li = int(lens[i])
-            parts.append(batch.headers[i])
-            parts.append(b"\n")
-            parts.append(bases[i, :li].tobytes())
-            parts.append(b"\n")
-            parts.append(batch.headers2[i])
-            parts.append(b"\n")
-            parts.append(quals[i, :int(qlens[i])].tobytes())
-            parts.append(b"\n")
-        self._fh.write(b"".join(parts))
+        if self._queue is not None:
+            self._check_error()
+            self._queue.put((batch, keep, lengths))
+        else:
+            self._fh.write(_format_batch(batch, keep, lengths))
 
     def close(self):
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join()
+            self._worker = None
         self._fh.close()
         self._raw.close()
+        self._check_error()
 
     def __enter__(self):
         return self

@@ -56,30 +56,44 @@ class SampleIdentityTool(ToolBase):
         ref_idx = np.array([BASE2IDX.get(snps.refs[i][:1], 0) for i in range(n)], dtype=np.int64)
         alt_idx = np.array([BASE2IDX.get(snps.alts[i].split(b",")[0][:1], 0) for i in range(n)], dtype=np.int64)
 
-        lines = []
-        labels = []
-        af_data = []
-        for bam in bams:
+        def compute_af(bam: str):
+            """(label, af array or None, skip message or None) for one BAM —
+            the per-sample unit run on the worker pool (reference BamWorker,
+            SampleIdentity/main.cpp:8 QThreadPool)."""
             if not os.path.exists(bam):
-                lines.append(f"##skipped {bam}: file does not exist")
-                af_data.append(None)
-                labels.append("")
-                continue
-            labels.append(os.path.basename(bam).split(".")[0] if basename else bam)
+                return "", None, f"##skipped {bam}: file does not exist"
+            label = os.path.basename(bam).split(".")[0] if basename else bam
             try:
                 r = pileup_at_positions(bam, chr_nums, positions, min_mapq=0,
                                         include_not_properly_paired=True)
             except Exception as e:  # noqa: BLE001 — mirrors worker catch-all
-                lines.append(f"##skipped {bam} because of error: {e}")
-                af_data.append(None)
-                continue
+                return label, None, f"##skipped {bam} because of error: {e}"
             ref_c = r.counts[np.arange(n), ref_idx]
             alt_c = r.counts[np.arange(n), alt_idx]
             depth = ref_c + alt_c
             with np.errstate(divide="ignore", invalid="ignore"):
                 af = round_half_away(100.0 * alt_c / depth)
             af = np.where(depth < min_depth, -1, af).astype(np.int64)
+            return label, af, None
+
+        threads = max(1, self.get_int("threads"))
+        if threads > 1 and len(bams) > 1:
+            # per-sample parallelism: BAM decode releases the GIL in the
+            # native decoder, so samples pileup concurrently
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                results = list(pool.map(compute_af, bams))
+        else:
+            results = [compute_af(b) for b in bams]
+
+        lines = []
+        labels = []
+        af_data = []
+        for label, af, skip_msg in results:
+            labels.append(label)
             af_data.append(af)
+            if skip_msg is not None:
+                lines.append(skip_msg)
 
         from decimal import ROUND_HALF_UP, Decimal
 
