@@ -261,16 +261,21 @@ class QCCollection:
     def store_to_qcml(self, filename: str | None, source_files: Iterable[str], parameters: str,
                       precision_overwrite: dict[str, int] | None = None,
                       metadata: list[QCValue] | None = None):
-        for md in (metadata or []):
-            pass
         self.validate_terms()
         text = self.to_qcml(source_files, parameters, precision_overwrite, metadata)
         if filename:
             with open(filename, "w", encoding="utf-8") as fh:
                 fh.write(text)
+            # self-validate against the qcML schema like the reference
+            # (QCCollection.cpp:339-347)
+            error = validate_qcml_schema(filename)
+            if error:
+                raise RuntimeError(
+                    f"store_to_qcml produced an invalid XML file: {error}")
         else:
             import sys
             sys.stdout.write(text)
+
 
     def to_string_list(self, precision_overwrite: dict[str, int] | None = None) -> list[str]:
         precision_overwrite = precision_overwrite or {}
@@ -280,3 +285,33 @@ class QCCollection:
                 continue
             lines.append(f"{v.name}: {v.to_string(precision_overwrite.get(v.name, 2))}")
         return lines
+
+
+_QCML_SCHEMA = None
+
+
+def validate_qcml_schema(filename: str) -> str:
+    """Validate a qcML file against the shipped qcML_0.0.8.xsd.
+
+    Returns an empty string when valid, the first validation error
+    otherwise (XmlHelper::isValidXml analogue, QCCollection.cpp:343).
+    Gated on lxml availability: returns '' when lxml is absent."""
+    global _QCML_SCHEMA
+    try:
+        from lxml import etree
+    except ImportError:
+        return ""
+    if _QCML_SCHEMA is None:
+        import gzip as _gzip
+        xsd_path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "resources", "qcML_0.0.8.xsd.gz")
+        with _gzip.open(xsd_path, "rb") as fh:
+            _QCML_SCHEMA = etree.XMLSchema(etree.fromstring(fh.read()))
+    try:
+        doc = etree.parse(filename)
+    except etree.XMLSyntaxError as e:
+        return str(e)
+    if not _QCML_SCHEMA.validate(doc):
+        log = _QCML_SCHEMA.error_log
+        return str(log[0]) if len(log) else "schema validation failed"
+    return ""

@@ -23,6 +23,10 @@ _QP_RX = re.compile(
 def qc_from_qcml(path: str) -> QCCollection:
     """Parse qualityParameter elements of a qcML file; value types come from
     the ontology (QCCollection::fromQCML semantics)."""
+    from ..core.qcml import validate_qcml_schema
+    error = validate_qcml_schema(path)
+    if error:
+        raise ToolError(f"QC file '{path}' does not match schema: {error}")
     terms = qcml_terms()
     out = QCCollection()
     with open(path, "rb") as fh:
