@@ -1,25 +1,159 @@
-"""Benchmark driver: ReadQC throughput on the flagship compute path.
+"""Benchmark driver: device-kernel + end-to-end tool throughput.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
-Baseline: the reference repo publishes no absolute numbers (BASELINE.md); the
-recorded comparison point is an estimated one-EPYC-core ngs-bits ReadQC
-throughput of ~1.2M reads/min ≈ 20k reads/s at 151bp (measured class of
-C++ streaming QC tools; see BASELINE.md). vs_baseline = ours / that estimate.
+The headline metric stays the ReadQC device-kernel rate for cross-round
+continuity; "extra" carries end-to-end file->output rates for ReadQC
+(5M-read FASTQ -> qcML), SeqPurge (paired FASTQ -> trimmed gz) and
+BedCoverage (1M-read BAM + ROI -> BED).
+
+Baseline: the reference repo publishes no absolute numbers and its Qt6/C++
+tools cannot be built in this environment (BASELINE.md), so vs_baseline is
+computed against an ESTIMATED one-EPYC-core ngs-bits ReadQC throughput of
+~20k reads/s at 151bp; "baseline_note" flags this in the output.
 """
 
 from __future__ import annotations
 
+import gzip
 import json
+import os
+import struct
+import sys
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC = 20_000.0  # estimated single-core reference ReadQC
+CACHE = "/tmp/ngsbits_bench_cache"
+REF_IN = "/root/reference/src/tools-TEST/data_in"
 
 
-def main():
+# ------------------------------------------------------------ data synthesis
+
+def synth_fastq(path: str, n_reads: int = 5_000_000, read_len: int = 151):
+    """Vectorized synthetic FASTQ: fixed-width records assembled as one
+    uint8 matrix per chunk, gzip level 1 (the writer default)."""
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(42)
+    chunk = 250_000
+    hdr_w = 12  # "@r0000000000"
+    rec_len = hdr_w + 1 + read_len + 1 + 2 + read_len + 1
+    bases_lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(path + ".tmp", "wb") as raw:
+        gz = gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=1, mtime=0)
+        written = 0
+        while written < n_reads:
+            n = min(chunk, n_reads - written)
+            m = np.zeros((n, rec_len), dtype=np.uint8)
+            headers = "".join(f"@r{written + i:010d}" for i in range(n))
+            m[:, :hdr_w] = np.frombuffer(headers.encode(), dtype=np.uint8).reshape(n, hdr_w)
+            m[:, hdr_w] = 10
+            m[:, hdr_w + 1: hdr_w + 1 + read_len] = bases_lut[
+                rng.integers(0, 4, size=(n, read_len))]
+            m[:, hdr_w + 1 + read_len] = 10
+            m[:, hdr_w + 2 + read_len] = ord("+")
+            m[:, hdr_w + 3 + read_len] = 10
+            m[:, hdr_w + 4 + read_len: hdr_w + 4 + 2 * read_len] = rng.integers(
+                33, 74, size=(n, read_len), dtype=np.uint8)
+            m[:, -1] = 10
+            gz.write(m.tobytes())
+            written += n
+        gz.close()
+    os.replace(path + ".tmp", path)
+
+
+def synth_seqpurge_pair(path1: str, path2: str, repeats: int = 256):
+    """Repeat the reference SeqPurge fixture pair to ~320k pairs."""
+    if os.path.exists(path1) and os.path.exists(path2):
+        return
+    for src, dst in ((f"{REF_IN}/SeqPurge_in1.fastq.gz", path1),
+                     (f"{REF_IN}/SeqPurge_in2.fastq.gz", path2)):
+        with gzip.open(src, "rb") as fh:
+            block = fh.read()
+        with open(dst + ".tmp", "wb") as raw:
+            gz = gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=1, mtime=0)
+            for _ in range(repeats):
+                gz.write(block)
+            gz.close()
+        os.replace(dst + ".tmp", dst)
+
+
+def synth_bam(path: str, n_reads: int = 1_000_000, read_len: int = 100):
+    """Minimal coordinate-sorted single-chromosome BAM with M-only CIGARs."""
+    if os.path.exists(path):
+        return
+    from ngsbits_tpu.io.bgzf import _EOF_BLOCK, _one_block
+
+    chrom, chrom_len = "chr1", 248_956_422
+    text = f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{chrom}\tLN:{chrom_len}\n".encode()
+    name = b"r\x00"
+    rng = np.random.default_rng(7)
+    seq_codes = rng.choice(np.array([1, 2, 4, 8], dtype=np.uint8), size=read_len)
+    packed = (seq_codes[0::2] << 4) | seq_codes[1::2]
+    qual = np.full(read_len, 35, dtype=np.uint8).tobytes()
+    cigar = struct.pack("<I", (read_len << 4) | 0)
+    positions = np.sort(rng.integers(0, chrom_len - read_len, size=n_reads))
+
+    def reg2bin(beg, end):
+        end -= 1
+        if beg >> 14 == end >> 14:
+            return ((1 << 15) - 1) // 7 + (beg >> 14)
+        if beg >> 17 == end >> 17:
+            return ((1 << 12) - 1) // 7 + (beg >> 17)
+        if beg >> 20 == end >> 20:
+            return ((1 << 9) - 1) // 7 + (beg >> 20)
+        if beg >> 23 == end >> 23:
+            return ((1 << 6) - 1) // 7 + (beg >> 23)
+        if beg >> 26 == end >> 26:
+            return ((1 << 3) - 1) // 7 + (beg >> 26)
+        return 0
+
+    fixed_tail = name + cigar + packed.tobytes() + qual
+    body_len = 32 + len(fixed_tail)
+    with open(path + ".tmp", "wb") as fh:
+        buf = bytearray()
+        buf += b"BAM\x01" + struct.pack("<i", len(text)) + text
+        buf += struct.pack("<i", 1)
+        nb = chrom.encode() + b"\x00"
+        buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", chrom_len)
+        for pos in positions:
+            pos = int(pos)
+            rec = struct.pack("<IiiBBHHHIiii", body_len, 0, pos, 2, 60,
+                              reg2bin(pos, pos + read_len), 1, 0, read_len,
+                              -1, -1, 0)
+            buf += rec + fixed_tail
+            if len(buf) >= 0xFF00:
+                fh.write(_one_block(bytes(buf[:0xFF00]), 6))
+                del buf[:0xFF00]
+        while buf:
+            fh.write(_one_block(bytes(buf[:0xFF00]), 6))
+            del buf[:0xFF00]
+        fh.write(_EOF_BLOCK)
+    os.replace(path + ".tmp", path)
+
+
+# ------------------------------------------------------------ measurements
+
+def run_tool(tool: str, args: list[str]) -> float:
+    """Wall time of one in-process tool run (stdout suppressed)."""
+    import contextlib
+    import io
+
+    from ngsbits_tpu.__main__ import main as cli_main
+    t0 = time.perf_counter()
+    sink = io.StringIO()
+    with contextlib.redirect_stdout(sink):
+        rc = cli_main([tool] + args)
+    dt = time.perf_counter() - t0
+    if rc not in (0, None):
+        raise RuntimeError(f"{tool} exited {rc}: {sink.getvalue()[-300:]}")
+    return dt
+
+
+def kernel_metric() -> float:
     import jax
 
     from ngsbits_tpu.ops.readqc import readqc_batch
@@ -29,13 +163,9 @@ def main():
     bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
     quals = rng.integers(33, 74, size=(B, L)).astype(np.uint8)
     lengths = np.full((B,), 151, dtype=np.int32)
-
     db, dq, dl = jax.device_put(bases), jax.device_put(quals), jax.device_put(lengths)
-    # warmup/compile
-    jax.block_until_ready(readqc_batch(db, dq, dl))
-
-    # best-of-3: the device throughput is stable, but the tunnel/dispatch
-    # overhead fluctuates between runs — report the best sustained rate
+    jax.block_until_ready(readqc_batch(db, dq, dl))  # warmup/compile
+    # best-of-3: device throughput is stable but tunnel dispatch fluctuates
     iters = 50
     best_dt = float("inf")
     for _ in range(3):
@@ -44,13 +174,56 @@ def main():
             out = readqc_batch(db, dq, dl)
         jax.block_until_ready(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * iters / best_dt
 
-    reads_per_sec = B * iters / best_dt
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    extra = {}
+
+    # (a) end-to-end ReadQC: 5M-read FASTQ -> qcML
+    n_reads = 5_000_000
+    fq = f"{CACHE}/readqc_5m.fastq.gz"
+    synth_fastq(fq, n_reads)
+    dt = run_tool("ReadQC", ["-in1", fq, "-out", f"{CACHE}/readqc.qcML"])
+    extra["readqc_e2e_reads_per_sec"] = round(n_reads / dt, 1)
+
+    # (b) end-to-end SeqPurge: paired FASTQ -> trimmed gz
+    sp1, sp2 = f"{CACHE}/sp_R1.fastq.gz", f"{CACHE}/sp_R2.fastq.gz"
+    repeats = 256
+    n_pairs = 1251 * repeats
+    synth_seqpurge_pair(sp1, sp2, repeats)
+    dt = run_tool("SeqPurge", [
+        "-in1", sp1, "-in2", sp2,
+        "-out1", f"{CACHE}/sp_o1.fastq.gz", "-out2", f"{CACHE}/sp_o2.fastq.gz",
+        "-min_len", "15", "-ncut", "0", "-qcut", "0", "-summary",
+        f"{CACHE}/sp_summary.txt"])
+    extra["seqpurge_e2e_pairs_per_sec"] = round(n_pairs / dt, 1)
+
+    # (c) end-to-end BedCoverage: 1M-read BAM + ROI -> coverage BED
+    bam = f"{CACHE}/cov_1m.bam"
+    n_bam_reads = 1_000_000
+    synth_bam(bam, n_bam_reads)
+    roi = f"{CACHE}/roi.bed"
+    if not os.path.exists(roi):
+        with open(roi, "w") as fh:
+            for s in range(1_000_000, 201_000_000, 2_000_000):
+                fh.write(f"chr1\t{s}\t{s + 150_000}\n")
+    dt = run_tool("BedCoverage", ["-in", roi, "-bam", bam, "-out",
+                                  f"{CACHE}/cov_out.bed"])
+    extra["bedcoverage_e2e_reads_per_sec"] = round(n_bam_reads / dt, 1)
+
+    # headline device kernel metric (continuity with BENCH_r01/r02)
+    reads_per_sec = kernel_metric()
     print(json.dumps({
         "metric": "readqc_reads_per_sec",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+        "extra": extra,
+        "baseline_note": ("vs_baseline uses an ESTIMATED 20k reads/s "
+                          "single-core reference rate; the reference Qt6 "
+                          "binaries cannot be built in this environment"),
     }))
 
 

@@ -114,3 +114,59 @@ def sharded_readqc_step(mesh: Mesh, bases, quals, lengths):
     )
     fn = jax.jit(shard)
     return fn(jnp.asarray(bases), jnp.asarray(quals), jnp.asarray(lengths))
+
+
+def sharded_mapping_counters_step(mesh: Mesh, flags, mapqs, on_target):
+    """Data-parallel MappingQC counter reduction.
+
+    flags: [N] uint16 SAM flags, mapqs: [N] int32, on_target: [N] bool —
+    sharded over the batch axis; per-shard counter partials are psum-merged
+    over ICI (the mesh analogue of the reference's per-thread counter
+    accumulation in Statistics::mapping).
+
+    Returns int32 [5]: reads, mapped, duplicates, on-target, mapq0.
+    """
+    axis = mesh.axis_names[0]
+
+    def step(f, q, t):
+        mapped = (f & 0x4) == 0
+        counters = jnp.stack([
+            jnp.asarray(f.shape[0], jnp.int32),
+            mapped.sum().astype(jnp.int32),
+            ((f & 0x400) != 0).sum().astype(jnp.int32),
+            (mapped & t).sum().astype(jnp.int32),
+            (mapped & (q == 0)).sum().astype(jnp.int32),
+        ])
+        return jax.lax.psum(counters, axis)
+
+    fn = jax.jit(jax.shard_map(step, mesh=mesh,
+                               in_specs=(P(axis), P(axis), P(axis)),
+                               out_specs=P()))
+    return fn(jnp.asarray(flags, jnp.uint16), jnp.asarray(mapqs, jnp.int32),
+              jnp.asarray(on_target, bool))
+
+
+def sharded_correlation_step(mesh: Mesh, x, y):
+    """SampleSimilarity correlation with sharded partial-moment merges.
+
+    x/y: [N] float32 genotype/AF vectors sharded over the batch axis; each
+    device computes partial (n, sx, sy, sxx, syy, sxy), merged with one psum,
+    correlation evaluated on device — the mesh analogue of
+    SampleSimilarity::calculateSimilarity's single-pass moment sums.
+    """
+    axis = mesh.axis_names[0]
+
+    def step(a, b):
+        parts = jnp.stack([
+            jnp.asarray(a.shape[0], jnp.float32),
+            a.sum(), b.sum(), (a * a).sum(), (b * b).sum(), (a * b).sum(),
+        ])
+        n, sx, sy, sxx, syy, sxy = jax.lax.psum(parts, axis)
+        cov = sxy / n - sx / n * sy / n
+        var_x = sxx / n - (sx / n) ** 2
+        var_y = syy / n - (sy / n) ** 2
+        return cov / jnp.sqrt(var_x * var_y)
+
+    fn = jax.jit(jax.shard_map(step, mesh=mesh,
+                               in_specs=(P(axis), P(axis)), out_specs=P()))
+    return fn(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))

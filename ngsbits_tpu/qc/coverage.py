@@ -62,6 +62,14 @@ class _ChrCoverage:
         ok = s <= e
         s = s[ok] - self.lo
         e = e[ok] - self.lo
+        import os as _os
+        if _os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
+            # mesh mode: defer to the sharded scatter-add + psum step in
+            # finalize (parallel/mesh.py sharded_coverage_step)
+            if not hasattr(self, "_mesh_spans"):
+                self._mesh_spans = []
+            self._mesh_spans.append((s.astype(np.int32), (e + 1).astype(np.int32)))
+            return
         np.add.at(self.diff, s, 1)
         np.add.at(self.diff, e + 1, -1)
 
@@ -74,7 +82,20 @@ class _ChrCoverage:
 
     def finalize(self):
         span = self.hi - self.lo + 1
-        if span > _DEVICE_SPAN_THRESHOLD:
+        if getattr(self, "_mesh_spans", None) is not None:
+            import jax
+
+            from ..parallel.mesh import make_mesh, sharded_coverage_step
+            s = np.concatenate([x[0] for x in self._mesh_spans])
+            e = np.concatenate([x[1] for x in self._mesh_spans])
+            n = jax.device_count()
+            pad = n if len(s) == 0 else (-len(s)) % n
+            if pad:  # zero-length spans contribute nothing to the diff array
+                s = np.concatenate([s, np.zeros(pad, np.int32)])
+                e = np.concatenate([e, np.zeros(pad, np.int32)])
+            cov = np.asarray(sharded_coverage_step(make_mesh(), s, e, span),
+                             dtype=np.int64)
+        elif span > _DEVICE_SPAN_THRESHOLD:
             import jax.numpy as jnp
             cov = np.asarray(jnp.cumsum(jnp.asarray(self.diff[:span + 1]))[:span])
         else:

@@ -75,7 +75,18 @@ class ReadStatistics:
         if len(batch) == 0:
             return
         B = len(batch)
-        if jax.default_backend() == "tpu":
+        import os as _os
+        use_mesh = _os.environ.get("NGSBITS_MESH", "") not in ("", "0")
+        if use_mesh and jax.device_count() > 1:
+            # data-parallel reduction over all devices (psum merges); the
+            # padded bucket is divisible by the device count by construction
+            # (both are powers of two)
+            from ..parallel.mesh import make_mesh, sharded_readqc_step
+            pb, pq, pl = self._bucket(batch)
+            counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
+                sharded_readqc_step(make_mesh(), pb, pq, pl))
+            read_qsum = read_qsum[:B]
+        elif jax.default_backend() == "tpu":
             pb, pq, pl = self._bucket(batch)
             counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
                 readqc_ops.readqc_batch(pb, pq, pl))
