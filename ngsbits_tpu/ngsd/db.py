@@ -81,7 +81,10 @@ class NGSD:
                 raise NgsdError(
                     f"NGSD {'test ' if test_db else ''}database not configured — set the {env} environment variable to a SQLite file path!")
         self.path = path
-        self.conn = sqlite3.connect(path)
+        # serialized threadsafety (level 3) lets the REST server's handler
+        # threads share this connection safely
+        check_same_thread = sqlite3.threadsafety < 3
+        self.conn = sqlite3.connect(path, check_same_thread=check_same_thread)
         self.conn.create_function("REGEXP", 2, _regexp)
         # MySQL functions the reference queries rely on
         self.conn.create_function("CONCAT", -1, lambda *a: "".join("" if x is None else str(x) for x in a))
@@ -1747,3 +1750,164 @@ def _qt_date(v) -> str:
     if len(parts) == 3:
         return f"{parts[2]}.{parts[1]}.{parts[0]}"
     return s
+
+
+def _ngsd_analysis_jobs_ext(cls):
+    """Analysis-job accessors (NGSD::analysisInfo/analysisJobFolder/
+    analysisJobGSvarFile/analysisJobLatestLogInfo, NGSD.cpp:5552-5746;
+    secondaryAnalyses NGSD.cpp:1494-1527; processing-system file paths
+    NGSD.cpp:1216-1251)."""
+
+    def analysis_info(self, job_id: int, throw_if_fails: bool = True) -> dict:
+        rows = self.get_rows(
+            "SELECT type, high_priority, args, sge_id, sge_queue "
+            "FROM analysis_job WHERE id=?", params=(job_id,))
+        if not rows:
+            if throw_if_fails:
+                raise NgsdError(f"Analysis job with id '{job_id}' not found in NGSD!")
+            return {}
+        type_, high_priority, args, sge_id, sge_queue = rows[0]
+        samples = self.get_rows(
+            "SELECT CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')), js.info "
+            "FROM analysis_job_sample js, processed_sample ps, sample s "
+            "WHERE js.analysis_job_id=? AND js.processed_sample_id=ps.id "
+            "AND ps.sample_id=s.id ORDER by js.id ASC", params=(job_id,))
+        history = self.get_rows(
+            "SELECT js.time, u.user_id, js.status, js.output "
+            "FROM analysis_job_history js LEFT JOIN user u ON js.user_id=u.id "
+            "WHERE js.analysis_job_id=? ORDER BY js.id ASC", params=(job_id,))
+        return {
+            "type": type_, "high_priority": bool(high_priority),
+            "args": args or "", "sge_id": sge_id or "", "sge_queue": sge_queue or "",
+            "samples": [{"name": n, "info": i or ""} for n, i in samples],
+            "history": [{"time": t, "user": u or "", "status": s,
+                         "output": (o or "").split("\n")} for t, u, s, o in history],
+        }
+
+    def analysis_job_folder(self, job_id: int) -> str:
+        job = self.analysis_info(job_id, True)
+        sample_folder = self.processed_sample_path(
+            self.processed_sample_id(job["samples"][0]["name"]), "SAMPLE_FOLDER")
+        base = os.path.abspath(os.path.join(sample_folder, ".."))
+        type_ = job["type"]
+        sample_sep = ""
+        if type_ == "single sample":
+            prefix = "Sample_"
+        elif type_ == "multi sample":
+            prefix, sample_sep = "Multi_", "_"
+        elif type_ == "trio":
+            prefix, sample_sep = "Trio_", "_"
+        elif type_ == "somatic":
+            if len(job["samples"]) == 2:
+                prefix, sample_sep = "Somatic_", "-"
+            elif len(job["samples"]) == 1:
+                prefix = "Somatic_"
+            else:
+                raise NgsdError(f"Somatic analysis type with "
+                                f"{len(job['samples'])} samples!")
+        else:
+            raise NgsdError(f"Unknown analysis type '{type_}'!")
+        folder = prefix + sample_sep.join(s["name"] for s in job["samples"])
+        return os.path.join(base, folder) + "/"
+
+    def analysis_job_gsvar_file(self, job_id: int) -> str:
+        job = self.analysis_info(job_id, True)
+        folder = self.analysis_job_folder(job_id)
+        type_ = job["type"]
+        if type_ == "single sample":
+            name = job["samples"][0]["name"] + ".GSvar"
+        elif type_ == "multi sample":
+            name = "multi.GSvar"
+        elif type_ == "trio":
+            name = "trio.GSvar"
+        elif type_ == "somatic":
+            if len(job["samples"]) == 2:
+                name = job["samples"][0]["name"] + "-" + job["samples"][1]["name"] + ".GSvar"
+            elif len(job["samples"]) == 1:
+                name = job["samples"][0]["name"] + ".GSvar"
+            else:
+                raise NgsdError(f"Somatic analysis type with "
+                                f"{len(job['samples'])} samples!")
+        else:
+            raise NgsdError(f"Unknown analysis type '{type_}'!")
+        return folder + name
+
+    def analysis_job_latest_log_info(self, job_id: int) -> dict:
+        import glob
+        folder = self.analysis_job_folder(job_id)
+        if not os.path.exists(folder):
+            raise NgsdError(f"Analysis job folder for '{job_id}' does not exist")
+        files = glob.glob(os.path.join(folder, "*.log"))
+        if not files:
+            raise NgsdError(f"There are no log files for the job '{job_id}'")
+        latest = max(files, key=os.path.getmtime)
+        st = os.stat(latest)
+        return {"file_name": os.path.basename(latest),
+                "file_name_with_path": os.path.abspath(latest),
+                "created": int(getattr(st, "st_ctime", st.st_mtime)),
+                "last_modified": int(st.st_mtime)}
+
+    def secondary_analyses(self, processed_sample_name: str, analysis_type: str) -> list[str]:
+        files = self.get_values(
+            "SELECT gsvar_file FROM secondary_analysis WHERE type=? "
+            "AND gsvar_file LIKE ?",
+            params=(analysis_type, f"%{processed_sample_name}%"))
+        out = []
+        for file in files:
+            gsvar_file = os.path.basename(file)
+            secondary_folder_name = os.path.basename(os.path.dirname(file))
+            parts = secondary_folder_name.split("_")
+            first_sample = parts[1] + "_" + parts[2]
+            sample_folder = self.processed_sample_path(
+                self.processed_sample_id(first_sample), "SAMPLE_FOLDER")
+            project_folder = os.path.dirname(os.path.abspath(sample_folder).rstrip("/"))
+            project_folder = os.path.dirname(project_folder)
+            out.append(os.path.abspath(os.path.join(
+                project_folder, secondary_folder_name, gsvar_file)))
+        return out
+
+    def target_file_path(self) -> str:
+        from ..core import settings as _settings
+        data_folder = _settings.string("data_folder", True)
+        return data_folder.rstrip("/") + "/enrichment/" if data_folder else ""
+
+    def processing_system_regions_file_path(self, sys_id: int) -> str:
+        rel = (self.get_value("SELECT target_file FROM processing_system WHERE id=?",
+                              params=(sys_id,)) or "").strip()
+        if rel:
+            return self.target_file_path() + rel
+        return ""
+
+    def processing_system_genes_file_path(self, sys_id: int) -> str:
+        rel = (self.get_value("SELECT target_file FROM processing_system WHERE id=?",
+                              params=(sys_id,)) or "").strip()
+        if rel:
+            return self.target_file_path() + rel[:-4] + "_genes.txt"
+        return ""
+
+    cls.analysis_info = analysis_info
+    cls.analysis_job_folder = analysis_job_folder
+    cls.analysis_job_gsvar_file = analysis_job_gsvar_file
+    cls.analysis_job_latest_log_info = analysis_job_latest_log_info
+    cls.secondary_analyses = secondary_analyses
+    cls.target_file_path = target_file_path
+    cls.processing_system_regions_file_path = processing_system_regions_file_path
+    cls.processing_system_genes_file_path = processing_system_genes_file_path
+    return cls
+
+
+_ngsd_analysis_jobs_ext(NGSD)
+
+
+def _ngsd_user_role_ext(cls):
+    """NGSD::getUserRole — role of a user by numeric id."""
+
+    def get_user_role(self, user_id: int) -> str:
+        return self.get_value("SELECT user_role FROM user WHERE id=?",
+                              params=(user_id,)) or ""
+
+    cls.get_user_role = get_user_role
+    return cls
+
+
+_ngsd_user_role_ext(NGSD)

@@ -1,0 +1,286 @@
+"""File-location model for analysis folders.
+
+Behavioral reference: ngs-bits cppNGSD/FileLocation.h +
+FileLocationProviderLocal.cpp — derives the standard sibling file paths
+(BAM/VCF/SV/CNV/BAF/...) of a GSvar analysis from its folder layout and
+sample header.  Used by the GSvarServer ``file_location`` endpoint.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class FileLocation:
+    """cppNGSD/FileLocation.h — id + type + path + existence."""
+    id: str
+    type: str
+    filename: str
+    exists: bool
+
+    def to_json_obj(self) -> dict:
+        return {"id": self.id, "type": self.type,
+                "filename": self.filename, "exists": self.exists}
+
+
+def _gsvar_header_info(gsvar_file: str):
+    """(analysis_type, [(sample_name, properties)]) from the GSvar header
+    (VariantList::loadHeaderOnly analogue)."""
+    analysis_type = "GERMLINE_SINGLESAMPLE"
+    samples = []
+    opener = open
+    with opener(gsvar_file, "rb") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line.startswith(b"##"):
+                break
+            if line.startswith(b"##ANALYSISTYPE="):
+                analysis_type = line[15:].decode()
+            elif line.startswith(b"##SAMPLE=<"):
+                parts = line[10:-1].split(b",")
+                i = 1
+                while i < len(parts):
+                    if b"=" not in parts[i]:
+                        parts[i - 1] += b"," + parts[i]
+                        del parts[i]
+                    else:
+                        i += 1
+                name, props = "", {}
+                for part in parts:
+                    sep = part.find(b"=")
+                    k, v = part[:sep].decode(), part[sep + 1:].decode()
+                    if k == "ID":
+                        name = v
+                    else:
+                        props[k] = v
+                samples.append((name, props))
+    return analysis_type, samples
+
+
+class FileLocationProviderLocal:
+    """FileLocationProviderLocal.cpp — path derivation for a local GSvar
+    analysis folder."""
+
+    def __init__(self, gsvar_file: str, ngsd=None):
+        self.ps = os.path.basename(gsvar_file)
+        self.ps = self.ps[:-6] if self.ps.endswith(".GSvar") else os.path.splitext(self.ps)[0]
+        self.ps_folder = os.path.dirname(os.path.abspath(gsvar_file)) + "/"
+        self.analysis_type, self.samples = _gsvar_header_info(gsvar_file)
+        self.ngsd = ngsd
+        if not self.ps:
+            raise ValueError(f"Could not determine processed sample name from "
+                             f"GSvar file '{gsvar_file}'!")
+        if not self.samples:
+            # single-sample fallback: the base name is the sample
+            self.samples = [(self.ps, {})]
+
+    # ---- helpers ----
+    def _project_path(self) -> str:
+        return os.path.dirname(self.ps_folder.rstrip("/"))
+
+    def _base_locations(self) -> list[tuple[str, str]]:
+        """(sample id, path prefix) per sample (getBaseLocations)."""
+        if self.analysis_type in ("GERMLINE_SINGLESAMPLE", "CFDNA"):
+            sid = self.samples[0][0]
+            return [(sid, self.ps_folder + sid)]
+        out = []
+        project_folder = self._project_path()
+        for name, _props in self.samples:
+            if self.ngsd is not None:
+                try:
+                    ps_id = self.ngsd.processed_sample_id(name, False)
+                    sample_path = self.ngsd.processed_sample_path(ps_id, "SAMPLE_FOLDER")
+                    out.append((name, sample_path + name))
+                    continue
+                except Exception:
+                    pass
+            out.append((name, f"{project_folder}/Sample_{name}/{name}"))
+        return out
+
+    @staticmethod
+    def _loc(sid, type_, path) -> FileLocation:
+        return FileLocation(sid, type_, path, os.path.exists(path))
+
+    def _per_sample(self, type_, suffix, return_if_missing=True) -> list[FileLocation]:
+        out = []
+        for sid, prefix in self._base_locations():
+            loc = self._loc(sid, type_, prefix + suffix)
+            if loc.exists or return_if_missing:
+                out.append(loc)
+        return out
+
+    # ---- single analysis-level files ----
+    def analysis_vcf(self) -> FileLocation:
+        return self._loc(self.ps, "VCF", self.ps_folder + self.ps + "_var_annotated.vcf.gz")
+
+    def analysis_sv_file(self) -> FileLocation:
+        f = self.ps_folder + self.ps + "_var_structural_variants.bedpe"
+        if not os.path.exists(f):  # old manta file name fallback
+            f = self.ps_folder + self.ps + "_manta_var_structural.bedpe"
+        return self._loc(self.ps, "STRUCTURAL_VARIANTS", f)
+
+    def analysis_cnv_file(self) -> FileLocation:
+        if self.analysis_type in ("SOMATIC_SINGLESAMPLE", "SOMATIC_PAIR"):
+            f = self.ps_folder + self.ps + "_clincnv.tsv"
+        else:
+            f = self.ps_folder + self.ps + "_cnvs_clincnv.tsv"
+        return self._loc(self.ps, "COPY_NUMBER_CALLS", f)
+
+    def analysis_mosaic_cnv_file(self) -> FileLocation:
+        return self._loc(self.ps, "COPY_NUMBER_CALLS_MOSAIC",
+                         self.ps_folder + self.ps + "_mosaic_cnvs.tsv")
+
+    def analysis_upd_file(self) -> FileLocation:
+        return self._loc(self.ps, "UPD", self.ps_folder + self.ps + "_upd.tsv")
+
+    def repeat_expansion_image(self, locus: str) -> FileLocation:
+        f = f"{self.ps_folder}repeat_expansions/{self.ps}_repeats_expansionhunter_{locus}.svg"
+        if not os.path.exists(f):
+            f = f"{self.ps_folder}repeat_expansions/{self.ps}_repeats_{locus}.svg"
+        return self._loc(self.ps, "REPEAT_EXPANSION_IMAGE", f)
+
+    def repeat_expansion_histogram(self, locus: str) -> FileLocation:
+        f = f"{self.ps_folder}repeat_expansions/{self.ps}_repeats_{locus}_hist.svg"
+        return self._loc(self.ps, "REPEAT_EXPANSION_HISTOGRAM", f)
+
+    def qc_files(self) -> list[FileLocation]:
+        return [FileLocation(self.ps, "QC", f, True)
+                for f in sorted(glob.glob(self.ps_folder + "*.qcML"))]
+
+    # ---- per-sample lists ----
+    def bam_files(self, return_if_missing=True) -> list[FileLocation]:
+        out = []
+        for sid, prefix in self._base_locations():
+            path = prefix + ".bam"
+            if os.path.exists(prefix + ".cram"):
+                path = prefix + ".cram"
+            loc = self._loc(sid, "BAM", path)
+            if loc.exists or return_if_missing:
+                out.append(loc)
+        return out
+
+    def viral_bam_files(self, rim=True):
+        return self._per_sample("VIRAL_BAM", "_viral.bam", rim)
+
+    def vcf_files(self, rim=True):
+        return self._per_sample("VCF", "_var_annotated.vcf.gz", rim)
+
+    def cnv_coverage_files(self, rim=True):
+        return self._per_sample("COPY_NUMBER_RAW_DATA", "_cnvs_clincnv.seg", rim)
+
+    def copy_number_call_files(self, rim=True):
+        return self._per_sample("COPY_NUMBER_CALLS", "_cnvs_clincnv.tsv", rim)
+
+    def baf_files(self, rim=True):
+        out = self._per_sample("BAF", "_bafs.igv", rim)
+        if self.analysis_type == "SOMATIC_PAIR":
+            f = self.ps_folder + self.ps + "_bafs.igv"
+            loc = FileLocation(self.ps + " (somatic)", "BAF", f, os.path.exists(f))
+            if loc.exists or rim:
+                out.append(loc)
+        return out
+
+    def manta_evidence_files(self, rim=True):
+        out = []
+        for sid, prefix in self._base_locations():
+            folder = prefix[: len(prefix) - len(sid)]
+            loc = self._loc(sid, "MANTA_EVIDENCE",
+                            f"{folder}manta_evid/{sid}_manta_evidence.bam")
+            if loc.exists or rim:
+                out.append(loc)
+        return out
+
+    def circos_plot_files(self, rim=True):
+        return self._per_sample("CIRCOS_PLOT", "_circos.png", rim)
+
+    def expression_files(self, rim=True):
+        return self._per_sample("EXPRESSION", "_expr.tsv", rim)
+
+    def repeat_expansion_files(self, rim=True):
+        out = []
+        for sid, prefix in self._base_locations():
+            f = prefix + "_repeats_expansionhunter.vcf"
+            if not os.path.exists(f):
+                f = prefix + "_repeats.vcf"
+            loc = self._loc(sid, "REPEAT_EXPANSIONS", f)
+            if loc.exists or rim:
+                out.append(loc)
+        return out
+
+    def prs_files(self, rim=True):
+        return self._per_sample("PRS", "_prs.tsv", rim)
+
+    def roh_files(self, rim=True):
+        return self._per_sample("ROH", "_rohs.tsv", rim)
+
+    def low_coverage_files(self, rim=True):
+        out = []
+        for sid, prefix in self._base_locations():
+            folder = prefix[: len(prefix) - len(sid)]
+            for bed in sorted(glob.glob(folder + "*_lowcov.bed")):
+                out.append(FileLocation(sid, "LOWCOV_BED", bed, True))
+        return out
+
+    def somatic_cnv_coverage_file(self) -> FileLocation:
+        suffix = ("_clincnv.seg" if self.analysis_type == "SOMATIC_SINGLESAMPLE"
+                  else "_cov.seg")
+        return FileLocation(self.ps + " (coverage)", "COPY_NUMBER_RAW_DATA",
+                            self.ps_folder + self.ps + suffix,
+                            os.path.exists(self.ps_folder + self.ps + suffix))
+
+    # ---- dispatch for the file_location endpoint ----
+    def locate(self, type_: str, multiple_files: bool = True,
+               return_if_missing: bool = True, locus: str = "") -> list[FileLocation]:
+        t = type_.upper().strip()
+        if t == "VCF":
+            if multiple_files:
+                return self.vcf_files(return_if_missing)
+            return [self.analysis_vcf()]
+        if t == "STRUCTURAL_VARIANTS":
+            return [self.analysis_sv_file()]
+        if t == "COPY_NUMBER_CALLS":
+            if multiple_files:
+                return self.copy_number_call_files(return_if_missing)
+            return [self.analysis_cnv_file()]
+        if t == "COPY_NUMBER_CALLS_MOSAIC":
+            return [self.analysis_mosaic_cnv_file()]
+        if t == "UPD":
+            return [self.analysis_upd_file()]
+        if t in ("BAM", "CRAM"):
+            return self.bam_files(return_if_missing)
+        if t == "VIRAL_BAM":
+            return self.viral_bam_files(return_if_missing)
+        if t == "COPY_NUMBER_RAW_DATA":
+            if multiple_files:
+                return self.cnv_coverage_files(return_if_missing)
+            return [self.somatic_cnv_coverage_file()]
+        if t == "BAF":
+            return self.baf_files(return_if_missing)
+        if t == "MANTA_EVIDENCE":
+            return self.manta_evidence_files(return_if_missing)
+        if t == "CIRCOS_PLOT":
+            return self.circos_plot_files(return_if_missing)
+        if t == "REPEAT_EXPANSIONS":
+            return self.repeat_expansion_files(return_if_missing)
+        if t == "REPEAT_EXPANSION_IMAGE":
+            if not locus:
+                raise ValueError("Locus value has not been provided")
+            return [self.repeat_expansion_image(locus)]
+        if t == "REPEAT_EXPANSION_HISTOGRAM":
+            if not locus:
+                raise ValueError("Locus value has not been provided")
+            return [self.repeat_expansion_histogram(locus)]
+        if t == "PRS":
+            return self.prs_files(return_if_missing)
+        if t == "ROH":
+            return self.roh_files(return_if_missing)
+        if t == "LOWCOV_BED":
+            return self.low_coverage_files(return_if_missing)
+        if t == "EXPRESSION":
+            return self.expression_files(return_if_missing)
+        if t == "QC":
+            return self.qc_files()
+        raise ValueError(f"Unhandled file location type '{type_}'")

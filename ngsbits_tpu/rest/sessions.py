@@ -25,6 +25,9 @@ class Session:
     login_time: float = field(default_factory=time.time)
     is_for_db_only: bool = False
     secure_token: str = ""
+    # per-session random secret handed out by the 'secret' endpoint
+    # (Session ctor Helper::randomString(128) in ServerController.cpp:1392)
+    random_secret: str = field(default_factory=lambda: secrets.token_hex(64))
 
     def is_expired(self, valid_period: int = DEFAULT_VALID_PERIOD) -> bool:
         return (time.time() - self.login_time) > valid_period

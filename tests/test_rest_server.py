@@ -229,3 +229,255 @@ def test_settings_ini(tmp_path, monkeypatch):
     assert settings.string("reference_genome") == "/other.fa"
     assert settings.reference_genome("hg38") == "/other.fa"
     settings.clear_cache()
+
+
+# ---- round-3 endpoints (GSvarServer/main.cpp:38-90 full surface) ----
+
+def _make_gsvar_folder(tmp_path, ps="NA99999_01"):
+    folder = tmp_path / f"Sample_{ps}"
+    folder.mkdir()
+    gsvar = folder / f"{ps}.GSvar"
+    gsvar.write_text(
+        "##ANALYSISTYPE=GERMLINE_SINGLESAMPLE\n"
+        f"##SAMPLE=<ID={ps},Gender=female,DiseaseStatus=affected>\n"
+        f"#chr\tstart\tend\tref\tobs\t{ps}\tfilter\n"
+        "chr1\t100\t100\tA\tC\thet\t\n")
+    (folder / f"{ps}.bam").write_bytes(b"BAMDATA")
+    (folder / f"{ps}_cnvs_clincnv.tsv").write_text("cnvs\n")
+    return gsvar
+
+
+def test_file_location_endpoint(server, tmp_path):
+    token = _login(server)
+    gsvar = _make_gsvar_folder(tmp_path)
+    entity = server.urls.add_file(str(gsvar))
+    with _get(server, f"/file_location?ps_url_id={entity.string_id}"
+                      f"&type=BAM&token={token}") as resp:
+        locs = json.loads(resp.read())
+    assert len(locs) == 1
+    assert locs[0]["id"] == "NA99999_01"
+    assert locs[0]["exists"] is True
+    assert locs[0]["filename"].startswith("temp/")
+    # the temp URL must actually stream the file
+    with _get(server, "/" + locs[0]["filename"]) as resp:
+        assert resp.read() == b"BAMDATA"
+    # CNV calls exist, VCF does not (but is still returned with exists=False)
+    with _get(server, f"/file_location?ps_url_id={entity.string_id}"
+                      f"&type=COPY_NUMBER_CALLS&token={token}") as resp:
+        assert json.loads(resp.read())[0]["exists"] is True
+    with _get(server, f"/file_location?ps_url_id={entity.string_id}"
+                      f"&type=VCF&token={token}") as resp:
+        assert json.loads(resp.read())[0]["exists"] is False
+
+
+def test_project_file_put(server, tmp_path):
+    token = _login(server)
+    gsvar = _make_gsvar_folder(tmp_path, ps="NA99998_01")
+    entity = server.urls.add_file(str(gsvar))
+    changes = json.dumps([{"variant": "chr1:100-100 a>c",
+                           "column": "filter", "text": "artefact"}]).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/project_file"
+        f"?ps_url_id={entity.string_id}&token={token}",
+        data=changes, method="PUT")
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.read() == b"Project file has been changed"
+    assert "artefact" in gsvar.read_text()
+    # idempotent second apply: no changes detected for a bogus variant
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/project_file"
+        f"?ps_url_id={entity.string_id}&token={token}",
+        data=json.dumps([{"variant": "chr9:1-1 t>g", "column": "filter",
+                          "text": "x"}]).encode(), method="PUT")
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.read() == b"No changes to the file detected"
+
+
+def test_db_token_and_secret_and_credentials(server):
+    token = _login(server)
+    with _post(server, "/db_token", {"token": token}) as resp:
+        db_token = resp.read().decode()
+    assert db_token and db_token != token
+    # secret of the user session
+    with _get(server, f"/secret?token={token}") as resp:
+        secret = resp.read().decode()
+    assert len(secret) == 128
+    # ngsd credentials require the db token (user token must be rejected)
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/ngsd_credentials", {"dbtoken": token})
+    assert err.value.code == 401
+    with _post(server, "/ngsd_credentials", {"dbtoken": db_token}) as resp:
+        cred = json.loads(resp.read())
+    assert set(cred) == {"ngsd_host", "ngsd_port", "ngsd_name",
+                         "ngsd_user", "ngsd_pass"}
+    with _post(server, "/genlab_credentials", {"dbtoken": db_token}) as resp:
+        cred = json.loads(resp.read())
+    assert "genlab_mssql" in cred
+
+
+def test_current_client_and_notification(server):
+    with _get(server, "/current_client") as resp:
+        info = json.loads(resp.read())
+    assert "version" in info and "date" in info
+    with _get(server, "/notification") as resp:
+        info = json.loads(resp.read())
+    assert "id" in info and "message" in info
+
+
+def test_coverage_endpoints(server, tmp_path):
+    token = _login(server)
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import synth_bam
+    bam = tmp_path / "cov.bam"
+    synth_bam(str(bam), n_reads=5_000)
+    entity = server.urls.add_file(str(bam))
+    roi = "chr1\t1000000\t1050000\nchr1\t2000000\t2050000\n"
+    with _post(server, "/low_coverage_regions",
+               {"roi": roi, "bam_url_id": entity.string_id,
+                "cutoff": "1", "token": token}) as resp:
+        low = resp.read().decode()
+    assert "chr1" in low  # 5k reads over 248Mb leave plenty below cutoff
+    with _post(server, "/avg_coverage_gaps",
+               {"roi": roi, "bam_url_id": entity.string_id,
+                "token": token}) as resp:
+        lines = resp.read().decode().strip().splitlines()
+    assert len(lines) == 2 and all(len(l.split("\t")) == 4 for l in lines)
+    # missing BAM -> 404
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(server, "/low_coverage_regions",
+              {"roi": roi, "bam_url_id": "nonexistent", "cutoff": "1",
+               "token": token})
+    assert err.value.code == 404
+
+
+def test_multi_sample_analysis_info(server, tmp_path):
+    token = _login(server)
+    gsvar = _make_gsvar_folder(tmp_path, ps="NA99997_01")
+    entity = server.urls.add_file(str(gsvar))
+    analyses = json.dumps([f"temp/{entity.string_id}/{entity.filename}"])
+    with _post(server, "/multi_sample_analysis_info",
+               {"analyses": analyses, "token": token}) as resp:
+        info = json.loads(resp.read())
+    assert info[0]["ps_sample_name_list"] == ["NA99997_01"]
+    assert info[0]["analysis_name"] == "NA99997_01"
+
+
+def test_gated_pipeline_endpoints(server):
+    token = _login(server)
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(server, f"/blat_search?sequence=ACGT&token={token}")
+    assert err.value.code == 501
+
+
+def test_endpoint_surface_complete(server):
+    """Every endpoint name from the reference registry
+    (GSvarServer/main.cpp:38-) must be registered (assets excluded: test-
+    only Qt resource serving)."""
+    reference_names = {
+        "", "favicon.ico", "info", "static", "genome", "temp", "help",
+        "file_location", "processed_sample_path", "project_folder",
+        "project_folder_settings", "analysis_job_gsvar_file",
+        "analysis_job_last_update", "analysis_job_log", "project_file",
+        "ps_regions", "ps_genes", "secondary_analyses", "rna_fusion_pics",
+        "rna_expression_plots", "current_client", "notification",
+        "low_coverage_regions", "avg_coverage_gaps",
+        "target_region_read_depth", "multi_sample_analysis_info", "upload",
+        "clear_cache", "variant_annotation", "blat_search", "login",
+        "session", "validate_credentials", "db_token", "secret",
+        "ngsd_credentials", "genlab_credentials", "logout",
+    }
+    ours = {ep.url for ep in server.endpoints.endpoints()}
+    missing = reference_names - ours
+    assert not missing, f"missing endpoints: {sorted(missing)}"
+
+
+@pytest.fixture
+def ngsd_server(tmp_path, monkeypatch):
+    """Server instance backed by a SQLite NGSD with one analysis job."""
+    monkeypatch.setenv("NGSBITS_NGSD_TEST", str(tmp_path / "ngsd.sqlite"))
+    from ngsbits_tpu.ngsd import NGSD
+    db = NGSD(test_db=True)
+    db.init()
+    project_dir = tmp_path / "projects"
+    project_dir.mkdir()
+    cur = db.conn.cursor()
+    cur.execute("INSERT INTO device (type, name) VALUES ('MiSeq', 'test')")
+    cur.execute("INSERT INTO sender (name) VALUES ('sender1')")
+    cur.execute(
+        "INSERT INTO project (name, type, internal_coordinator_id, analysis) "
+        "VALUES ('TestProj', 'research', 1, 'variants')")
+    cur.execute(
+        "INSERT INTO processing_system (name_short, name_manufacturer, shotgun,"
+        " genome_id, type, target_file) VALUES ('ssHAEv6', 'SureSelect', 1, 1,"
+        " 'WES', 'ssHAEv6.bed')")
+    cur.execute("INSERT INTO sequencing_run (name, fcid, device_id, recipe, "
+                "status) VALUES ('run1', 'FC1', 1, '151+8+151', "
+                "'analysis_finished')")
+    cur.execute("INSERT INTO sample (name, sample_type, species_id, gender, "
+                "tumor, ffpe, sender_id) VALUES ('NA12345', 'DNA', 1, "
+                "'female', 0, 0, 1)")
+    cur.execute("INSERT INTO processed_sample (sample_id, process_id, "
+                "sequencing_run_id, lane, processing_system_id, project_id) "
+                "VALUES (1, 1, 1, '1', 1, 1)")
+    cur.execute("INSERT INTO analysis_job (type, high_priority, args) "
+                "VALUES ('single sample', 0, '')")
+    cur.execute("INSERT INTO analysis_job_sample (analysis_job_id, "
+                "processed_sample_id, info) VALUES (1, 1, '')")
+    cur.execute("INSERT INTO user (user_id, password, user_role, name, email)"
+                " VALUES ('ahtest', '', 'user', 'Test User', 't@t.de')")
+    cur.execute("INSERT INTO user (user_id, password, user_role, name, email)"
+                " VALUES ('ahadmin', '', 'admin', 'Test Admin', 'a@t.de')")
+    db.conn.commit()
+    db.set_password(db.get_value("SELECT id FROM user WHERE user_id='ahtest'"), "secret")
+    db.set_password(db.get_value("SELECT id FROM user WHERE user_id='ahadmin'"), "secret")
+    monkeypatch.setenv("NGSBITS_PROJECTS_FOLDER", str(project_dir) + "/")
+    sample_folder = project_dir / "research" / "TestProj" / "Sample_NA12345_01"
+    sample_folder.mkdir(parents=True)
+    (sample_folder / "job.log").write_text("analysis done\n")
+
+    root = tmp_path / "root"
+    root.mkdir()
+    srv = GSvarServer(str(root), users={"ahtest": "secret"}, ngsd=db)
+    srv.start()
+    yield srv, db, sample_folder
+    srv.stop()
+    db.close()
+
+
+def test_analysis_job_endpoints(ngsd_server):
+    srv, db, sample_folder = ngsd_server
+    token = _login(srv)
+    with _get(srv, f"/analysis_job_gsvar_file?job_id=1&token={token}") as resp:
+        loc = json.loads(resp.read())
+    assert loc["id"] == "NA12345_01"
+    assert loc["type"] == "GSVAR"
+    assert loc["exists"] is False  # GSvar not written yet
+    with _get(srv, f"/analysis_job_last_update?job_id=1&token={token}") as resp:
+        info = json.loads(resp.read())
+    assert info["latest_file"] == "job.log"
+    with _get(srv, f"/analysis_job_log?job_id=1&token={token}") as resp:
+        log = json.loads(resp.read())
+    assert log["exists"] is True
+    # the log temp URL streams the content
+    with _get(srv, "/" + log["filename"]) as resp:
+        assert b"analysis done" in resp.read()
+
+
+def test_project_folder_settings_requires_admin(ngsd_server):
+    srv, db, _folder = ngsd_server
+    token = _login(srv)
+    # ahtest has role 'user' -> 401
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _get(srv, f"/project_folder_settings?token={token}")
+    assert err.value.code == 401
+    # admin sees the project-type folder settings
+    with _post(srv, "/login", {"name": "ahadmin", "password": "secret"}) as resp:
+        admin_token = resp.read().decode()
+    with _get(srv, f"/project_folder_settings?token={admin_token}") as resp:
+        entries = json.loads(resp.read())
+    assert {e["type"] for e in entries} >= {"research", "diagnostic"}
+    with _get(srv, f"/project_folder?id=1&token={admin_token}") as resp:
+        info = json.loads(resp.read())
+    assert info["project_id"] == 1
+    assert info["safe_to_change"] is False  # sample folder contains job.log
