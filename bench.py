@@ -73,6 +73,13 @@ def synth_seqpurge_pair(path1: str, path2: str, repeats: int = 256):
                      (f"{REF_IN}/SeqPurge_in2.fastq.gz", path2)):
         with gzip.open(src, "rb") as fh:
             block = fh.read()
+        if not block.endswith(b"\n"):
+            block += b"\n"
+        # SeqPurge_in2 ends with a truncated empty record (header/empty/+,
+        # no qual line) that only parses at EOF — pad to a full 4-line
+        # record so the repeated stream stays valid
+        n_lines = block.count(b"\n")
+        block += b"\n" * (-n_lines % 4)
         with open(dst + ".tmp", "wb") as raw:
             gz = gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=1, mtime=0)
             for _ in range(repeats):
@@ -191,7 +198,7 @@ def main():
     # (b) end-to-end SeqPurge: paired FASTQ -> trimmed gz
     sp1, sp2 = f"{CACHE}/sp_R1.fastq.gz", f"{CACHE}/sp_R2.fastq.gz"
     repeats = 256
-    n_pairs = 1251 * repeats
+    n_pairs = 2502 * repeats
     synth_seqpurge_pair(sp1, sp2, repeats)
     dt = run_tool("SeqPurge", [
         "-in1", sp1, "-in2", sp2,
