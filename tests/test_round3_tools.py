@@ -187,3 +187,28 @@ def test_legacy_calculate_prs(tmp_path):
         weight = float(info["WEIGHT"])
         expected += weight * sample_gt.get((f[0], f[1], f[3], f[4]), 0)
     assert abs(float(row["score"]) - expected) < 1e-4
+
+
+def test_perf_regression_harness(tmp_path):
+    """tools/benchmark/perf_regression.py: record + compare with a
+    deliberate regression flags it and exits non-zero."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "perf_regression",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "benchmark", "perf_regression.py"))
+    pr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pr)
+    hist = str(tmp_path / "benchmark.tsv")
+    for v in (100.0, 102.0, 98.0):
+        pr.record(hist, bench_json=json.dumps(
+            {"metric": "m", "value": v, "extra": {"e2e": v * 10}}))
+        import time
+        time.sleep(1.1)  # distinct run timestamps
+    assert pr.compare(hist) == 0
+    pr.record(hist, bench_json=json.dumps(
+        {"metric": "m", "value": 50.0, "extra": {"e2e": 990.0}}))
+    assert pr.compare(hist) == 1  # m dropped 50% -> regression
+
+
+import json  # noqa: E402
