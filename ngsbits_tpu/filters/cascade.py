@@ -37,6 +37,9 @@ def create_filter(name: str, parameters: list[str] = ()):
         p = p.strip()
         if not p:
             continue
+        if p == "disabled":  # FilterFactory::create (FilterCascade.cpp:873)
+            f.enabled = not f.enabled
+            continue
         if "=" not in p:
             raise ValueError(f"Invalid filter parameter '{p}' — missing '='!")
         key, value = p.split("=", 1)
@@ -128,6 +131,8 @@ class FilterCascade:
                 kind = {"snv": "small variants", "sv": "structural variants",
                         "cnv": "CNVs"}[subject]
                 raise ValueError(f"Filter '{f.NAME}' cannot be applied to {kind}!")
+            if not f.enabled:  # 'if (!enabled_) return' in every apply()
+                continue
             try:
                 f.apply(target, result)
             except Exception as e:  # FilterCascade::apply catches per filter

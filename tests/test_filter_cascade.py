@@ -530,3 +530,31 @@ def test_sv_trio():
     ], fmt_comment=b"##fileformat=BEDPE_GERMLINE_TRIO", samples=samples)
     assert run_sv_filter("SV trio", ["types=de-novo"], svs) == [True, False, False]
     assert run_sv_filter("SV trio", ["types=recessive"], svs) == [False, True, False]
+
+
+@pytest.mark.parametrize("ini", ["GSvar_filters.ini", "GSvar_filters_cnv.ini",
+                                 "GSvar_filters_sv.ini"])
+def test_shipped_filter_presets_parse(ini):
+    """Every preset cascade shipped with the reference
+    (/root/reference/bin/GSvar_filters*.ini) must be constructible by name
+    with all its parameters (incl. the 'disabled' toggle)."""
+    path = f"/root/reference/bin/{ini}"
+    n = 0
+    for raw in open(path, encoding="utf-8", errors="replace"):
+        line = raw.rstrip("\n").strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        f = cascade.create_filter(parts[0], parts[1:])
+        assert f.NAME == parts[0]
+        n += 1
+    assert n > 10
+
+
+def test_disabled_filter_is_skipped():
+    g = make_gsvar(["OMIM"], [
+        ("chr1", 1, 1, b"A", b"C", [b""]),
+    ])
+    c = cascade.FilterCascade.from_text(["OMIM genes\taction=FILTER\tdisabled"])
+    flags = c.apply(g, "snv").flags
+    assert flags == [True]  # disabled filter must not remove anything
