@@ -160,12 +160,15 @@ def run_tool(tool: str, args: list[str]) -> float:
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = repo
+    log = os.path.join(CACHE, "tool_run.log")
     t0 = time.perf_counter()
-    r = subprocess.run([sys.executable, "-m", "ngsbits_tpu", tool] + args,
-                       capture_output=True, text=True, cwd=repo)
+    with open(log, "wb") as fh:
+        r = subprocess.run([sys.executable, "-m", "ngsbits_tpu", tool] + args,
+                           stdout=fh, stderr=fh, cwd=repo, env=env)
     dt = time.perf_counter() - t0
     if r.returncode != 0:
-        raise RuntimeError(f"{tool} exited {r.returncode}: {r.stderr[-300:]}")
+        tail = open(log, "rb").read()[-300:].decode(errors="replace")
+        raise RuntimeError(f"{tool} exited {r.returncode}: {tail}")
     return dt
 
 

@@ -32,21 +32,33 @@ def insert_scan_auto(seq1, seq2rc, min_len):
     if jax.default_backend() == "tpu":
         from .pallas_kernels import insert_scan_pallas
         return insert_scan_pallas(seq1, seq2rc, min_len)
-    # CPU: the XLA formulation materializes a [B, O, L] gather — chunk the
-    # batch so memory stays bounded at default block sizes (B=10000, L=1000
-    # would otherwise be ~10 GB)
-    import numpy as np
-    B = seq1.shape[0]
-    chunk = max(1, (64 << 20) // max(1, seq1.shape[1] ** 2))
-    if B <= chunk:
-        return insert_scan(seq1, seq2rc, min_len)
-    ms, mms = [], []
-    for i in range(0, B, chunk):
-        m, mm = insert_scan(seq1[i:i + chunk], seq2rc[i:i + chunk],
-                            min_len[i:i + chunk])
-        ms.append(np.asarray(m))
-        mms.append(np.asarray(mm))
-    return np.concatenate(ms), np.concatenate(mms)
+    # CPU: shifted-slice numpy formulation — O(L) SIMD passes over [B, L-o]
+    # slices instead of the XLA [B, O, L] gather materialization (~10x)
+    return insert_scan_host(np.asarray(seq1), np.asarray(seq2rc),
+                            np.asarray(min_len))
+
+
+def insert_scan_host(seq1: np.ndarray, seq2rc: np.ndarray, min_len: np.ndarray):
+    """Host insert-match scan: for offset o compare seq1[j-o] vs seq2rc[j]
+    for o <= j < min_len, skipping N bases — identical counts to
+    insert_scan/insert_scan_pallas, computed with per-offset shifted slices
+    (each a contiguous SIMD pass) instead of a [B, O, L] gather."""
+    B, L = seq1.shape
+    matches = np.zeros((B, L), np.int32)
+    mismatches = np.zeros((B, L), np.int32)
+    ok1 = seq1 != N_CODE
+    ok2 = seq2rc != N_CODE
+    jmask = np.arange(L, dtype=np.int32)[None, :] < min_len[:, None]
+    ok2m = ok2 & jmask
+    max_o = int(min_len.max()) if B else 0
+    for o in range(min(max_o, L)):
+        w = L - o
+        eff = ok1[:, :w] & ok2m[:, o:]
+        eq = seq1[:, :w] == seq2rc[:, o:]
+        m = (eff & eq).sum(axis=1, dtype=np.int32)
+        matches[:, o] = m
+        mismatches[:, o] = eff.sum(axis=1, dtype=np.int32) - m
+    return matches, mismatches
 
 
 @partial(jax.jit, static_argnums=())
