@@ -64,6 +64,25 @@ class SeqPurgeStats:
     mismatch_r2: np.ndarray = field(default_factory=lambda: np.zeros(MAXLEN, dtype=np.int64))
     errors_per_read: np.ndarray = field(default_factory=lambda: np.zeros(MAXLEN, dtype=np.int64))
 
+    def merge(self, other: "SeqPurgeStats"):
+        """Fold a worker's stats into this one — every field is a
+        commutative sum, so multi-threaded trimming merges exactly
+        (the analogue of the reference's shared-accumulator mutex,
+        SeqPurge/Auxilary.h:164)."""
+        self.read_num += other.read_num
+        self.bases_remaining += other.bases_remaining
+        self.acons1 += other.acons1
+        self.acons2 += other.acons2
+        self.reads_trimmed_insert += other.reads_trimmed_insert
+        self.reads_trimmed_adapter += other.reads_trimmed_adapter
+        self.reads_trimmed_q += other.reads_trimmed_q
+        self.reads_trimmed_n += other.reads_trimmed_n
+        self.reads_removed += other.reads_removed
+        self.bases_perc_trim_sum += other.bases_perc_trim_sum
+        self.mismatch_r1 += other.mismatch_r1
+        self.mismatch_r2 += other.mismatch_r2
+        self.errors_per_read += other.errors_per_read
+
 
 _ACGTN = np.frombuffer(b"ACGTN", dtype=np.uint8)
 

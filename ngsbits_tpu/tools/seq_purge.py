@@ -89,16 +89,73 @@ class SeqPurgeTool(ToolBase):
 
         from ..utils.prefetch import prefetch_paired
 
+        # -threads: per-worker engines over a bounded in-order window; the
+        # numpy/XLA scans release the GIL so workers genuinely overlap
+        # (reference: N analysis threads, SeqPurge/ThreadCoordinator.cpp).
+        # Each worker owns its stats; merged after the run (commutative sums).
+        # Per-batch QC accumulation stays single-threaded when -qc is given.
+        threads = max(1, self.get_int("threads"))
+        use_pool = threads > 1 and qc is None
+        pool = workers = None
+        if use_pool:
+            import queue as _queue
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=threads)
+            workers = _queue.SimpleQueue()
+            for _ in range(threads):
+                e = SeqPurgeEngine(params)
+                e.table = engine.table  # share the probability table
+                workers.put(e)
+
+        def trim_pair(pair):
+            b1, b2 = pair
+            if b1 is None and b2 is None:
+                return None
+            if b1 is None or b2 is None or len(b1) != len(b2):
+                raise ToolError(f"Differing number of reads in file '{f1}' and '{f2}'!")
+            if use_pool:
+                e = workers.get()
+                try:
+                    nl1, nl2 = e.process_batch(b1, b2)
+                finally:
+                    workers.put(e)
+            else:
+                nl1, nl2 = engine.process_batch(b1, b2)
+            return b1, b2, nl1, nl2
+
+        def trimmed_batches(r1, r2):
+            source = prefetch_paired(r1, r2, depth=2)
+            if not use_pool:
+                for pair in source:
+                    res = trim_pair(pair)
+                    if res is None:
+                        return
+                    yield res
+                return
+            # bounded in-order future window (executor.map would consume
+            # the whole decode stream eagerly)
+            from collections import deque
+            pending = deque()
+            for pair in source:
+                pending.append(pool.submit(trim_pair, pair))
+                if len(pending) > threads + 1:
+                    res = pending.popleft().result()
+                    if res is None:
+                        break
+                    yield res
+            while pending:
+                res = pending.popleft().result()
+                if res is None:
+                    break
+                yield res
+
+        processed_reads = 0
         for f1, f2 in zip(in1, in2):
             r1 = FastqReader(f1, batch_reads=block, keep_headers=True)
             r2 = FastqReader(f2, batch_reads=block, keep_headers=True)
             # paired decode thread overlaps the device scans (P1 analogue)
-            for b1, b2 in prefetch_paired(r1, r2, depth=2):
-                if b1 is None and b2 is None:
-                    break
-                if b1 is None or b2 is None or len(b1) != len(b2):
-                    raise ToolError(f"Differing number of reads in file '{f1}' and '{f2}'!")
-                new_len1, new_len2 = engine.process_batch(b1, b2)
+            for b1, b2, new_len1, new_len2 in trimmed_batches(r1, r2):
+                processed_reads += 2 * len(b1)
                 keep_pair = (new_len1 >= min_len) & (new_len2 >= min_len)
                 w1.write_batch(b1, keep_pair, new_len1)
                 w2.write_batch(b2, keep_pair, new_len2)
@@ -113,13 +170,17 @@ class SeqPurgeTool(ToolBase):
                 else:
                     removed += 2 * int((~keep_pair).sum())
                 engine.stats.reads_removed += removed
-                progress.update(processed_reads=engine.stats.read_num)
+                progress.update(processed_reads=processed_reads)
 
         w1.close()
         w2.close()
         if w3 is not None:
             w3.close()
             w4.close()
+        if use_pool:
+            pool.shutdown(wait=True)
+            while not workers.empty():
+                engine.stats.merge(workers.get().stats)
 
         out = summary_stream
         engine.write_summary(out, a1, a2)
