@@ -203,20 +203,27 @@ class SeqPurgeEngine:
             seq1, read2, len1, len2, self.a1_arr[:p.adapter_overlap],
             self.a2_arr[:p.adapter_overlap], p.adapter_overlap))
         tot = m + mm
-        pv = self.table[tot, m]
+        offsets = np.arange(L)[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio_ok = (tot > 0) & ~(100.0 * m / np.maximum(tot, 1) < p.match_perc)
-        cand = ratio_ok & (pv <= p.mep)
-        offsets = np.arange(L)[None, :]
-        cand &= offsets >= 1
-        cand &= offsets < min_len[:, None]
+        # evaluate the binomial-tail table only where the cheap ratio test
+        # passes — the dense [B, L] float64 gathers dominated this stage
+        cand0 = ratio_ok & (offsets >= 1) & (offsets < min_len[:, None])
+        pv = np.full((B, L), np.inf)
+        rows, cols = np.nonzero(cand0)
+        pv[rows, cols] = self.table[tot[rows, cols], m[rows, cols]]
+        cand = cand0 & (pv <= p.mep)
 
         maxmm = np.where(offsets < 3, 0, np.where(offsets < 6, 1, 2))
         pass_short = (mm1 <= maxmm) | (mm2 <= maxmm)
-        p1 = self.table[m1 + mm1, m1]
-        p2 = self.table[m2 + mm2, m2]
-        pass_long = (p1 * p2) <= p.mep
-        ok = cand & np.where(offsets < 10, pass_short, pass_long)
+        ok = cand & (offsets < 10) & pass_short
+        long_rows, long_cols = np.nonzero(cand & (offsets >= 10))
+        if len(long_rows):
+            p1 = self.table[m1[long_rows, long_cols] + mm1[long_rows, long_cols],
+                            m1[long_rows, long_cols]]
+            p2 = self.table[m2[long_rows, long_cols] + mm2[long_rows, long_cols],
+                            m2[long_rows, long_cols]]
+            ok[long_rows, long_cols] = (p1 * p2) <= p.mep
 
         p_masked = np.where(ok, pv, np.inf)
         best_offset = np.where(ok.any(axis=1), np.argmin(p_masked, axis=1), -1)
@@ -256,11 +263,15 @@ class SeqPurgeEngine:
 
             def first_hit(msub, mmsub, lens):
                 t = msub + mmsub
-                pp = self.table[t, msub]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     ratio = 100.0 * msub / t
-                okm = ~(ratio < p.match_perc) & (pp <= p.mep)
-                okm &= offsets < lens[:, None]
+                # (ratio==nan for t==0 passes the ~< test, like the dense
+                # formulation); table gathered sparsely where it can matter
+                okm = ~(ratio < p.match_perc) & (offsets < lens[:, None])
+                rr, cc = np.nonzero(okm)
+                if len(rr):
+                    pp = self.table[t[rr, cc], msub[rr, cc]]
+                    okm[rr, cc] = pp <= p.mep
                 any_ = okm.any(axis=1)
                 off = np.where(any_, np.argmax(okm, axis=1), -1)
                 return off
