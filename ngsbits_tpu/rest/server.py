@@ -136,6 +136,11 @@ class GSvarServer:
             "Retrieve file location information for specific file types",
             self._file_location))
         for method in ("GET", "HEAD"):
+            ep(Endpoint("assets", {
+                "filename": ParamProps(ParamCategory.PATH_PARAM, True, "Asset file to serve"),
+            }, method, "application/octet-stream", AuthType.NONE,
+                "Asset file used for the testing purposes", self._assets))
+        for method in ("GET", "HEAD"):
             ep(Endpoint("genome", {
                 "filename": ParamProps(ParamCategory.PATH_PARAM, True, "Genome file to serve"),
             }, method, "application/octet-stream", AuthType.USER_TOKEN,
@@ -411,6 +416,18 @@ class GSvarServer:
             obj["filename"] = self._temp_url(loc.filename)
             out.append(obj)
         return 200, "application/json", json.dumps(out).encode()
+
+    def _assets(self, req):
+        """serveResourceAsset ('assets' endpoint) — test assets from
+        <server_root>/assets."""
+        rel = req["path_params"]
+        root = os.path.join(self.server_root, "assets")
+        target = os.path.abspath(os.path.join(root, *rel))
+        if not target.startswith(root + os.sep):
+            return 403, "text/plain", b"Access denied"
+        if not os.path.isfile(target):
+            return 404, "text/plain", b"File not found"
+        return 200, _guess_type(target), FilePayload(target)
 
     def _genome(self, req):
         """serveStaticServerGenomes — genomes live in <server_root>/genomes."""

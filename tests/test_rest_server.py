@@ -375,7 +375,7 @@ def test_endpoint_surface_complete(server):
     (GSvarServer/main.cpp:38-) must be registered (assets excluded: test-
     only Qt resource serving)."""
     reference_names = {
-        "", "favicon.ico", "info", "static", "genome", "temp", "help",
+        "", "favicon.ico", "info", "assets", "static", "genome", "temp", "help",
         "file_location", "processed_sample_path", "project_folder",
         "project_folder_settings", "analysis_job_gsvar_file",
         "analysis_job_last_update", "analysis_job_log", "project_file",
