@@ -22,12 +22,32 @@ import numpy as np
 N_CODE = ord("N")
 
 
+def adapter_evidence_auto(read1, read2, len1, len2, a1, a2, overlap=10):
+    """Backend dispatch: XLA on TPU, shifted-slice numpy on CPU (same
+    counts; avoids the [B, L, overlap] gather and per-shape recompiles)."""
+    if jax.default_backend() == "tpu":
+        return jax.device_get(adapter_evidence(read1, read2, len1, len2,
+                                               a1, a2, overlap))
+    return adapter_evidence_host(np.asarray(read1), np.asarray(read2),
+                                 np.asarray(len1), np.asarray(len2),
+                                 np.asarray(a1), np.asarray(a2), overlap)
+
+
+def adapter_scan_auto(read, length, adapter, a_size):
+    """Backend dispatch for the adapter-prefix scan."""
+    if jax.default_backend() == "tpu":
+        return jax.device_get(adapter_scan(read, length, adapter, a_size))
+    return adapter_scan_host(np.asarray(read), np.asarray(length),
+                             np.asarray(adapter), a_size)
+
+
 def insert_scan_auto(seq1, seq2rc, min_len):
     """Backend dispatch for the insert-match scan.
 
     On TPU the Pallas kernel (ops/pallas_kernels.py) avoids the [B, O, L]
-    gather materialization and is ~250x faster (measured on v5e, B=4096
-    L=128: 2.46M vs 0.01M pairs/s); on CPU the XLA formulation wins.
+    gather materialization (40-280 M pairs/s on-chip, BASELINE.md round 3);
+    on CPU the shifted-slice numpy formulation replaces the XLA gather
+    (~4.6x, bit-identical).
     """
     if jax.default_backend() == "tpu":
         from .pallas_kernels import insert_scan_pallas
@@ -139,3 +159,73 @@ def adapter_scan(read: jax.Array, length: jax.Array, adapter: jax.Array, a_size:
     matches = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
     mismatches = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
     return matches, mismatches
+
+
+def adapter_scan_host(read: np.ndarray, length: np.ndarray,
+                      adapter: np.ndarray, a_size: int):
+    """Host adapter-prefix scan — same counts as ``adapter_scan`` computed
+    with a_size shifted-slice passes (adapter base i contributes to offset o
+    at read position o+i)."""
+    B, L = read.shape
+    matches = np.zeros((B, L), np.int32)
+    mismatches = np.zeros((B, L), np.int32)
+    inside = np.arange(L, dtype=np.int32)[None, :] < length[:, None]
+    ok = inside & (read != N_CODE)
+    for i in range(a_size):
+        c = adapter[i]
+        if c == N_CODE:
+            continue
+        w = L - i
+        eff = ok[:, i:]
+        eq = read[:, i:] == c
+        matches[:, :w] += (eff & eq)
+        mismatches[:, :w] += (eff & ~eq)
+    return matches, mismatches
+
+
+def adapter_evidence_host(read1: np.ndarray, read2: np.ndarray,
+                          len1: np.ndarray, len2: np.ndarray,
+                          a1: np.ndarray, a2: np.ndarray, overlap: int = 10):
+    """Host adapter-evidence counts — same contract as ``adapter_evidence``.
+
+    Rows are realigned once so the window start (len2 - o) becomes a uniform
+    shift: aligned[b, P + j] = read[b, len2[b] - j] for j in [-P, L)
+    (P = overlap - 1; 0 where out of range), then window index i at offset o
+    reads aligned column o - i + P."""
+    B, L = read1.shape
+    P = overlap - 1
+    j = np.arange(-P, L, dtype=np.int32)[None, :]  # aligned col = j + P
+    src = len2[:, None] - j                        # read position len2 - j
+    rows = np.arange(B, dtype=np.int32)[:, None]
+
+    def aligned_and_valid(read, rlen):
+        inb = (src >= 0) & (src < rlen[:, None])
+        a = np.where(inb, read[rows, np.clip(src, 0, L - 1)], 0)
+        return a, inb
+
+    al1, inb1 = aligned_and_valid(read1, len1)
+    al2, inb2 = aligned_and_valid(read2, len2)
+
+    def scan(al, inb, adapter, cap_by_o):
+        m = np.zeros((B, L), np.int32)
+        mm = np.zeros((B, L), np.int32)
+        ok = inb & (al != N_CODE)
+        for i in range(overlap):
+            c = adapter[i]
+            if c == N_CODE:
+                continue
+            lo = i + 1 if cap_by_o else 0          # window2 needs i < o
+            w = L - lo
+            if w <= 0:
+                continue
+            # offset o in [lo, L) reads aligned column o - i + P
+            s = lo - i + P
+            eff = ok[:, s: s + w]
+            eq = al[:, s: s + w] == c
+            m[:, lo:] += (eff & eq)
+            mm[:, lo:] += (eff & ~eq)
+        return m, mm
+
+    m1, mm1 = scan(al1, inb1, a1, cap_by_o=False)
+    m2, mm2 = scan(al2, inb2, a2, cap_by_o=True)
+    return m1, mm1, m2, mm2

@@ -199,9 +199,9 @@ class SeqPurgeEngine:
 
         # ---- step 1: insert match (device counts + host decisions) ----
         m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
-        m1, mm1, m2, mm2 = jax.device_get(ops.adapter_evidence(
+        m1, mm1, m2, mm2 = ops.adapter_evidence_auto(
             seq1, read2, len1, len2, self.a1_arr[:p.adapter_overlap],
-            self.a2_arr[:p.adapter_overlap], p.adapter_overlap))
+            self.a2_arr[:p.adapter_overlap], p.adapter_overlap)
         tot = m + mm
         offsets = np.arange(L)[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -256,10 +256,10 @@ class SeqPurgeEngine:
         # ---- steps 2+3: adapter match on non-insert pairs ----
         noins = np.flatnonzero(~has_insert)
         if len(noins):
-            am1, amm1 = jax.device_get(ops.adapter_scan(
-                seq1, len1, self.a1_arr[:p.a_size], p.a_size))
-            am2, amm2 = jax.device_get(ops.adapter_scan(
-                read2, len2, self.a2_arr[:p.a_size], p.a_size))
+            am1, amm1 = ops.adapter_scan_auto(
+                seq1, len1, self.a1_arr[:p.a_size], p.a_size)
+            am2, amm2 = ops.adapter_scan_auto(
+                read2, len2, self.a2_arr[:p.a_size], p.a_size)
 
             def first_hit(msub, mmsub, lens):
                 t = msub + mmsub
