@@ -35,12 +35,50 @@ class FastqBatch:
     qual_lengths: np.ndarray | None = None  # differs from lengths only for
                                             # malformed records read with
                                             # validation off (ref passthrough)
+    # flat-header representation (native hot path, avoids per-read bytes
+    # objects): concatenated buffers + starts/lens per record
+    h1_flat: np.ndarray | None = None
+    h1_starts: np.ndarray | None = None
+    h1_lens: np.ndarray | None = None
+    h2_flat: np.ndarray | None = None
+    h2_starts: np.ndarray | None = None
+    h2_lens: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.lengths)
 
     def qlen(self) -> np.ndarray:
         return self.lengths if self.qual_lengths is None else self.qual_lengths
+
+    def has_flat_headers(self) -> bool:
+        return self.h1_flat is not None
+
+    def header_bytes(self, i: int) -> bytes:
+        if self.headers is not None:
+            return self.headers[i]
+        s = int(self.h1_starts[i])
+        return self.h1_flat[s:s + int(self.h1_lens[i])].tobytes()
+
+    def materialize_headers(self):
+        """Fill the list representation from the flat buffers (fallback for
+        consumers that index headers per read)."""
+        if self.headers is not None or self.h1_flat is None:
+            return
+        self.headers = _flat_to_list(self.h1_flat, self.h1_starts, self.h1_lens)
+        self.headers2 = _flat_to_list(self.h2_flat, self.h2_starts, self.h2_lens)
+
+
+def _flat_to_list(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> list:
+    buf = flat.tobytes()
+    return [buf[s:s + n] for s, n in zip(starts.tolist(), lens.tolist())]
+
+
+def _starts_of(lens: np.ndarray) -> np.ndarray:
+    starts = np.empty(len(lens), dtype=np.int64)
+    if len(lens):
+        starts[0] = 0
+        np.cumsum(lens[:-1], dtype=np.int64, out=starts[1:])
+    return starts
 
 
 def _pad_2d(parts: list, lengths: np.ndarray, pad_to: int | None = None) -> np.ndarray:
@@ -66,11 +104,19 @@ def _pad_2d(parts: list, lengths: np.ndarray, pad_to: int | None = None) -> np.n
 
 def _pad_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Pack a flat concatenated byte buffer into a zero-padded [B, Lmax]
-    uint8 array (native decode path — one vectorized scatter)."""
+    uint8 array (native decode path — C memcpy rows, numpy fallback)."""
     n = len(lengths)
     lmax = int(lengths.max()) if n else 0
     if n == 0:
         return np.zeros((0, lmax), dtype=np.uint8)
+    from . import native
+    lib = native.get_lib()
+    if lib is not None:
+        arr = np.empty((n, lmax), dtype=np.uint8)
+        lib.ngs_pad_flat(np.ascontiguousarray(flat),
+                         np.ascontiguousarray(lengths, dtype=np.int32),
+                         n, lmax, arr)
+        return arr
     lengths = lengths.astype(np.int64)
     if lengths.min() == lengths.max():
         return flat[:n * lmax].reshape(n, lmax).copy()
@@ -85,30 +131,60 @@ def _pad_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = ""):
     """Vectorized analogue of FastqEntry::validate (FastqFileStream.cpp:3-42)."""
-    pos = np.arange(batch.bases.shape[1])[None, :]
-    mask = pos < batch.lengths[:, None]
-    bad_base = (~_VALID_BASES[batch.bases]) & mask
-    if bad_base.any():
-        i, j = np.argwhere(bad_base)[0]
-        raise ValueError(
-            f"Invalid Fastq file entry: Invalid base '{chr(batch.bases[i, j])}' encountered"
-            + (f" in '{filename}'" if filename else ""))
     qmax = 126 if long_read else 74
-    q = batch.quals.astype(np.int16)
-    bad_q = ((q < 33) | (q > qmax)) & mask
-    if bad_q.any():
-        i, j = np.argwhere(bad_q)[0]
-        raise ValueError(
-            f"Invalid Fastq file entry: Invalid quality character with value "
-            f"'{int(q[i, j])}' encountered" + (f" in '{filename}'" if filename else ""))
+    from . import native
+    lib = native.get_lib()
+    if (lib is not None and batch.bases.flags.c_contiguous
+            and batch.quals.flags.c_contiguous
+            and batch.bases.shape == batch.quals.shape):
+        bad = np.zeros(3, dtype=np.int64)
+        rc = lib.ngs_validate_batch(
+            batch.bases, batch.quals,
+            np.ascontiguousarray(batch.lengths, dtype=np.int32),
+            np.ascontiguousarray(batch.qlen(), dtype=np.int32),
+            batch.bases.shape[0], batch.bases.shape[1], qmax, bad)
+        if rc == 1:
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid base '{chr(int(bad[2]))}' encountered"
+                + (f" in '{filename}'" if filename else ""))
+        if rc == 2:
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid quality character with value "
+                f"'{int(bad[2])}' encountered" + (f" in '{filename}'" if filename else ""))
+    else:
+        pos = np.arange(batch.bases.shape[1])[None, :]
+        mask = pos < batch.lengths[:, None]
+        bad_base = (~_VALID_BASES[batch.bases]) & mask
+        if bad_base.any():
+            i, j = np.argwhere(bad_base)[0]
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid base '{chr(batch.bases[i, j])}' encountered"
+                + (f" in '{filename}'" if filename else ""))
+        q = batch.quals.astype(np.int16)
+        qpos = np.arange(batch.quals.shape[1])[None, :]
+        qmask = qpos < batch.qlen()[:, None]
+        bad_q = ((q < 33) | (q > qmax)) & qmask
+        if bad_q.any():
+            i, j = np.argwhere(bad_q)[0]
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid quality character with value "
+                f"'{int(q[i, j])}' encountered" + (f" in '{filename}'" if filename else ""))
     if batch.headers is not None:
         for h in batch.headers:
             if not h.startswith(b"@"):
                 raise ValueError("Invalid Fastq file entry: First header line does not start with '@'")
+    elif batch.h1_flat is not None:
+        ok = (batch.h1_lens > 0) & (batch.h1_flat[batch.h1_starts] == ord("@"))
+        if not ok.all():
+            raise ValueError("Invalid Fastq file entry: First header line does not start with '@'")
     if batch.headers2 is not None:
         for h in batch.headers2:
             if not h.startswith(b"+"):
                 raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
+    elif batch.h2_flat is not None:
+        ok = (batch.h2_lens > 0) & (batch.h2_flat[batch.h2_starts] == ord("+"))
+        if not ok.all():
+            raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
 
 
 class FastqReader:
@@ -120,13 +196,18 @@ class FastqReader:
 
     def __init__(self, filename: str, batch_reads: int = 1 << 16,
                  keep_headers: bool = False, validate: bool = True,
-                 long_read: bool = False, chunk_bytes: int = 8 << 20):
+                 long_read: bool = False, chunk_bytes: int = 8 << 20,
+                 flat_headers: bool = False):
         self.filename = filename
         self.batch_reads = batch_reads
         self.keep_headers = keep_headers
         self.validate = validate
         self.long_read = long_read
         self.chunk_bytes = chunk_bytes
+        # flat_headers: keep headers as flat buffers + starts/lens instead of
+        # per-read bytes objects (native hot path; falls back to lists when
+        # the native decoder is unavailable)
+        self.flat_headers = flat_headers
         self.reads_seen = 0
 
     def _open(self):
@@ -219,7 +300,17 @@ class FastqReader:
                 "Invalid Fastq file entry: Differing length of bases and "
                 f"qualities string in sequence '{hdr.decode(errors='replace')}'.")
         headers = headers2 = None
-        if self.keep_headers:
+        flat_kw = {}
+        if self.keep_headers and self.flat_headers:
+            h1_flat, h1_lens = self._native_headers_flat(segments, 2, 6)
+            h2_flat, h2_lens = self._native_headers_flat(segments, 3, 7)
+            flat_kw = dict(
+                h1_flat=h1_flat, h1_lens=h1_lens,
+                h1_starts=_starts_of(h1_lens),
+                h2_flat=h2_flat, h2_lens=h2_lens,
+                h2_starts=_starts_of(h2_lens),
+            )
+        elif self.keep_headers:
             headers = self._native_headers(segments, 2, 6)
             headers2 = self._native_headers(segments, 3, 7)
         batch = FastqBatch(
@@ -229,11 +320,24 @@ class FastqReader:
             headers=headers,
             headers2=headers2,
             qual_lengths=None if same else qlens,
+            **flat_kw,
         )
         self.reads_seen += n
         if self.validate:
             validate_batch(batch, self.long_read, self.filename)
         return batch
+
+    @staticmethod
+    def _native_headers_flat(segments, buf_idx, len_idx):
+        """Concatenated header buffer + per-record lens (no bytes objects)."""
+        if len(segments) == 1:
+            s = segments[0]
+            lens = s[len_idx]
+            return s[buf_idx][:int(lens.sum(dtype=np.int64))], lens
+        lens = np.concatenate([s[len_idx] for s in segments])
+        flat = np.concatenate(
+            [s[buf_idx][:int(s[len_idx].sum(dtype=np.int64))] for s in segments])
+        return flat, lens
 
     @staticmethod
     def _native_headers(segments, buf_idx, len_idx) -> list:
@@ -326,6 +430,14 @@ class FastqReader:
 def _format_batch(batch: FastqBatch, keep, lengths) -> bytes:
     lens = batch.lengths if lengths is None else lengths
     qlens = batch.qlen() if lengths is None else lengths
+    if batch.headers is None and batch.has_flat_headers():
+        from . import native
+        lib = native.get_lib()
+        if (lib is not None and batch.bases.flags.c_contiguous
+                and batch.quals.flags.c_contiguous
+                and batch.bases.shape == batch.quals.shape):
+            return _format_batch_native(lib, batch, keep, lens, qlens)
+        batch.materialize_headers()
     idx = range(len(batch)) if keep is None else np.flatnonzero(keep)
     parts = []
     bases = batch.bases
@@ -341,6 +453,37 @@ def _format_batch(batch: FastqBatch, keep, lengths) -> bytes:
         parts.append(quals[i, :int(qlens[i])].tobytes())
         parts.append(b"\n")
     return b"".join(parts)
+
+
+def _format_batch_native(lib, batch: FastqBatch, keep, lens, qlens) -> bytes:
+    import ctypes as ct
+    B = len(batch)
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    qlens32 = np.ascontiguousarray(qlens, dtype=np.int32)
+    if keep is None:
+        total = int(lens32.sum(dtype=np.int64) + qlens32.sum(dtype=np.int64)
+                    + batch.h1_lens.sum(dtype=np.int64)
+                    + batch.h2_lens.sum(dtype=np.int64) + 4 * B)
+        keep_ptr = None
+    else:
+        keep_u8 = np.ascontiguousarray(keep, dtype=np.uint8)
+        k = keep_u8.astype(bool)
+        total = int(lens32[k].sum(dtype=np.int64) + qlens32[k].sum(dtype=np.int64)
+                    + batch.h1_lens[k].sum(dtype=np.int64)
+                    + batch.h2_lens[k].sum(dtype=np.int64) + 4 * int(k.sum()))
+        keep_ptr = keep_u8.ctypes.data_as(ct.c_void_p)
+    out = np.empty(total, dtype=np.uint8)
+    w = lib.ngs_fastq_format(
+        batch.bases, batch.quals, B, batch.bases.shape[1],
+        lens32, qlens32,
+        np.ascontiguousarray(batch.h1_flat), batch.h1_starts,
+        np.ascontiguousarray(batch.h1_lens, dtype=np.int32),
+        np.ascontiguousarray(batch.h2_flat), batch.h2_starts,
+        np.ascontiguousarray(batch.h2_lens, dtype=np.int32),
+        keep_ptr, out, total)
+    if w != total:
+        raise RuntimeError("ngs_fastq_format size mismatch")
+    return out.tobytes()
 
 
 class FastqWriter:
@@ -394,7 +537,7 @@ class FastqWriter:
                     lengths: np.ndarray | None = None):
         """Write (a filtered subset of) a batch. `lengths` overrides the batch
         lengths (e.g. after trimming)."""
-        if batch.headers is None or batch.headers2 is None:
+        if (batch.headers is None or batch.headers2 is None) and not batch.has_flat_headers():
             raise ValueError("FastqWriter requires batches read with keep_headers=True")
         if self._queue is not None:
             self._check_error()

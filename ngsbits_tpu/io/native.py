@@ -42,8 +42,10 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        src = _NATIVE_DIR / "ngshost.cpp"
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        src_mtime = max(s.stat().st_mtime
+                        for s in (_NATIVE_DIR / "ngshost.cpp",
+                                  _NATIVE_DIR / "seqpurge.cpp"))
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
             if not _build():
                 return None
         try:
@@ -111,6 +113,57 @@ def get_lib():
             p(np.uint8, flags="C"), p(np.uint8, flags="C"), ct.c_int64,
             p(np.int32, flags="C"), p(np.int32, flags="C"),
             p(np.int32, flags="C"), p(np.int32, flags="C"),
+        ]
+        lib.ngs_pad_flat.restype = None
+        lib.ngs_pad_flat.argtypes = [
+            p(np.uint8, flags="C"), p(np.int32, flags="C"),
+            ct.c_int64, ct.c_int64, p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")]
+        lib.ngs_validate_batch.restype = ct.c_int32
+        lib.ngs_validate_batch.argtypes = [
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"),
+            p(np.int32, flags="C"), p(np.int32, flags="C"),
+            ct.c_int64, ct.c_int64, ct.c_int32,
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE")]
+        lib.ngs_headers_match.restype = ct.c_int64
+        lib.ngs_headers_match.argtypes = [
+            p(np.uint8, flags="C"), p(np.int64, flags="C"), p(np.int32, flags="C"),
+            p(np.uint8, flags="C"), p(np.int64, flags="C"), p(np.int32, flags="C"),
+            ct.c_int64]
+        lib.ngs_fastq_format.restype = ct.c_int64
+        lib.ngs_fastq_format.argtypes = [
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"),
+            ct.c_int64, ct.c_int64,
+            p(np.int32, flags="C"), p(np.int32, flags="C"),
+            p(np.uint8, flags="C"), p(np.int64, flags="C"), p(np.int32, flags="C"),
+            p(np.uint8, flags="C"), p(np.int64, flags="C"), p(np.int32, flags="C"),
+            ct.c_void_p,
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"), ct.c_int64]
+        f = lib.ngs_seqpurge_analyze
+        f.restype = ct.c_int32
+        f.argtypes = [
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),  # bases1
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),  # quals1
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),  # bases2
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),  # quals2
+            p(np.int32, flags="C"), p(np.int32, flags="C"),  # len1, len2
+            ct.c_int64, ct.c_int64,                          # B, L
+            p(np.float64, flags="C"), ct.c_int64,            # table, tstride
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"),  # a1, a2
+            ct.c_int32, ct.c_int32,                          # overlap, a_size
+            ct.c_double, ct.c_double,                        # match_perc, mep
+            ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,  # qcut qwin qoff ncut
+            ct.c_int32, ct.c_int32,                          # ec, n_threads
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),     # best_offset
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),     # out_len1
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),     # out_len2
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # counters[4]
+            p(np.float64, flags="C_CONTIGUOUS,WRITEABLE"),   # perc_trim_sum[1]
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # bases_remaining
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # acons1
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # acons2
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # mismatch_r1
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # mismatch_r2
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),     # errors_per_read
         ]
         _lib = lib
         return _lib

@@ -587,6 +587,109 @@ int64_t ngs_fastq_read_batch(
     return n;
 }
 
+// Pack a flat concatenated byte buffer (record-ordered) into a zero-padded
+// [B, Lmax] row-major matrix.
+void ngs_pad_flat(const uint8_t* flat, const int32_t* lens,
+                  int64_t B, int64_t Lmax, uint8_t* out) {
+    int64_t pos = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        const int64_t n = lens[b];
+        uint8_t* row = out + b * Lmax;
+        memcpy(row, flat + pos, n);
+        memset(row + n, 0, Lmax - n);
+        pos += n;
+    }
+}
+
+// Validate padded base/qual matrices (FastqEntry::validate semantics,
+// FastqFileStream.cpp:3-42): bases must be ACGTN, qualities in [33, qmax].
+// Returns 0 = ok, 1 = bad base, 2 = bad quality; bad_info = {row, col, char}.
+int32_t ngs_validate_batch(const uint8_t* bases, const uint8_t* quals,
+                           const int32_t* lens, const int32_t* qlens,
+                           int64_t B, int64_t L, int32_t qmax,
+                           int64_t* bad_info) {
+    static bool valid_base[256];
+    static bool init = false;
+    if (!init) {
+        memset(valid_base, 0, sizeof(valid_base));
+        valid_base['A'] = valid_base['C'] = valid_base['G'] = valid_base['T'] =
+            valid_base['N'] = true;
+        init = true;
+    }
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* row = bases + b * L;
+        const int32_t n = lens[b];
+        for (int32_t j = 0; j < n; ++j) {
+            if (!valid_base[row[j]]) {
+                bad_info[0] = b; bad_info[1] = j; bad_info[2] = row[j];
+                return 1;
+            }
+        }
+        const uint8_t* qrow = quals + b * L;
+        const int32_t qn = qlens[b];
+        for (int32_t j = 0; j < qn; ++j) {
+            if (qrow[j] < 33 || qrow[j] > qmax) {
+                bad_info[0] = b; bad_info[1] = j; bad_info[2] = qrow[j];
+                return 2;
+            }
+        }
+    }
+    return 0;
+}
+
+// Paired-read header match (SeqPurge AnalysisWorker header check): compares
+// the first whitespace-delimited token, allowing a trailing "/1" vs "/2".
+// Headers are flat byte buffers with starts/lens. Returns the first
+// mismatching pair index, or -1 if all match.
+int64_t ngs_headers_match(const uint8_t* f1, const int64_t* s1, const int32_t* l1,
+                          const uint8_t* f2, const int64_t* s2, const int32_t* l2,
+                          int64_t B) {
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* h1 = f1 + s1[b];
+        const uint8_t* h2 = f2 + s2[b];
+        int32_t n1 = l1[b], n2 = l2[b];
+        // token = up to first ' '
+        const uint8_t* sp1 = (const uint8_t*)memchr(h1, ' ', n1);
+        if (sp1) n1 = (int32_t)(sp1 - h1);
+        const uint8_t* sp2 = (const uint8_t*)memchr(h2, ' ', n2);
+        if (sp2) n2 = (int32_t)(sp2 - h2);
+        if (n1 >= 2 && n2 >= 2 &&
+            h1[n1 - 2] == '/' && h1[n1 - 1] == '1' &&
+            h2[n2 - 2] == '/' && h2[n2 - 1] == '2') {
+            n1 -= 2; n2 -= 2;
+        }
+        if (n1 != n2 || memcmp(h1, h2, n1) != 0) return b;
+    }
+    return -1;
+}
+
+// Format (a kept subset of) a batch back into FASTQ text. bases/quals are
+// padded [B, L]; headers come as flat buffers + starts/lens. keep may be
+// null (keep all). Returns bytes written, or -1 if out_cap is too small.
+int64_t ngs_fastq_format(const uint8_t* bases, const uint8_t* quals,
+                         int64_t B, int64_t L,
+                         const int32_t* lens, const int32_t* qlens,
+                         const uint8_t* h1f, const int64_t* h1s, const int32_t* h1l,
+                         const uint8_t* h2f, const int64_t* h2s, const int32_t* h2l,
+                         const uint8_t* keep,
+                         uint8_t* out, int64_t out_cap) {
+    int64_t w = 0;
+    for (int64_t b = 0; b < B; ++b) {
+        if (keep && !keep[b]) continue;
+        const int64_t need = (int64_t)h1l[b] + h2l[b] + lens[b] + qlens[b] + 4;
+        if (w + need > out_cap) return -1;
+        memcpy(out + w, h1f + h1s[b], h1l[b]); w += h1l[b];
+        out[w++] = '\n';
+        memcpy(out + w, bases + b * L, lens[b]); w += lens[b];
+        out[w++] = '\n';
+        memcpy(out + w, h2f + h2s[b], h2l[b]); w += h2l[b];
+        out[w++] = '\n';
+        memcpy(out + w, quals + b * L, qlens[b]); w += qlens[b];
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // gzip writer with explicit compression level (Z_BEST_SPEED default parity
 // with FastqFileStream.cpp:160-193)
 struct GzWriterC {

@@ -95,13 +95,27 @@ def _pileup_add(acons: np.ndarray, windows: np.ndarray, mask: np.ndarray):
 
 
 class SeqPurgeEngine:
-    def __init__(self, params: SeqPurgeParams, qc: ReadStatistics | None = None):
+    def __init__(self, params: SeqPurgeParams, qc: ReadStatistics | None = None,
+                 threads: int = 1):
         self.p = params
         self.stats = SeqPurgeStats()
         self.qc = qc
+        self.threads = max(1, threads)
         self.table = match_probability_table(0.25, MAXLEN)
         self.a1_arr = np.frombuffer(params.a1, dtype=np.uint8)
         self.a2_arr = np.frombuffer(params.a2, dtype=np.uint8)
+
+    @staticmethod
+    def native_available() -> bool:
+        """True when the C++ batch-analysis kernel (native/seqpurge.cpp)
+        is usable; it is the production host path (BASELINE.md round 3:
+        the decision stage is host-bound, and through the axon tunnel the
+        per-batch device offload is transfer-bound)."""
+        import os
+        if os.environ.get("NGSBITS_SEQPURGE_NO_NATIVE"):
+            return False
+        from ..io.native import get_lib
+        return get_lib() is not None
 
     # ------------- trimming primitives -------------
     def trim_quality(self, quals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -170,7 +184,23 @@ class SeqPurgeEngine:
         # header check
         h1 = b1.headers
         h2 = b2.headers
-        if h1 is not None and h2 is not None:
+        if b1.has_flat_headers() and b2.has_flat_headers():
+            from ..io.native import get_lib
+            lib = get_lib()
+            bad = lib.ngs_headers_match(
+                np.ascontiguousarray(b1.h1_flat), b1.h1_starts,
+                np.ascontiguousarray(b1.h1_lens, dtype=np.int32),
+                np.ascontiguousarray(b2.h1_flat), b2.h1_starts,
+                np.ascontiguousarray(b2.h1_lens, dtype=np.int32), B)
+            if bad >= 0:
+                t1 = b1.header_bytes(int(bad)).split(b" ")[0]
+                t2 = b2.header_bytes(int(bad)).split(b" ")[0]
+                if t1.endswith(b"/1") and t2.endswith(b"/2"):
+                    t1 = t1[:-2]
+                    t2 = t2[:-2]
+                raise ValueError(
+                    f"Headers of reads do not match:\n{t1.decode()}\n{t2.decode()}")
+        elif h1 is not None and h2 is not None:
             for a, b in zip(h1, h2):
                 t1 = a.split(b" ")[0]
                 t2 = b.split(b" ")[0]
@@ -185,6 +215,8 @@ class SeqPurgeEngine:
         len2 = b2.lengths.astype(np.int32).copy()
         if int(len1.max(initial=0)) >= MAXLEN or int(len2.max(initial=0)) >= MAXLEN:
             raise ValueError(f"Read length unsupported! A maximum read length of {MAXLEN} is supported!")
+        if self.native_available():
+            return self._process_batch_native(b1, b2, len1, len2)
         L = max(b1.bases.shape[1], b2.bases.shape[1])
         seq1 = np.zeros((B, L), dtype=np.uint8)
         seq1[:, :b1.bases.shape[1]] = b1.bases
@@ -317,6 +349,64 @@ class SeqPurgeEngine:
         self.stats.bases_perc_trim_sum += float(
             ((len2[nz2] - new_len2[nz2]) / len2[nz2]).sum())
 
+        return new_len1, new_len2
+
+    def _process_batch_native(self, b1: FastqBatch, b2: FastqBatch,
+                              len1: np.ndarray, len2: np.ndarray):
+        """C++ batch analysis (native/seqpurge.cpp): identical decisions to
+        the numpy path (cross-checked by tests/test_seqpurge.py), ~40x
+        faster and internally threaded."""
+        from ..io.native import get_lib
+        lib = get_lib()
+        p = self.p
+        s = self.stats
+        B = len(b1)
+        L = max(b1.bases.shape[1], b2.bases.shape[1], b1.quals.shape[1],
+                b2.quals.shape[1], 1)
+
+        def padded(a: np.ndarray) -> np.ndarray:
+            out = np.zeros((B, L), dtype=np.uint8)
+            out[:, :a.shape[1]] = a
+            return out
+
+        seq1 = padded(b1.bases)
+        qual1 = padded(b1.quals)
+        seq2 = padded(b2.bases)
+        qual2 = padded(b2.quals)
+
+        best_offset = np.empty(B, dtype=np.int32)
+        new_len1 = np.empty(B, dtype=np.int32)
+        new_len2 = np.empty(B, dtype=np.int32)
+        counters = np.zeros(4, dtype=np.int64)
+        perc = np.zeros(1, dtype=np.float64)
+
+        rc = lib.ngs_seqpurge_analyze(
+            seq1, qual1, seq2, qual2,
+            np.ascontiguousarray(len1), np.ascontiguousarray(len2),
+            B, L, self.table, self.table.shape[1],
+            self.a1_arr, self.a2_arr,
+            p.adapter_overlap, p.a_size, float(p.match_perc), float(p.mep),
+            p.qcut, p.qwin, p.qoff, p.ncut,
+            1 if p.ec else 0, self.threads,
+            best_offset, new_len1, new_len2,
+            counters, perc,
+            s.bases_remaining, s.acons1, s.acons2,
+            s.mismatch_r1, s.mismatch_r2, s.errors_per_read)
+        if rc != 0:
+            raise RuntimeError("ngs_seqpurge_analyze failed")
+
+        s.read_num += 2 * B
+        s.reads_trimmed_insert += float(counters[0])
+        s.reads_trimmed_adapter += float(counters[1])
+        s.reads_trimmed_q += float(counters[2])
+        s.reads_trimmed_n += float(counters[3])
+        s.bases_perc_trim_sum += float(perc[0])
+        if p.ec:
+            # corrections were applied to the padded copies — fold back
+            b1.bases[:] = seq1[:, :b1.bases.shape[1]]
+            b1.quals[:] = qual1[:, :b1.quals.shape[1]]
+            b2.bases[:] = seq2[:, :b2.bases.shape[1]]
+            b2.quals[:] = qual2[:, :b2.quals.shape[1]]
         return new_len1, new_len2
 
     def _correct_errors(self, b1, b2, seq1, read2, new_len1, new_len2, ins_idx, L):

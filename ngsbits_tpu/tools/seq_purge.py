@@ -66,7 +66,8 @@ class SeqPurgeTool(ToolBase):
 
         qc_file = self.get("qc")
         qc = ReadStatistics(single_end=False) if qc_file else None
-        engine = SeqPurgeEngine(params, qc=qc)
+        engine = SeqPurgeEngine(params, qc=qc,
+                                threads=max(1, self.get_int("threads")))
 
         level = self.get_int("compression_level")
         w1 = FastqWriter(self.get("out1"), level)
@@ -89,13 +90,15 @@ class SeqPurgeTool(ToolBase):
 
         from ..utils.prefetch import prefetch_paired
 
-        # -threads: per-worker engines over a bounded in-order window; the
-        # numpy/XLA scans release the GIL so workers genuinely overlap
-        # (reference: N analysis threads, SeqPurge/ThreadCoordinator.cpp).
-        # Each worker owns its stats; merged after the run (commutative sums).
+        # -threads: the native C++ kernel threads internally (deterministic
+        # static row partition, native/seqpurge.cpp); without it, per-worker
+        # engines over a bounded in-order window — the numpy/XLA scans
+        # release the GIL so workers genuinely overlap (reference: N
+        # analysis threads, SeqPurge/ThreadCoordinator.cpp). Each worker
+        # owns its stats; merged after the run (commutative sums).
         # Per-batch QC accumulation stays single-threaded when -qc is given.
         threads = max(1, self.get_int("threads"))
-        use_pool = threads > 1 and qc is None
+        use_pool = threads > 1 and qc is None and not engine.native_available()
         pool = workers = None
         if use_pool:
             import queue as _queue
@@ -151,8 +154,10 @@ class SeqPurgeTool(ToolBase):
 
         processed_reads = 0
         for f1, f2 in zip(in1, in2):
-            r1 = FastqReader(f1, batch_reads=block, keep_headers=True)
-            r2 = FastqReader(f2, batch_reads=block, keep_headers=True)
+            r1 = FastqReader(f1, batch_reads=block, keep_headers=True,
+                             flat_headers=True)
+            r2 = FastqReader(f2, batch_reads=block, keep_headers=True,
+                             flat_headers=True)
             # paired decode thread overlaps the device scans (P1 analogue)
             for b1, b2, new_len1, new_len2 in trimmed_batches(r1, r2):
                 processed_reads += 2 * len(b1)

@@ -109,3 +109,110 @@ def test_error_correction(ref_data_in, ref_data_out, tmp_path):
                                 "-block_size", "100", "-block_prefetch", "1"]) == 0
     cmp_gz(o1, ref_data_out / "SeqPurge_out20.fastq.gz")
     cmp_gz(o2, ref_data_out / "SeqPurge_out21.fastq.gz")
+
+
+def _random_pair_batch(rng, B=300, L=120, with_n=True):
+    import numpy as np
+    from ngsbits_tpu.io.fastq import FastqBatch
+
+    def make(lmax):
+        lens = rng.integers(31, lmax + 1, size=B).astype(np.int32)
+        alphabet = np.frombuffer(b"ACGTN" if with_n else b"ACGT", dtype=np.uint8)
+        probs = [0.24, 0.24, 0.24, 0.24, 0.04] if with_n else None
+        bases = alphabet[rng.choice(len(alphabet), size=(B, lmax), p=probs)]
+        quals = rng.integers(35, 74, size=(B, lmax)).astype(np.uint8)
+        pos = np.arange(lmax)[None, :]
+        mask = pos < lens[:, None]
+        bases = np.where(mask, bases, 0).astype(np.uint8)
+        quals = np.where(mask, quals, 0).astype(np.uint8)
+        return FastqBatch(bases=bases.copy(), quals=quals.copy(), lengths=lens)
+
+    b1 = make(L)
+    b2 = make(L - 7)  # differing pad widths exercise the re-pad path
+    # make a subset genuinely overlapping (insert match candidates): read2 =
+    # revcomp(read1 shifted) + adapter-ish tail
+    import numpy as np
+    comp = np.zeros(256, np.uint8)
+    for a, c in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = c
+    for i in range(0, B, 3):
+        l1 = int(b1.lengths[i])
+        off = int(rng.integers(1, 20))
+        l2 = max(31, l1 - off)
+        if l2 > b2.bases.shape[1]:
+            l2 = b2.bases.shape[1]
+        frag = b1.bases[i, :l2][::-1]
+        b2.bases[i, :l2] = comp[frag]
+        b2.bases[i, l2:] = 0
+        b2.lengths[i] = l2
+    return b1, b2
+
+
+@pytest.mark.parametrize("ec", [False, True])
+def test_native_matches_numpy(monkeypatch, ec):
+    """The C++ batch kernel (native/seqpurge.cpp) and the numpy/device
+    formulation must make identical decisions on randomized batches."""
+    import numpy as np
+    from ngsbits_tpu.qc.seqpurge import SeqPurgeEngine, SeqPurgeParams
+
+    rng = np.random.default_rng(42)
+    b1, b2 = _random_pair_batch(rng)
+    import copy
+    b1n, b2n = copy.deepcopy(b1), copy.deepcopy(b2)
+
+    params = SeqPurgeParams(ec=ec)
+    eng_native = SeqPurgeEngine(params)
+    assert eng_native.native_available()
+    nl1_nat, nl2_nat = eng_native.process_batch(b1n, b2n)
+
+    monkeypatch.setenv("NGSBITS_SEQPURGE_NO_NATIVE", "1")
+    eng_np = SeqPurgeEngine(params)
+    assert not eng_np.native_available()
+    nl1_np, nl2_np = eng_np.process_batch(b1, b2)
+
+    assert np.array_equal(nl1_nat, nl1_np)
+    assert np.array_equal(nl2_nat, nl2_np)
+    sn, sp = eng_native.stats, eng_np.stats
+    assert sn.read_num == sp.read_num
+    assert sn.reads_trimmed_insert == sp.reads_trimmed_insert
+    assert sn.reads_trimmed_adapter == sp.reads_trimmed_adapter
+    assert sn.reads_trimmed_q == sp.reads_trimmed_q
+    assert sn.reads_trimmed_n == sp.reads_trimmed_n
+    assert abs(sn.bases_perc_trim_sum - sp.bases_perc_trim_sum) < 1e-9
+    assert np.array_equal(sn.bases_remaining, sp.bases_remaining)
+    assert np.array_equal(sn.acons1, sp.acons1)
+    assert np.array_equal(sn.acons2, sp.acons2)
+    if ec:
+        assert np.array_equal(sn.mismatch_r1, sp.mismatch_r1)
+        assert np.array_equal(sn.mismatch_r2, sp.mismatch_r2)
+        assert np.array_equal(sn.errors_per_read, sp.errors_per_read)
+        assert np.array_equal(b1n.bases, b1.bases)
+        assert np.array_equal(b1n.quals, b1.quals)
+        assert np.array_equal(b2n.bases, b2.bases)
+        assert np.array_equal(b2n.quals, b2.quals)
+
+
+def test_native_threads_deterministic():
+    """threads>1 uses a static row partition with ordered merge — results
+    must be identical to threads=1."""
+    import numpy as np
+    from ngsbits_tpu.qc.seqpurge import SeqPurgeEngine, SeqPurgeParams
+
+    rng = np.random.default_rng(7)
+    b1, b2 = _random_pair_batch(rng, B=500)
+    import copy
+    b1b, b2b = copy.deepcopy(b1), copy.deepcopy(b2)
+
+    e1 = SeqPurgeEngine(SeqPurgeParams(), threads=1)
+    e4 = SeqPurgeEngine(SeqPurgeParams(), threads=4)
+    if not e1.native_available():
+        pytest.skip("native kernel unavailable")
+    r1 = e1.process_batch(b1, b2)
+    r4 = e4.process_batch(b1b, b2b)
+    assert np.array_equal(r1[0], r4[0])
+    assert np.array_equal(r1[1], r4[1])
+    # double partial sums merge in partition order — bitwise equality is not
+    # guaranteed across thread counts (the reference's mutex-merged doubles
+    # have the same property); the 2-decimal summary output is unaffected
+    assert abs(e1.stats.bases_perc_trim_sum - e4.stats.bases_perc_trim_sum) < 1e-9
+    assert np.array_equal(e1.stats.bases_remaining, e4.stats.bases_remaining)
