@@ -114,6 +114,14 @@ def get_lib():
             p(np.int32, flags="C"), p(np.int32, flags="C"),
             p(np.int32, flags="C"), p(np.int32, flags="C"),
         ]
+        lib.ngs_readqc_batch.restype = None
+        lib.ngs_readqc_batch.argtypes = [
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"),
+            p(np.int32, flags="C"), ct.c_int64, ct.c_int64,
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE")]
         lib.ngs_pad_flat.restype = None
         lib.ngs_pad_flat.argtypes = [
             p(np.uint8, flags="C"), p(np.int32, flags="C"),

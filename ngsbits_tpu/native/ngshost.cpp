@@ -587,6 +587,42 @@ int64_t ngs_fastq_read_batch(
     return n;
 }
 
+// ReadQC batch accumulation (StatisticsReads::update inner loop,
+// cppNGS/StatisticsReads.cpp:26-81): per-cycle base pileups, per-cycle
+// quality sums, base-quality histogram, per-read quality sums. Identical
+// contract to ops/readqc.py readqc_batch_host (quality = ASCII-33; values
+// outside [0,100) are excluded from the histogram only).
+void ngs_readqc_batch(const uint8_t* bases, const uint8_t* quals,
+                      const int32_t* lens, int64_t B, int64_t L,
+                      int32_t* counts5,     // [5*L] A,C,G,T,N x cycle
+                      int32_t* qsum_cycle,  // [L]
+                      int32_t* qhist,       // [100]
+                      int32_t* read_qsum) { // [B]
+    static int8_t base_idx[256];
+    static bool init = false;
+    if (!init) {
+        memset(base_idx, -1, sizeof(base_idx));
+        base_idx['A'] = 0; base_idx['C'] = 1; base_idx['G'] = 2;
+        base_idx['T'] = 3; base_idx['N'] = 4;
+        init = true;
+    }
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* brow = bases + b * L;
+        const uint8_t* qrow = quals + b * L;
+        const int32_t n = lens[b];
+        int32_t rq = 0;
+        for (int32_t j = 0; j < n; ++j) {
+            const int8_t bi = base_idx[brow[j]];
+            if (bi >= 0) ++counts5[(int64_t)bi * L + j];
+            const int32_t q = (int32_t)qrow[j] - 33;
+            qsum_cycle[j] += q;
+            rq += q;
+            if (q >= 0 && q < 100) ++qhist[q];
+        }
+        read_qsum[b] = rq;
+    }
+}
+
 // Pack a flat concatenated byte buffer (record-ordered) into a zero-padded
 // [B, Lmax] row-major matrix.
 void ngs_pad_flat(const uint8_t* flat, const int32_t* lens,

@@ -65,12 +65,25 @@ def readqc_batch(bases: jax.Array, quals: jax.Array, lengths: jax.Array):
 
 def readqc_batch_host(bases: np.ndarray, quals: np.ndarray,
                       lengths: np.ndarray):
-    """Same contract as readqc_batch, computed with numpy on the host.
+    """Same contract as readqc_batch, computed on the host.
 
     Used when no TPU is attached: CPU XLA materializes the [B, L, Q] one-hot
-    (measured ~2k reads/s at B=64k), while bincount streams it (~1M reads/s).
+    (measured ~2k reads/s at B=64k). Preferred order: the native C++ single
+    pass (ngs_readqc_batch, ~10x the numpy fallback), then numpy bincount.
     """
     B, L = bases.shape
+    from ..io.native import get_lib
+    lib = get_lib()
+    if (lib is not None and B and bases.flags.c_contiguous
+            and quals.flags.c_contiguous and bases.shape == quals.shape):
+        counts5 = np.zeros((5, L), dtype=np.int32)
+        qsum_cycle = np.zeros(L, dtype=np.int32)
+        qhist = np.zeros(QHIST_SIZE, dtype=np.int32)
+        read_qsum = np.zeros(B, dtype=np.int32)
+        lib.ngs_readqc_batch(bases, quals,
+                             np.ascontiguousarray(lengths, dtype=np.int32),
+                             B, L, counts5, qsum_cycle, qhist, read_qsum)
+        return counts5, qsum_cycle, qhist, read_qsum
     mask = np.arange(L, dtype=np.int32)[None, :] < lengths[:, None]
     q = np.where(mask, quals.astype(np.int32) - 33, 0)
     counts5 = np.stack([
