@@ -15,20 +15,58 @@ All masked by position < length. Padding never contributes.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 # base codes in pileup order A, C, G, T, N (ASCII)
 BASE_CODES = np.frombuffer(b"ACGTN", dtype=np.uint8)
 QHIST_SIZE = 100  # reference base_qualities_ array size (StatisticsReads.h:48)
 
+_READQC_JIT = None
+_READQC_RAW = None
 
-@partial(jax.jit, donate_argnums=())
-def readqc_batch(bases: jax.Array, quals: jax.Array, lengths: jax.Array):
-    """Compute ReadQC partial statistics for one batch.
+
+def _build_readqc_raw():
+    # jax is imported lazily so CPU-host tool invocations (which take the
+    # native readqc_batch_host path) never pay the ~1.5s jax import
+    import jax
+    import jax.numpy as jnp
+
+    def readqc_batch_impl(bases, quals, lengths):
+        B, L = bases.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        mask = pos < lengths[:, None]
+        q = jnp.where(mask, quals.astype(jnp.int32) - 33, 0)
+
+        counts5 = jnp.stack([
+            jnp.sum(((bases == code) & mask).astype(jnp.int32), axis=0)
+            for code in BASE_CODES
+        ])  # [5, L]
+
+        qsum_cycle = jnp.sum(q, axis=0, dtype=jnp.int32)  # [L]
+        read_qsum = jnp.sum(q, axis=1, dtype=jnp.int32)   # [B]
+
+        # base-quality histogram via one-hot reduction: padding is masked by
+        # routing it to a sentinel bin that is dropped.
+        q_or_sentinel = jnp.where(mask, q, QHIST_SIZE)
+        onehot = q_or_sentinel[:, :, None] == jnp.arange(QHIST_SIZE + 1)[None, None, :]
+        qhist = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)[:QHIST_SIZE]
+
+        return counts5, qsum_cycle, qhist, read_qsum
+
+    return readqc_batch_impl
+
+
+def readqc_batch_raw():
+    """The traceable (unjitted) batch function — for composition inside
+    shard_map (parallel/mesh.py)."""
+    global _READQC_RAW
+    if _READQC_RAW is None:
+        _READQC_RAW = _build_readqc_raw()
+    return _READQC_RAW
+
+
+def readqc_batch(bases, quals, lengths):
+    """Compute ReadQC partial statistics for one batch (device path).
 
     Args:
       bases:   [B, L] uint8 ASCII base codes (zero-padded)
@@ -41,26 +79,11 @@ def readqc_batch(bases: jax.Array, quals: jax.Array, lengths: jax.Array):
       qhist:      [QHIST_SIZE] int32 base-quality histogram
       read_qsum:  [B] int32 per-read quality sums
     """
-    B, L = bases.shape
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    mask = pos < lengths[:, None]
-    q = jnp.where(mask, quals.astype(jnp.int32) - 33, 0)
-
-    counts5 = jnp.stack([
-        jnp.sum(((bases == code) & mask).astype(jnp.int32), axis=0)
-        for code in BASE_CODES
-    ])  # [5, L]
-
-    qsum_cycle = jnp.sum(q, axis=0, dtype=jnp.int32)  # [L]
-    read_qsum = jnp.sum(q, axis=1, dtype=jnp.int32)   # [B]
-
-    # base-quality histogram via one-hot reduction: padding is masked by
-    # routing it to a sentinel bin that is dropped.
-    q_or_sentinel = jnp.where(mask, q, QHIST_SIZE)
-    onehot = q_or_sentinel[:, :, None] == jnp.arange(QHIST_SIZE + 1)[None, None, :]
-    qhist = jnp.sum(onehot, axis=(0, 1), dtype=jnp.int32)[:QHIST_SIZE]
-
-    return counts5, qsum_cycle, qhist, read_qsum
+    global _READQC_JIT
+    if _READQC_JIT is None:
+        import jax
+        _READQC_JIT = jax.jit(readqc_batch_raw())
+    return _READQC_JIT(bases, quals, lengths)
 
 
 def readqc_batch_host(bases: np.ndarray, quals: np.ndarray,

@@ -13,11 +13,9 @@ match-percentage test), so full counts give identical results.
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from ..utils.backend import is_tpu_backend
 
 N_CODE = ord("N")
 
@@ -25,7 +23,8 @@ N_CODE = ord("N")
 def adapter_evidence_auto(read1, read2, len1, len2, a1, a2, overlap=10):
     """Backend dispatch: XLA on TPU, shifted-slice numpy on CPU (same
     counts; avoids the [B, L, overlap] gather and per-shape recompiles)."""
-    if jax.default_backend() == "tpu":
+    if is_tpu_backend():
+        import jax
         return jax.device_get(adapter_evidence(read1, read2, len1, len2,
                                                a1, a2, overlap))
     return adapter_evidence_host(np.asarray(read1), np.asarray(read2),
@@ -35,7 +34,8 @@ def adapter_evidence_auto(read1, read2, len1, len2, a1, a2, overlap=10):
 
 def adapter_scan_auto(read, length, adapter, a_size):
     """Backend dispatch for the adapter-prefix scan."""
-    if jax.default_backend() == "tpu":
+    if is_tpu_backend():
+        import jax
         return jax.device_get(adapter_scan(read, length, adapter, a_size))
     return adapter_scan_host(np.asarray(read), np.asarray(length),
                              np.asarray(adapter), a_size)
@@ -49,7 +49,7 @@ def insert_scan_auto(seq1, seq2rc, min_len):
     on CPU the shifted-slice numpy formulation replaces the XLA gather
     (~4.6x, bit-identical).
     """
-    if jax.default_backend() == "tpu":
+    if is_tpu_backend():
         from .pallas_kernels import insert_scan_pallas
         return insert_scan_pallas(seq1, seq2rc, min_len)
     # CPU: shifted-slice numpy formulation — O(L) SIMD passes over [B, L-o]
@@ -81,9 +81,90 @@ def insert_scan_host(seq1: np.ndarray, seq2rc: np.ndarray, min_len: np.ndarray):
     return matches, mismatches
 
 
-@partial(jax.jit, static_argnums=())
-def insert_scan(seq1: jax.Array, seq2rc: jax.Array, min_len: jax.Array):
-    """Counts for the insert-match offset scan.
+_DEVICE_FNS = {}
+
+
+def _device_fns():
+    """Lazily build the jitted device formulations (jax import deferred so
+    CPU-host tool runs never pay it)."""
+    if _DEVICE_FNS:
+        return _DEVICE_FNS
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=())
+    def insert_scan(seq1, seq2rc, min_len):
+        B, L = seq1.shape
+        o = jnp.arange(L, dtype=jnp.int32)[None, :, None]        # [1, O, 1]
+        j = jnp.arange(L, dtype=jnp.int32)[None, None, :]        # [1, 1, L]
+        idx = jnp.clip(j - o, 0, L - 1)                          # [1, O, L]
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        s1 = seq1[b_idx, idx]                                    # [B, O, L]
+        s2 = seq2rc[:, None, :]
+        valid = (j >= o) & (j < min_len[:, None, None])
+        is_n = (s1 == N_CODE) | (s2 == N_CODE)
+        eff = valid & ~is_n
+        matches = jnp.sum(eff & (s1 == s2), axis=2, dtype=jnp.int32)
+        mismatches = jnp.sum(eff & (s1 != s2), axis=2, dtype=jnp.int32)
+        return matches, mismatches
+
+    @partial(jax.jit, static_argnums=(6,))
+    def adapter_evidence(read1, read2, len1, len2, a1, a2, overlap=10):
+        B, L = read1.shape
+        o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+        i = jnp.arange(overlap, dtype=jnp.int32)[None, None, :]
+        start = len2[:, None, None] - o
+        pos = start + i
+
+        def window_counts(read, rlen, adapter, extra_valid):
+            valid = (pos >= 0) & (pos < rlen[:, None, None]) & extra_valid
+            b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+            b = read[b_idx, jnp.clip(pos, 0, L - 1)]
+            c = adapter[None, None, :]
+            is_n = (b == N_CODE) | (c == N_CODE)
+            eff = valid & ~is_n
+            m = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
+            mm = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
+            return m, mm
+
+        m1, mm1 = window_counts(read1, len1, a1, jnp.bool_(True))
+        # window2 length is additionally capped at o (i < o)
+        m2, mm2 = window_counts(read2, len2, a2, i < o)
+        return m1, mm1, m2, mm2
+
+    @partial(jax.jit, static_argnums=(3,))
+    def adapter_scan(read, length, adapter, a_size):
+        B, L = read.shape
+        o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+        i = jnp.arange(a_size, dtype=jnp.int32)[None, None, :]
+        pos = o + i
+        valid = pos < length[:, None, None]
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+        b = read[b_idx, jnp.clip(pos, 0, L - 1)]
+        c = adapter[None, None, :a_size]
+        is_n = (b == N_CODE) | (c == N_CODE)
+        eff = valid & ~is_n
+        matches = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
+        mismatches = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
+        return matches, mismatches
+
+    _DEVICE_FNS.update(insert_scan=insert_scan,
+                       insert_scan_raw=insert_scan.__wrapped__,
+                       adapter_evidence=adapter_evidence,
+                       adapter_scan=adapter_scan)
+    return _DEVICE_FNS
+
+
+def insert_scan_raw():
+    """The traceable (unjitted) insert-scan — for composition inside
+    shard_map (parallel/mesh.py)."""
+    return _device_fns()["insert_scan_raw"]
+
+
+def insert_scan(seq1, seq2rc, min_len):
+    """Counts for the insert-match offset scan (device formulation).
 
     seq1:   [B, L] uint8 ASCII read1 (zero-padded)
     seq2rc: [B, L] uint8 ASCII revcomp(read2) (zero-padded)
@@ -93,72 +174,25 @@ def insert_scan(seq1: jax.Array, seq2rc: jax.Array, min_len: jax.Array):
     Position j contributes for offset o when o <= j < min_len:
     compares seq1[j-o] with seq2rc[j] (AnalysisWorker.cpp:150-167).
     """
-    B, L = seq1.shape
-    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]        # [1, O, 1]
-    j = jnp.arange(L, dtype=jnp.int32)[None, None, :]        # [1, 1, L]
-    idx = jnp.clip(j - o, 0, L - 1)                          # [1, O, L]
-    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-    s1 = seq1[b_idx, idx]                                    # [B, O, L]
-    s2 = seq2rc[:, None, :]
-    valid = (j >= o) & (j < min_len[:, None, None])
-    is_n = (s1 == N_CODE) | (s2 == N_CODE)
-    eff = valid & ~is_n
-    matches = jnp.sum(eff & (s1 == s2), axis=2, dtype=jnp.int32)
-    mismatches = jnp.sum(eff & (s1 != s2), axis=2, dtype=jnp.int32)
-    return matches, mismatches
+    return _device_fns()["insert_scan"](seq1, seq2rc, min_len)
 
 
-@partial(jax.jit, static_argnums=(6,))
-def adapter_evidence(read1: jax.Array, read2: jax.Array,
-                     len1: jax.Array, len2: jax.Array,
-                     a1: jax.Array, a2: jax.Array, overlap: int = 10):
+def adapter_evidence(read1, read2, len1, len2, a1, a2, overlap=10):
     """Adapter-presence counts for the insert match (AnalysisWorker.cpp:182-259).
 
     For each offset o: window1 = read1[len2-o : len2-o+overlap] vs a1,
     window2 = read2[len2-o : len2-o+min(overlap,o)] vs a2.
     Returns (m1, mm1, m2, mm2): [B, L] int32.
     """
-    B, L = read1.shape
-    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
-    i = jnp.arange(overlap, dtype=jnp.int32)[None, None, :]
-    start = len2[:, None, None] - o
-    pos = start + i
-
-    def window_counts(read, rlen, adapter, extra_valid):
-        valid = (pos >= 0) & (pos < rlen[:, None, None]) & extra_valid
-        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-        b = read[b_idx, jnp.clip(pos, 0, L - 1)]
-        c = adapter[None, None, :]
-        is_n = (b == N_CODE) | (c == N_CODE)
-        eff = valid & ~is_n
-        m = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
-        mm = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
-        return m, mm
-
-    m1, mm1 = window_counts(read1, len1, a1, jnp.bool_(True))
-    # window2 length is additionally capped at o (i < o)
-    m2, mm2 = window_counts(read2, len2, a2, i < o)
-    return m1, mm1, m2, mm2
+    return _device_fns()["adapter_evidence"](read1, read2, len1, len2,
+                                             a1, a2, overlap)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def adapter_scan(read: jax.Array, length: jax.Array, adapter: jax.Array, a_size: int):
+def adapter_scan(read, length, adapter, a_size: int):
     """Adapter-prefix scan (steps 2/3, AnalysisWorker.cpp:304-427):
     for each offset o compare read[o:o+a_size] vs adapter[:a_size]
     (window truncated at read end). Returns (matches, mismatches): [B, L]."""
-    B, L = read.shape
-    o = jnp.arange(L, dtype=jnp.int32)[None, :, None]
-    i = jnp.arange(a_size, dtype=jnp.int32)[None, None, :]
-    pos = o + i
-    valid = pos < length[:, None, None]
-    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-    b = read[b_idx, jnp.clip(pos, 0, L - 1)]
-    c = adapter[None, None, :a_size]
-    is_n = (b == N_CODE) | (c == N_CODE)
-    eff = valid & ~is_n
-    matches = jnp.sum(eff & (b == c), axis=2, dtype=jnp.int32)
-    mismatches = jnp.sum(eff & (b != c), axis=2, dtype=jnp.int32)
-    return matches, mismatches
+    return _device_fns()["adapter_scan"](read, length, adapter, a_size)
 
 
 def adapter_scan_host(read: np.ndarray, length: np.ndarray,

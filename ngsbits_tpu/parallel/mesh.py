@@ -82,7 +82,7 @@ def sharded_insert_scan(mesh: Mesh, seq1, seq2rc, min_len):
     from ..ops import seqpurge as sp_ops
     axis = mesh.axis_names[0]
     fn = jax.jit(jax.shard_map(
-        lambda a, b, c: sp_ops.insert_scan.__wrapped__(a, b, c),
+        lambda a, b, c: sp_ops.insert_scan_raw()(a, b, c),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
         out_specs=(P(axis, None), P(axis, None)),
@@ -101,7 +101,7 @@ def sharded_readqc_step(mesh: Mesh, bases, quals, lengths):
     axis = mesh.axis_names[0]
 
     def step(b, q, l):
-        counts5, qsum_cycle, qhist, read_qsum = readqc_ops.readqc_batch.__wrapped__(b, q, l)
+        counts5, qsum_cycle, qhist, read_qsum = readqc_ops.readqc_batch_raw()(b, q, l)
         counts5 = jax.lax.psum(counts5, axis)
         qsum_cycle = jax.lax.psum(qsum_cycle, axis)
         qhist = jax.lax.psum(qhist, axis)

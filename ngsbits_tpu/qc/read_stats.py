@@ -16,7 +16,7 @@ import math
 from collections import Counter
 
 import numpy as np
-import jax
+from ..utils.backend import is_tpu_backend
 
 from ..core.histogram import Histogram
 from ..core.plots import BarPlot, LinePlot
@@ -77,6 +77,8 @@ class ReadStatistics:
         B = len(batch)
         import os as _os
         use_mesh = _os.environ.get("NGSBITS_MESH", "") not in ("", "0")
+        if use_mesh:
+            import jax
         if use_mesh and jax.device_count() > 1:
             # data-parallel reduction over all devices (psum merges); the
             # padded bucket is divisible by the device count by construction
@@ -86,7 +88,8 @@ class ReadStatistics:
             counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
                 sharded_readqc_step(make_mesh(), pb, pq, pl))
             read_qsum = read_qsum[:B]
-        elif jax.default_backend() == "tpu":
+        elif is_tpu_backend():
+            import jax
             pb, pq, pl = self._bucket(batch)
             counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
                 readqc_ops.readqc_batch(pb, pq, pl))

@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-import jax
 
 from ..core.basicstats import match_probability_table
 from ..io.fastq import FastqBatch
@@ -230,6 +229,7 @@ class SeqPurgeEngine:
         min_len = np.minimum(len1, len2)
 
         # ---- step 1: insert match (device counts + host decisions) ----
+        import jax
         m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
         m1, mm1, m2, mm2 = ops.adapter_evidence_auto(
             seq1, read2, len1, len2, self.a1_arr[:p.adapter_overlap],
