@@ -232,6 +232,18 @@ def main():
                                   f"{CACHE}/cov_out.bed"])
     extra["bedcoverage_e2e_reads_per_sec"] = round(n_bam_reads / dt, 1)
 
+    # (d) end-to-end MappingQC (ROI mode) on the same BAM; a stub genome
+    # (empty FASTA + .fai) stands in for the reference sequence — GC terms
+    # compute against it identically run-to-run
+    stub = f"{CACHE}/stub.fa"
+    if not os.path.exists(stub + ".fai"):
+        open(stub, "w").close()
+        with open(stub + ".fai", "w") as fh:
+            fh.write("chr1\t248956422\t6\t60\t61\n")
+    dt = run_tool("MappingQC", ["-in", bam, "-out", f"{CACHE}/mq.qcML",
+                                "-roi", roi, "-no_cont", "-ref", stub])
+    extra["mappingqc_e2e_reads_per_sec"] = round(n_bam_reads / dt, 1)
+
     # headline device kernel metric (continuity with BENCH_r01/r02)
     reads_per_sec = kernel_metric()
     print(json.dumps({

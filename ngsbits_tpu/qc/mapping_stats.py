@@ -355,18 +355,63 @@ class MappingScan:
 
 
 def _gc_prepare(bed: BedFile, ref: FastaFileIndex):
-    """Chunk the ROI into 100bp pieces and compute per-chunk GC bin."""
+    """Chunk the ROI into 100bp pieces and compute per-chunk GC bin.
+
+    One reference read per parent ROI region (chunks are consecutive
+    after BedFile.chunk) + prefix-sum slicing — instead of one
+    FastaFileIndex.seq() call per 100bp chunk. Identical bins: the
+    GC ratio per chunk is the same double division."""
     dropout = BedFile()
     dropout.lines = [type(l)(l.chr, l.start, l.end, []) for l in bed.lines]
     dropout.chunk(100)
-    bins = np.full(len(dropout.lines), -1, dtype=np.int64)
+    n = len(dropout.lines)
+    bins = np.full(n, -1, dtype=np.int64)
     gc_roi = np.zeros(101, dtype=np.float64)
-    for i, line in enumerate(dropout.lines):
-        gc = gc_content(ref.seq(line.chr, line.start, line.length()))
-        if math.isfinite(gc):
-            b = int(math.floor(100.0 * gc))
-            bins[i] = b
-            gc_roi[b] += 1.0
+    parents = bed.lines
+    pi = 0
+    i = 0
+    while i < n:
+        line = dropout.lines[i]
+        while pi < len(parents) and not (
+                parents[pi].chr == line.chr
+                and parents[pi].start <= line.start
+                and line.end <= parents[pi].end):
+            pi += 1
+        if pi >= len(parents):
+            # unexpected layout — per-chunk fallback for the remainder
+            for j in range(i, n):
+                l = dropout.lines[j]
+                gc = gc_content(ref.seq(l.chr, l.start, l.length()))
+                if math.isfinite(gc):
+                    b = int(math.floor(100.0 * gc))
+                    bins[j] = b
+                    gc_roi[b] += 1.0
+            break
+        parent = parents[pi]
+        block = ref.seq(parent.chr, parent.start, parent.length())
+        arr = np.frombuffer(block, dtype=np.uint8)
+        is_gc = (arr == ord("G")) | (arr == ord("C")) | (arr == ord("g")) | (arr == ord("c"))
+        is_at = (arr == ord("A")) | (arr == ord("T")) | (arr == ord("a")) | (arr == ord("t"))
+        cg = np.concatenate(([0], np.cumsum(is_gc, dtype=np.int64)))
+        ca = np.concatenate(([0], np.cumsum(is_at, dtype=np.int64)))
+        blen = len(arr)
+        j = i
+        while j < n:
+            l = dropout.lines[j]
+            if not (l.chr == parent.chr and parent.start <= l.start
+                    and l.end <= parent.end):
+                break
+            s = min(l.start - parent.start, blen)
+            e = min(l.end - parent.start + 1, blen)
+            gcn = int(cg[e] - cg[s])
+            atn = int(ca[e] - ca[s])
+            if gcn + atn:
+                b = int(math.floor(100.0 * (gcn / (gcn + atn))))
+                bins[j] = b
+                gc_roi[b] += 1.0
+            j += 1
+        i = j
+        pi += 1
     return dropout, bins, gc_roi[:100], gc_roi
 
 
@@ -408,11 +453,20 @@ def _depth_histogram_metrics(cov: np.ndarray, roi_bases: int, avg_depth: float,
             hist_max = 20000
             hist_step = 500
     hist = Histogram(0, hist_max, hist_step)
-    in_range = cov <= hist_max
-    counts = np.bincount(np.minimum(cov[in_range] // hist_step, hist.bin_count() - 1),
-                         minlength=hist.bin_count())
+    bc = hist.bin_count()
+    # single-bincount formulation (cov can be 10^7+ elements): values above
+    # the last bin are clamped into it while <= hist_max, dropped beyond —
+    # same result as masking cov <= hist_max then clamping
+    d = cov // hist_step
+    counts_all = np.bincount(d)
+    counts = np.zeros(bc, dtype=counts_all.dtype)
+    take = min(bc, len(counts_all))
+    counts[:take] = counts_all[:take]
+    if len(counts_all) > bc:
+        tail = cov[d >= bc]
+        counts[bc - 1] += int((tail <= hist_max).sum())
     hist.add_counts(counts.astype(np.float64))
-    bases_half = int((cov >= half_depth).sum())
+    bases_half = int(np.count_nonzero(cov >= half_depth))
     return hist, bases_half
 
 
