@@ -174,16 +174,20 @@ def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = "
             if not h.startswith(b"@"):
                 raise ValueError("Invalid Fastq file entry: First header line does not start with '@'")
     elif batch.h1_flat is not None:
-        ok = (batch.h1_lens > 0) & (batch.h1_flat[batch.h1_starts] == ord("@"))
-        if not ok.all():
+        # empty header lines fail too — and must be excluded before the
+        # gather (their start offset can equal len(flat))
+        nonempty = batch.h1_lens > 0
+        if (not nonempty.all()
+                or not (batch.h1_flat[batch.h1_starts[nonempty]] == ord("@")).all()):
             raise ValueError("Invalid Fastq file entry: First header line does not start with '@'")
     if batch.headers2 is not None:
         for h in batch.headers2:
             if not h.startswith(b"+"):
                 raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
     elif batch.h2_flat is not None:
-        ok = (batch.h2_lens > 0) & (batch.h2_flat[batch.h2_starts] == ord("+"))
-        if not ok.all():
+        nonempty = batch.h2_lens > 0
+        if (not nonempty.all()
+                or not (batch.h2_flat[batch.h2_starts[nonempty]] == ord("+")).all()):
             raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
 
 

@@ -592,20 +592,33 @@ int64_t ngs_fastq_read_batch(
 // quality sums, base-quality histogram, per-read quality sums. Identical
 // contract to ops/readqc.py readqc_batch_host (quality = ASCII-33; values
 // outside [0,100) are excluded from the histogram only).
+namespace {
+// thread-safe one-time init (ctypes calls release the GIL, so concurrent
+// first calls are possible — C++11 magic statics guarantee the ordering)
+struct BaseIdxTable {
+    int8_t t[256];
+    BaseIdxTable() {
+        memset(t, -1, sizeof(t));
+        t['A'] = 0; t['C'] = 1; t['G'] = 2; t['T'] = 3; t['N'] = 4;
+    }
+};
+struct ValidBaseTable {
+    bool t[256];
+    ValidBaseTable() {
+        memset(t, 0, sizeof(t));
+        t['A'] = t['C'] = t['G'] = t['T'] = t['N'] = true;
+    }
+};
+}  // namespace
+
 void ngs_readqc_batch(const uint8_t* bases, const uint8_t* quals,
                       const int32_t* lens, int64_t B, int64_t L,
                       int32_t* counts5,     // [5*L] A,C,G,T,N x cycle
                       int32_t* qsum_cycle,  // [L]
                       int32_t* qhist,       // [100]
                       int32_t* read_qsum) { // [B]
-    static int8_t base_idx[256];
-    static bool init = false;
-    if (!init) {
-        memset(base_idx, -1, sizeof(base_idx));
-        base_idx['A'] = 0; base_idx['C'] = 1; base_idx['G'] = 2;
-        base_idx['T'] = 3; base_idx['N'] = 4;
-        init = true;
-    }
+    static const BaseIdxTable table;
+    const int8_t* base_idx = table.t;
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* brow = bases + b * L;
         const uint8_t* qrow = quals + b * L;
@@ -644,14 +657,8 @@ int32_t ngs_validate_batch(const uint8_t* bases, const uint8_t* quals,
                            const int32_t* lens, const int32_t* qlens,
                            int64_t B, int64_t L, int32_t qmax,
                            int64_t* bad_info) {
-    static bool valid_base[256];
-    static bool init = false;
-    if (!init) {
-        memset(valid_base, 0, sizeof(valid_base));
-        valid_base['A'] = valid_base['C'] = valid_base['G'] = valid_base['T'] =
-            valid_base['N'] = true;
-        init = true;
-    }
+    static const ValidBaseTable table;
+    const bool* valid_base = table.t;
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* row = bases + b * L;
         const int32_t n = lens[b];

@@ -179,7 +179,6 @@ void process_rows(const Args& a, int64_t row_begin, int64_t row_end, Accum& acc)
                 tot = eff;
             }
             if (tot == 0) continue;
-            const int32_t mm = tot - m;
             if (100.0 * m / tot < a.match_perc) continue;
             const double pv = a.table[(int64_t)tot * a.tstride + m];
             if (!(pv <= a.mep)) continue;

@@ -388,28 +388,44 @@ def _gc_prepare(bed: BedFile, ref: FastaFileIndex):
                     gc_roi[b] += 1.0
             break
         parent = parents[pi]
-        block = ref.seq(parent.chr, parent.start, parent.length())
-        arr = np.frombuffer(block, dtype=np.uint8)
-        is_gc = (arr == ord("G")) | (arr == ord("C")) | (arr == ord("g")) | (arr == ord("c"))
-        is_at = (arr == ord("A")) | (arr == ord("T")) | (arr == ord("a")) | (arr == ord("t"))
-        cg = np.concatenate(([0], np.cumsum(is_gc, dtype=np.int64)))
-        ca = np.concatenate(([0], np.cumsum(is_at, dtype=np.int64)))
-        blen = len(arr)
+        # find all consecutive chunks belonging to this parent
         j = i
         while j < n:
             l = dropout.lines[j]
             if not (l.chr == parent.chr and parent.start <= l.start
                     and l.end <= parent.end):
                 break
-            s = min(l.start - parent.start, blen)
-            e = min(l.end - parent.start + 1, blen)
-            gcn = int(cg[e] - cg[s])
-            atn = int(ca[e] - ca[s])
-            if gcn + atn:
-                b = int(math.floor(100.0 * (gcn / (gcn + atn))))
-                bins[j] = b
-                gc_roi[b] += 1.0
             j += 1
+        # process them in bounded windows (a parent can be a whole
+        # chromosome — don't materialize chromosome-scale prefix sums)
+        window = 4 << 20
+        k = i
+        while k < j:
+            k_end = k
+            win_start = dropout.lines[k].start
+            while k_end < j and dropout.lines[k_end].end - win_start < window:
+                k_end += 1
+            if k_end == k:          # single chunk larger than the window
+                k_end = k + 1
+            win_end = dropout.lines[k_end - 1].end
+            block = ref.seq(parent.chr, win_start, win_end - win_start + 1)
+            arr = np.frombuffer(block, dtype=np.uint8)
+            is_gc = (arr == ord("G")) | (arr == ord("C")) | (arr == ord("g")) | (arr == ord("c"))
+            is_at = (arr == ord("A")) | (arr == ord("T")) | (arr == ord("a")) | (arr == ord("t"))
+            cg = np.concatenate(([0], np.cumsum(is_gc, dtype=np.int32)))
+            ca = np.concatenate(([0], np.cumsum(is_at, dtype=np.int32)))
+            blen = len(arr)
+            for jj in range(k, k_end):
+                l = dropout.lines[jj]
+                s = min(l.start - win_start, blen)
+                e = min(l.end - win_start + 1, blen)
+                gcn = int(cg[e] - cg[s])
+                atn = int(ca[e] - ca[s])
+                if gcn + atn:
+                    b = int(math.floor(100.0 * (gcn / (gcn + atn))))
+                    bins[jj] = b
+                    gc_roi[b] += 1.0
+            k = k_end
         i = j
         pi += 1
     return dropout, bins, gc_roi[:100], gc_roi

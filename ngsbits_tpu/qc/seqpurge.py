@@ -229,8 +229,12 @@ class SeqPurgeEngine:
         min_len = np.minimum(len1, len2)
 
         # ---- step 1: insert match (device counts + host decisions) ----
-        import jax
-        m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
+        from ..utils.backend import is_tpu_backend
+        if is_tpu_backend():
+            import jax
+            m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
+        else:
+            m, mm = ops.insert_scan_auto(seq1, seq2rc, min_len)
         m1, mm1, m2, mm2 = ops.adapter_evidence_auto(
             seq1, read2, len1, len2, self.a1_arr[:p.adapter_overlap],
             self.a2_arr[:p.adapter_overlap], p.adapter_overlap)

@@ -23,7 +23,6 @@ class GenomeData:
         self._chr_nums = np.empty(0, dtype=np.int64)
         self._starts = np.empty(0, dtype=np.int64)
         self._ends = np.empty(0, dtype=np.int64)
-        self._order = np.empty(0, dtype=np.int64)
 
     @property
     def genome(self) -> FastaFileIndex:
@@ -40,13 +39,12 @@ class GenomeData:
             (t.start() for t in self.transcripts), dtype=np.int64, count=n)
         self._ends = np.fromiter(
             (t.end() for t in self.transcripts), dtype=np.int64, count=n)
-        self._order = np.lexsort((self._starts, self._chr_nums))
 
     def matching_transcript_indices(self, chr_: Chromosome, start: int,
                                     end: int) -> list[int]:
         """Indices of transcripts overlapping [start, end] on chr, in
         transcript-list order (ChromosomalIndex<TranscriptList> analogue)."""
-        if not len(self._order):
+        if not len(self._starts):
             return []
         mask = ((self._chr_nums == chr_.num)
                 & (self._starts <= end) & (self._ends >= start))

@@ -106,3 +106,19 @@ def test_capacity_break_before_padded_final_record(tmp_path):
                         validate=False)
     _assert_equal(nb, pb)
     assert sum(len(b) for b in nb) == n
+
+
+def test_flat_headers_empty_header_line_raises(tmp_path):
+    """An empty header line must raise the FASTQ validation error, not
+    IndexError, on the flat-header path (its start offset can equal the
+    flat buffer length when it is the last record)."""
+    import gzip
+    import pytest
+    from ngsbits_tpu.io.fastq import FastqReader
+
+    p = tmp_path / "bad.fastq.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(b"@r1\nACGT\n+\nIIII\n\nACGT\n+\nIIII\n")
+    r = FastqReader(str(p), keep_headers=True, flat_headers=True)
+    with pytest.raises(ValueError, match="First header line"):
+        list(r)
