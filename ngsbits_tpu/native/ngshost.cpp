@@ -19,6 +19,9 @@
 #include <vector>
 #include <thread>
 #include <zlib.h>
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -30,8 +33,20 @@ struct BgzfBlock {
     bool ok = true;
 };
 
-// Decode one BGZF block payload (raw deflate) into out.
+// Decode one BGZF block payload (raw deflate) into out. BGZF blocks are
+// independent whole-buffer streams with a known output size — ideal for
+// libdeflate (~2-3x zlib); zlib remains the build-time fallback.
 bool inflate_block(const uint8_t* cdata, size_t clen, uint8_t* out, uint32_t isize) {
+#ifdef HAVE_LIBDEFLATE
+    static thread_local libdeflate_decompressor* d =
+        libdeflate_alloc_decompressor();
+    if (d) {
+        size_t actual = 0;
+        libdeflate_result r = libdeflate_deflate_decompress(
+            d, cdata, clen, out, isize, &actual);
+        return r == LIBDEFLATE_SUCCESS && actual == isize;
+    }
+#endif
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK) return false;
