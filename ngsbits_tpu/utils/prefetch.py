@@ -65,14 +65,27 @@ def prefetch(iterable, depth: int = 2):
 
 
 def prefetch_paired(it1, it2, depth: int = 2):
-    """Prefetch two iterators in lockstep pairs (R1/R2 FASTQ streams)."""
+    """Prefetch two iterators in lockstep pairs (R1/R2 FASTQ streams).
+
+    Each stream decodes on its own thread (the analogue of the reference
+    running one InputWorker per input stream) — the two gzip inflates
+    overlap each other and the consumer's analysis."""
+    s1 = prefetch(it1, depth)
+    s2 = prefetch(it2, depth)
+
     def pairs():
-        s1, s2 = iter(it1), iter(it2)
-        while True:
-            a = next(s1, _SENTINEL)
-            b = next(s2, _SENTINEL)
-            if a is _SENTINEL and b is _SENTINEL:
-                return
-            yield (None if a is _SENTINEL else a,
-                   None if b is _SENTINEL else b)
-    return prefetch(pairs(), depth)
+        try:
+            while True:
+                a = next(s1, _SENTINEL)
+                b = next(s2, _SENTINEL)
+                if a is _SENTINEL and b is _SENTINEL:
+                    return
+                yield (None if a is _SENTINEL else a,
+                       None if b is _SENTINEL else b)
+        finally:
+            # closing the inner prefetch generators signals their producer
+            # threads to stop (consumer may abandon mid-stream)
+            s1.close()
+            s2.close()
+
+    return pairs()
