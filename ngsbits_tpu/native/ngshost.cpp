@@ -748,6 +748,34 @@ int64_t ngs_fastq_format(const uint8_t* bases, const uint8_t* quals,
     return w;
 }
 
+// Compress one buffer into a complete standalone gzip member (libdeflate;
+// deterministic, mtime=0). Multi-member concatenation is valid gzip (the
+// same layout bgzip emits) and lets each batch compress at C speed without
+// a streaming context. Returns compressed size, -1 if cap too small, -2
+// when libdeflate is unavailable (caller falls back to streaming zlib).
+int64_t ngs_gzip_member(const uint8_t* in, int64_t len, int32_t level,
+                        uint8_t* out, int64_t cap) {
+#ifdef HAVE_LIBDEFLATE
+    struct TL {
+        libdeflate_compressor* c = nullptr;
+        int level = -1;
+        ~TL() { if (c) libdeflate_free_compressor(c); }
+    };
+    static thread_local TL tl;
+    if (!tl.c || tl.level != level) {
+        if (tl.c) libdeflate_free_compressor(tl.c);
+        tl.c = libdeflate_alloc_compressor(level);
+        tl.level = level;
+    }
+    if (tl.c) {
+        size_t n = libdeflate_gzip_compress(tl.c, in, (size_t)len, out, (size_t)cap);
+        return n == 0 ? -1 : (int64_t)n;
+    }
+#endif
+    (void)in; (void)len; (void)level; (void)out; (void)cap;
+    return -2;
+}
+
 // gzip writer with explicit compression level (Z_BEST_SPEED default parity
 // with FastqFileStream.cpp:160-193)
 struct GzWriterC {
