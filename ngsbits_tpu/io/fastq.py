@@ -652,25 +652,55 @@ def iter_entries(filename: str, validate: bool = False, long_read: bool = False)
 
 
 class FastqEntryWriter:
-    """Per-entry gzip writer (buffers to batch the compressor)."""
+    """Per-entry gzip writer (buffers to batch the compressor; each flushed
+    buffer becomes its own gzip member via libdeflate when available)."""
 
     def __init__(self, filename: str, compression_level: int = 1):
+        self._level = compression_level
         self._raw = open(filename, "wb")
-        self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
-                                 compresslevel=compression_level, mtime=0)
+        self._member_lib = _gzip_member_lib()
+        self._members = 0
+        self._fh = None
+        if self._member_lib is None:
+            self._fh = gzip.GzipFile(fileobj=self._raw, mode="wb",
+                                     compresslevel=compression_level, mtime=0)
         self._parts = []
         self._size = 0
+
+    def _flush(self):
+        data = b"".join(self._parts)
+        self._parts = []
+        self._size = 0
+        if not data:
+            return
+        if self._member_lib is not None:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            cap = len(data) + len(data) // 8 + 256
+            out = np.empty(cap, dtype=np.uint8)
+            n = self._member_lib.ngs_gzip_member(arr, len(data), self._level,
+                                                 out, cap)
+            if n <= 0:
+                raise RuntimeError("gzip member compression failed")
+            self._raw.write(memoryview(out.data)[:int(n)])
+            self._members += 1
+        else:
+            self._fh.write(data)
 
     def write(self, e: FastqEntry):
         self._parts += [e.header, b"\n", e.bases, b"\n", e.header2, b"\n", e.quals, b"\n"]
         self._size += len(e.bases) * 2
         if self._size > (4 << 20):
-            self._fh.write(b"".join(self._parts))
-            self._parts = []
-            self._size = 0
+            self._flush()
 
     def close(self):
-        if self._parts:
-            self._fh.write(b"".join(self._parts))
-        self._fh.close()
+        self._flush()
+        if self._member_lib is not None:
+            if self._members == 0:
+                out = np.empty(64, dtype=np.uint8)
+                n = self._member_lib.ngs_gzip_member(
+                    np.empty(0, dtype=np.uint8), 0, self._level, out, 64)
+                if n > 0:
+                    self._raw.write(memoryview(out.data)[:int(n)])
+        else:
+            self._fh.close()
         self._raw.close()
