@@ -14,6 +14,16 @@ _EOF_BLOCK = bytes.fromhex(
 
 
 def _one_block(data: bytes, level: int = 6) -> bytes:
+    from . import native
+    lib = native.get_lib()
+    if lib is not None:
+        import numpy as np
+        arr = np.frombuffer(data, dtype=np.uint8)
+        cap = len(data) + len(data) // 8 + 256
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.ngs_bgzf_block(arr, len(data), level, out, cap)
+        if n > 0:
+            return out[:int(n)].tobytes()
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = co.compress(data) + co.flush()
     bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+payload+crc(4)+isize(4) -1 stored

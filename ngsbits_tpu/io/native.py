@@ -114,6 +114,10 @@ def get_lib():
             p(np.int32, flags="C"), p(np.int32, flags="C"),
             p(np.int32, flags="C"), p(np.int32, flags="C"),
         ]
+        lib.ngs_bgzf_block.restype = ct.c_int64
+        lib.ngs_bgzf_block.argtypes = [
+            p(np.uint8, flags="C"), ct.c_int64, ct.c_int32,
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"), ct.c_int64]
         lib.ngs_gzip_member.restype = ct.c_int64
         lib.ngs_gzip_member.argtypes = [
             p(np.uint8, flags="C"), ct.c_int64, ct.c_int32,

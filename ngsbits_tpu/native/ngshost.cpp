@@ -776,6 +776,52 @@ int64_t ngs_gzip_member(const uint8_t* in, int64_t len, int32_t level,
     return -2;
 }
 
+// Compress one BGZF block (<=64KB payload): gzip member with the BC extra
+// field carrying the compressed block size (SAM spec 4.1). Returns bytes
+// written, -1 on overflow/too-large, -2 when libdeflate is unavailable.
+int64_t ngs_bgzf_block(const uint8_t* in, int64_t len, int32_t level,
+                       uint8_t* out, int64_t cap) {
+#ifdef HAVE_LIBDEFLATE
+    struct TL {
+        libdeflate_compressor* c = nullptr;
+        int level = -1;
+        ~TL() { if (c) libdeflate_free_compressor(c); }
+    };
+    static thread_local TL tl;
+    if (!tl.c || tl.level != level) {
+        if (tl.c) libdeflate_free_compressor(tl.c);
+        tl.c = libdeflate_alloc_compressor(level);
+        tl.level = level;
+    }
+    if (tl.c) {
+        if (cap < 26) return -1;
+        size_t cdata = libdeflate_deflate_compress(
+            tl.c, in, (size_t)len, out + 18, (size_t)(cap - 26));
+        if (cdata == 0) return -1;
+        const size_t bsize = cdata + 25 + 1;
+        if (bsize - 1 > 0xFFFF) return -1;
+        uint8_t* h = out;
+        h[0] = 0x1f; h[1] = 0x8b; h[2] = 8; h[3] = 4;       // magic, CM, FEXTRA
+        memset(h + 4, 0, 4);                                 // MTIME
+        h[8] = 0; h[9] = 0xFF;                               // XFL, OS
+        h[10] = 6; h[11] = 0;                                // XLEN
+        h[12] = 'B'; h[13] = 'C'; h[14] = 2; h[15] = 0;      // BC, SLEN
+        const uint16_t bs = (uint16_t)(bsize - 1);
+        h[16] = bs & 0xFF; h[17] = bs >> 8;                  // BSIZE-1
+        uint32_t crc = libdeflate_crc32(0, in, (size_t)len);
+        uint8_t* t = out + 18 + cdata;
+        t[0] = crc & 0xFF; t[1] = (crc >> 8) & 0xFF;
+        t[2] = (crc >> 16) & 0xFF; t[3] = (crc >> 24) & 0xFF;
+        const uint32_t isize = (uint32_t)len;
+        t[4] = isize & 0xFF; t[5] = (isize >> 8) & 0xFF;
+        t[6] = (isize >> 16) & 0xFF; t[7] = (isize >> 24) & 0xFF;
+        return (int64_t)(18 + cdata + 8);
+    }
+#endif
+    (void)in; (void)len; (void)level; (void)out; (void)cap;
+    return -2;
+}
+
 // gzip writer with explicit compression level (Z_BEST_SPEED default parity
 // with FastqFileStream.cpp:160-193)
 struct GzWriterC {
