@@ -446,6 +446,8 @@ void ngs_gz_close(void* h) {
 
 struct FastqReaderC {
     gzFile gz = nullptr;
+    BgzfReader bgzf;            // used instead of gz for bgzip-compressed
+    bool use_bgzf = false;      // FASTQ (parallel block inflate)
     std::string error;
     std::vector<uint8_t> buf;   // carry-over bytes between batches
     size_t pos = 0;             // consumed prefix of buf
@@ -453,15 +455,54 @@ struct FastqReaderC {
     bool final_pad_done = false;
 };
 
+// True when the file starts with a BGZF member (gzip + FEXTRA + 'BC'
+// subfield). BGZF is valid multi-member gzip, so this is purely a routing
+// decision: blocked files decode on the parallel inflate pool instead of
+// the serial zlib stream.
+bool sniff_bgzf(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    bool bgzf = false;
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, f) == 12 && hdr[0] == 0x1f && hdr[1] == 0x8b
+        && hdr[2] == 8 && (hdr[3] & 4)) {
+        uint16_t xlen = hdr[10] | (hdr[11] << 8);
+        std::vector<uint8_t> extra(xlen);
+        if (fread(extra.data(), 1, xlen, f) == xlen) {
+            for (size_t p = 0; p + 4 <= extra.size();) {
+                uint16_t slen = extra[p + 2] | (extra[p + 3] << 8);
+                if (extra[p] == 'B' && extra[p + 1] == 'C' && slen == 2) {
+                    bgzf = true;
+                    break;
+                }
+                p += 4 + slen;
+            }
+        }
+    }
+    fclose(f);
+    return bgzf;
+}
+
 void* ngs_fastq_open(const char* path, int buffer_kb) {
     auto* r = new FastqReaderC();
+    if (sniff_bgzf(path)) {
+        r->bgzf.n_threads = 4;
+        if (r->bgzf.open(path)) {
+            r->use_bgzf = true;
+            return r;
+        }
+        r->bgzf.close();
+    }
     r->gz = gzopen(path, "rb");
     if (r->gz) gzbuffer(r->gz, buffer_kb * 1024);
     else r->error = "cannot open file";
     return r;
 }
 
-int ngs_fastq_ok(void* h) { return static_cast<FastqReaderC*>(h)->gz != nullptr; }
+int ngs_fastq_ok(void* h) {
+    auto* r = static_cast<FastqReaderC*>(h);
+    return (r->gz != nullptr || r->use_bgzf) ? 1 : 0;
+}
 
 const char* ngs_fastq_error(void* h) {
     return static_cast<FastqReaderC*>(h)->error.c_str();
@@ -470,6 +511,7 @@ const char* ngs_fastq_error(void* h) {
 void ngs_fastq_close(void* h) {
     auto* r = static_cast<FastqReaderC*>(h);
     if (r->gz) gzclose(r->gz);
+    if (r->use_bgzf) r->bgzf.close();
     delete r;
 }
 
@@ -503,6 +545,14 @@ int64_t ngs_fastq_read_batch(
         if (r->eof) return shift;
         size_t old = r->buf.size();
         size_t chunk = 4 << 20;
+        if (r->use_bgzf) {
+            if (!r->bgzf.ensure(chunk)) { r->error = r->bgzf.error; return -2; }
+            size_t take = std::min(r->bgzf.available(), chunk);
+            r->buf.insert(r->buf.end(), r->bgzf.data(), r->bgzf.data() + take);
+            r->bgzf.advance(take);
+            if (take == 0) r->eof = true;
+            return shift;
+        }
         r->buf.resize(old + chunk);
         int got = gzread(r->gz, r->buf.data() + old, (unsigned)chunk);
         if (got < 0) { r->error = "gzread failed"; return -2; }

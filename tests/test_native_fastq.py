@@ -122,3 +122,40 @@ def test_flat_headers_empty_header_line_raises(tmp_path):
     r = FastqReader(str(p), keep_headers=True, flat_headers=True)
     with pytest.raises(ValueError, match="First header line"):
         list(r)
+
+
+def test_bgzf_fastq_routing(tmp_path):
+    """bgzip-compressed FASTQ decodes through the parallel BGZF path with
+    identical batches to the plain-gzip stream."""
+    import gzip
+    import numpy as np
+    from ngsbits_tpu.io.bgzf import bgzf_compress
+    from ngsbits_tpu.io.fastq import FastqReader
+
+    recs = []
+    rng = np.random.default_rng(3)
+    for i in range(5000):
+        L = int(rng.integers(40, 150))
+        bases = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), L))
+        quals = bytes(rng.integers(33, 74, L, dtype=np.uint8))
+        recs.append(b"@r%d some comment\n%s\n+\n%s\n" % (i, bases, quals))
+    raw = b"".join(recs)
+    p_gz = tmp_path / "a.fastq.gz"
+    p_bgzf = tmp_path / "b.fastq.gz"
+    with gzip.open(p_gz, "wb") as fh:
+        fh.write(raw)
+    p_bgzf.write_bytes(bgzf_compress(raw, level=4))
+
+    def read_all(path):
+        out = []
+        for b in FastqReader(str(path), keep_headers=True, batch_reads=777):
+            b.materialize_headers()
+            for i in range(len(b)):
+                out.append((b.headers[i], b.bases[i, :b.lengths[i]].tobytes(),
+                            b.quals[i, :b.lengths[i]].tobytes()))
+        return out
+
+    a = read_all(p_gz)
+    c = read_all(p_bgzf)
+    assert len(a) == len(c) == 5000
+    assert a == c
