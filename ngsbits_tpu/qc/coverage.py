@@ -286,14 +286,16 @@ def _make_acc(bed: BedFile, idxs, lo: int, hi: int):
 
 
 def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq: int,
-                          skip_mismapped: bool = False):
-    """One sequential pass over the BAM; returns {chr_num: accumulator}."""
+                          skip_mismapped: bool = False, threads: int = 4):
+    """One sequential pass over the BAM; returns {chr_num: accumulator}.
+    `threads` sizes the BGZF inflate pool (the reference spreads chunk
+    workers over a QThreadPool; here decode is the parallel stage)."""
     by_chr = _roi_by_chr(bed)
     accs: dict[int, object] = {}
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         accs[num] = _make_acc(bed, idxs, lo, hi)
 
-    reader = BamReader(bam_file)
+    reader = BamReader(bam_file, n_threads=max(1, threads))
     ref_num = np.array([Chromosome(n).num for n in reader.ref_names], dtype=np.int64)
     want = np.zeros(len(ref_num) + 1, dtype=bool)
     for i, rn in enumerate(ref_num):
@@ -325,7 +327,8 @@ def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq:
 
 def low_or_high_coverage(bed: BedFile, bam_file: str, cutoff: int, min_mapq: int,
                          min_baseq: int, threads: int, is_high: bool) -> BedFile:
-    accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, min_baseq)
+    accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, min_baseq,
+                                         threads=threads)
     output = BedFile()
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         acc = accs[num]
@@ -352,7 +355,8 @@ def avg_coverage(bed: BedFile, bam_file: str, min_mapq: int, threads: int,
     """Appends mean-depth annotation to each region (reference semantics:
     sum of clipped alignment-overlap / region length)."""
     accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, 0,
-                                         skip_mismapped=skip_mismapped)
+                                         skip_mismapped=skip_mismapped,
+                                         threads=threads)
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         acc = accs[num]
         acc.finalize()
