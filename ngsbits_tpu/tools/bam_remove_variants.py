@@ -163,15 +163,15 @@ class BamRemoveVariantsTool(ToolBase):
         writer = BamWriter(self.get("out"), reader)
         src = _SourceIndex(self.get("vcf"))
 
-        # map BAM ref ids to the source-index chromosome numbering
+        # map BAM ref ids to the source-index chromosomes
         from ..core.chromosome import Chromosome
-        ref_nums = [Chromosome(n).num for n in reader.ref_names]
+        ref_chrs = [Chromosome(n) for n in reader.ref_names]
 
         class _V:
             def matching_lines_chr(self, ref_id, start, end):
                 if ref_id < 0:
                     return []
-                return src.matching_lines(ref_nums[ref_id], start, end)
+                return src.matching_lines(ref_chrs[ref_id], start, end)
 
         self._vcf = _V()
         mask = self.get_flag("mask")

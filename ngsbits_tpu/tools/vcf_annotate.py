@@ -143,11 +143,24 @@ TOOLS = {"VcfAnnotateFromBed": VcfAnnotateFromBedTool}
 
 
 class _SourceIndex:
-    """In-memory replacement for TabixIndexedFile over a VCF(.GZ): variant
-    lines grouped per chromosome, sorted by position, queried by overlap of
-    [pos, pos+len(ref)-1] with the query interval."""
+    """Source-VCF lookup: tabix random access when an index exists
+    (memory-bounded — production sources like gnomAD are tens of GB,
+    matching the reference's TabixIndexedFile usage), else an in-memory
+    per-chromosome table. Both query by overlap of [pos, pos+len(ref)-1]
+    with the query interval."""
 
     def __init__(self, path: str):
+        import os as _os
+
+        self._tabix = None
+        if _os.path.exists(path + ".tbi") or _os.path.exists(path + ".csi"):
+            from ..io.tabix import TabixIndexedFile
+            try:
+                self._tabix = TabixIndexedFile(path)
+                return
+            except Exception:
+                self._tabix = None   # unreadable index -> in-memory fallback
+
         import numpy as np
 
         from ..core.chromosome import Chromosome
@@ -170,10 +183,14 @@ class _SourceIndex:
             maxlen = int((end - pos).max()) + 1 if len(items) else 1
             self._idx[cn] = (pos, end, [t[2] for t in items], maxlen)
 
-    def matching_lines(self, chr_num: int, start: int, end: int) -> list[bytes]:
+    def matching_lines(self, chr_: "Chromosome", start: int, end: int) -> list[bytes]:
         import numpy as np
 
-        ent = self._idx.get(chr_num)
+        if self._tabix is not None:
+            return self._tabix.get_matching_lines(
+                chr_, start, end, ignore_missing_chr=True)
+
+        ent = self._idx.get(chr_.num)
         if ent is None:
             return []
         pos, ends, lines, maxlen = ent
@@ -450,7 +467,7 @@ class VcfAnnotateFromVcfTool(ToolBase):
             if len(cols) < 8:
                 raise ToolError("VCF line with too few columns in input file: "
                                 + line.decode())
-            chr_num = Chromosome(cols[0]).num
+            chr_ = Chromosome(cols[0])
             start = int(cols[1])
             end = start + len(cols[3]) - 1
             ref = cols[3]
@@ -458,7 +475,7 @@ class VcfAnnotateFromVcfTool(ToolBase):
 
             additional_annotation = []
             for i in range(len(ann_files)):
-                matches = sources[i].matching_lines(chr_num, start, end)
+                matches = sources[i].matching_lines(chr_, start, end)
                 additional_keys = []
                 additional_values = []
                 additional_ids = []

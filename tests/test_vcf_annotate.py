@@ -56,3 +56,35 @@ def test_vcf_annotate_from_vcf(ref_data_in, ref_data_out, tmp_path, args, golden
                    ["-in", ref_data_in / "VcfAnnotateFromVcf_in1.vcf",
                     "-out", out] + full) == 0
     compare_files(out, ref_data_out / golden)
+
+
+def test_source_index_tabix_vs_inmemory(ref_data_in, tmp_path):
+    """Both _SourceIndex paths (tabix random access when a .tbi exists vs
+    the in-memory table) must annotate identically."""
+    import shutil
+
+    from helpers import execute
+
+    src = ref_data_in / "VcfAnnotateFromVcf_an2_NGSD.vcf.gz"
+    # indexed copy (tabix path) and unindexed copy (in-memory path)
+    idx_src = tmp_path / "with_idx.vcf.gz"
+    noidx_src = tmp_path / "no_idx.vcf.gz"
+    shutil.copy(src, idx_src)
+    shutil.copy(str(src) + ".tbi", str(idx_src) + ".tbi")
+    shutil.copy(src, noidx_src)
+
+    args = ["-in", ref_data_in / "VcfAnnotateFromVcf_in1.vcf",
+            "-info_keys", "COUNTS,GSC01=GROUP,HAF,CLAS,CLAS_COM,COM",
+            "-prefix", "NGSD"]
+    out_a = tmp_path / "a.vcf"
+    out_b = tmp_path / "b.vcf"
+    assert execute("VcfAnnotateFromVcf",
+                   args + ["-source", idx_src, "-out", out_a]) == 0
+    assert execute("VcfAnnotateFromVcf",
+                   args + ["-source", noidx_src, "-out", out_b]) == 0
+    a = out_a.read_bytes()
+    b = out_b.read_bytes()
+    # the Description suffix embeds the source file name — normalize it
+    a = a.replace(b"with_idx.vcf.gz", b"SRC")
+    b = b.replace(b"no_idx.vcf.gz", b"SRC")
+    assert a == b and len(a) > 0
