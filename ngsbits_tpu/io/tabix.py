@@ -54,13 +54,30 @@ def _reg2bins(beg: int, end: int) -> list:
 
 
 class TabixIndexedFile:
-    """Random access via a .tbi (or .csi) index; 1-based overlap queries."""
+    """Random access via a .tbi (or .csi) index; 1-based overlap queries.
+
+    The data file handle is per-(process, thread): seek-based chunk scans
+    would race on a shared fd across worker threads or forked chunk
+    workers (VcfAnnotateFromVcf -threads), so each gets its own."""
 
     def __init__(self, filename: str | None = None):
-        self._fh = None
+        self._local = None
         self._chr2id = {}
         if filename:
             self.load(filename)
+
+    @property
+    def _fh(self):
+        import os as _os
+        import threading as _threading
+        if self._local is None or self._local_pid != _os.getpid():
+            self._local = _threading.local()
+            self._local_pid = _os.getpid()
+        fh = getattr(self._local, "fh", None)
+        if fh is None:
+            fh = open(self.filename, "rb")
+            self._local.fh = fh
+        return fh
 
     def load(self, filename: str):
         self.filename = str(filename)
@@ -85,7 +102,6 @@ class TabixIndexedFile:
             self._parse_csi(raw)
         else:
             raise TabixError(f"Not a TBI/CSI index: {idx}")
-        self._fh = open(self.filename, "rb")
         # chromosome normalization map like TabixIndexedFile.cpp:37-46
         for i, name in enumerate(self._names):
             self._chr2id[Chromosome(name).num] = i

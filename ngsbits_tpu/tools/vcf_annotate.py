@@ -1,9 +1,12 @@
 """VCF annotation tools (BED / VCF sources).
 
 Behavioral reference: ngs-bits src/VcfAnnotateFromBed (ChunkProcessor.cpp)
-and src/VcfAnnotateFromVcf. The reference fans lines out to worker threads in
-chunks; chunk outputs are written in order, so a sequential pass produces
-identical bytes — the thread/block parameters are accepted for CLI parity.
+and src/VcfAnnotateFromVcf. Like the reference, VcfAnnotateFromVcf fans
+body-line chunks out to -threads workers with ordered writes (fork-based
+here — the annotation inner loop is pure Python, so processes rather than
+GIL-bound threads); VcfAnnotateFromBed's interval lookup is a vectorized
+single pass, where the thread/block parameters are accepted for CLI parity
+(a sequential pass produces identical bytes).
 """
 
 from __future__ import annotations
@@ -140,6 +143,90 @@ class VcfAnnotateFromBedTool(ToolBase):
 
 
 TOOLS = {"VcfAnnotateFromBed": VcfAnnotateFromBedTool}
+
+
+class _AnnotateState:
+    """Per-run state shared with chunk workers (inherited via fork)."""
+
+    __slots__ = ("sources", "n", "exist_only", "exist_names",
+                 "id_column_indices", "info_id_list", "out_info_id_list",
+                 "out_id_col_names")
+
+
+_POOL_STATE: _AnnotateState | None = None
+
+
+def _annotate_vcf_line(line: bytes, st: _AnnotateState) -> bytes:
+    """Annotate one body line (the reference's ChunkProcessor inner loop)."""
+    from ..core.chromosome import Chromosome
+
+    cols = line.strip().split(b"\t")
+    if len(cols) < 8:
+        raise ToolError("VCF line with too few columns in input file: "
+                        + line.decode())
+    chr_ = Chromosome(cols[0])
+    start = int(cols[1])
+    end = start + len(cols[3]) - 1
+    ref = cols[3]
+    obs = cols[4]
+
+    additional_annotation = []
+    for i in range(st.n):
+        matches = st.sources[i].matching_lines(chr_, start, end)
+        additional_keys = []
+        additional_values = []
+        additional_ids = []
+        for match in matches:
+            parts = match.strip().split(b"\t")
+            if len(parts) < 8:
+                raise ToolError("VCF line with too few columns in "
+                                "annotation file: " + match.decode())
+            if parts[3] != ref or parts[4] != obs:
+                continue
+            if int(parts[1]) != start:
+                continue
+            if st.exist_only[i]:
+                additional_annotation.append(st.exist_names[i])
+            else:
+                if st.id_column_indices[i] > -1:
+                    additional_ids.append(parts[st.id_column_indices[i]].strip())
+                info_column = parts[7].split(b";")
+                for j, src_id in enumerate(st.info_id_list[i]):
+                    for kv in info_column:
+                        kv_split = kv.split(b"=")
+                        if kv_split[0].strip() == src_id:
+                            if len(kv_split) == 1:
+                                additional_annotation.append(st.out_info_id_list[i][j])
+                            else:
+                                # reference takes split('=')[1]
+                                val = kv.split(b"=")[1].strip()
+                                if val == b"":
+                                    continue
+                                out_key = st.out_info_id_list[i][j]
+                                if out_key in additional_keys:
+                                    ki = additional_keys.index(out_key)
+                                    additional_values[ki] += b"&" + val
+                                else:
+                                    additional_keys.append(out_key)
+                                    additional_values.append(val)
+                            break
+        if additional_ids:
+            additional_annotation.append(st.out_id_col_names[i] + b"="
+                                         + b"&".join(additional_ids))
+        for k, v in zip(additional_keys, additional_values):
+            additional_annotation.append(k + b"=" + v)
+
+    if additional_annotation:
+        if cols[7] == b".":
+            cols[7] = b";".join(additional_annotation)
+        else:
+            cols[7] += b";" + b";".join(additional_annotation)
+        return b"\t".join(cols) + b"\n"
+    return line + b"\n"
+
+
+def _annotate_chunk(chunk: list) -> list:
+    return [_annotate_vcf_line(l, _POOL_STATE) for l in chunk]
 
 
 class _SourceIndex:
@@ -445,9 +532,18 @@ class VcfAnnotateFromVcfTool(ToolBase):
             annotation_header_lines.extend(header_lines)
             sources.append(_SourceIndex(path))
 
-        from ..core.chromosome import Chromosome
+        st = _AnnotateState()
+        st.sources = sources
+        st.n = len(ann_files)
+        st.exist_only = exist_only
+        st.exist_names = exist_names
+        st.id_column_indices = id_column_indices
+        st.info_id_list = info_id_list
+        st.out_info_id_list = out_info_id_list
+        st.out_id_col_names = out_id_col_names
 
         out_lines = []
+        body = []
         for raw in _read_lines(in_):
             line = raw.rstrip(b"\r")
             if not line.strip():
@@ -462,71 +558,29 @@ class VcfAnnotateFromVcfTool(ToolBase):
                     out_lines.extend(l + b"\n" for l in annotation_header_lines)
                 out_lines.append(line + b"\n")
                 continue
+            body.append(line)
 
-            cols = line.strip().split(b"\t")
-            if len(cols) < 8:
-                raise ToolError("VCF line with too few columns in input file: "
-                                + line.decode())
-            chr_ = Chromosome(cols[0])
-            start = int(cols[1])
-            end = start + len(cols[3]) - 1
-            ref = cols[3]
-            obs = cols[4]
-
-            additional_annotation = []
-            for i in range(len(ann_files)):
-                matches = sources[i].matching_lines(chr_, start, end)
-                additional_keys = []
-                additional_values = []
-                additional_ids = []
-                for match in matches:
-                    parts = match.strip().split(b"\t")
-                    if len(parts) < 8:
-                        raise ToolError("VCF line with too few columns in "
-                                        "annotation file: " + match.decode())
-                    if parts[3] != ref or parts[4] != obs:
-                        continue
-                    if int(parts[1]) != start:
-                        continue
-                    if exist_only[i]:
-                        additional_annotation.append(exist_names[i])
-                    else:
-                        if id_column_indices[i] > -1:
-                            additional_ids.append(parts[id_column_indices[i]].strip())
-                        info_column = parts[7].split(b";")
-                        for j, src_id in enumerate(info_id_list[i]):
-                            for kv in info_column:
-                                kv_split = kv.split(b"=")
-                                if kv_split[0].strip() == src_id:
-                                    if len(kv_split) == 1:
-                                        additional_annotation.append(out_info_id_list[i][j])
-                                    else:
-                                        # reference takes split('=')[1]
-                                        val = kv.split(b"=")[1].strip()
-                                        if val == b"":
-                                            continue
-                                        out_key = out_info_id_list[i][j]
-                                        if out_key in additional_keys:
-                                            ki = additional_keys.index(out_key)
-                                            additional_values[ki] += b"&" + val
-                                        else:
-                                            additional_keys.append(out_key)
-                                            additional_values.append(val)
-                                    break
-                if additional_ids:
-                    additional_annotation.append(out_id_col_names[i] + b"="
-                                                 + b"&".join(additional_ids))
-                for k, v in zip(additional_keys, additional_values):
-                    additional_annotation.append(k + b"=" + v)
-
-            if additional_annotation:
-                if cols[7] == b".":
-                    cols[7] = b";".join(additional_annotation)
-                else:
-                    cols[7] += b";" + b";".join(additional_annotation)
-                out_lines.append(b"\t".join(cols) + b"\n")
-            else:
-                out_lines.append(line + b"\n")
+        threads = max(1, self.get_int("threads"))
+        block = max(1, self.get_int("block_size"))
+        chunks = [body[i:i + block] for i in range(0, len(body), block)]
+        if threads > 1 and len(chunks) > 1:
+            # real chunk parallelism (reference: N ChunkProcessor threads,
+            # ordered writes): fork workers inherit the sources read-only;
+            # the tabix reader opens its data fd per process
+            import multiprocessing as mp
+            global _POOL_STATE
+            _POOL_STATE = st
+            try:
+                ctx = mp.get_context("fork")
+                with ctx.Pool(processes=min(threads, len(chunks))) as pool:
+                    for part in pool.imap(_annotate_chunk, chunks):
+                        out_lines.extend(part)
+            finally:
+                _POOL_STATE = None
+        else:
+            for chunk in chunks:
+                for line in chunk:
+                    out_lines.append(_annotate_vcf_line(line, st))
 
         _write(out, out_lines)
 

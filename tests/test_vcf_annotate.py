@@ -88,3 +88,21 @@ def test_source_index_tabix_vs_inmemory(ref_data_in, tmp_path):
     a = a.replace(b"with_idx.vcf.gz", b"SRC")
     b = b.replace(b"no_idx.vcf.gz", b"SRC")
     assert a == b and len(a) > 0
+
+
+def test_threads_identical_output(ref_data_in, tmp_path):
+    """-threads N chunk workers produce byte-identical output to -threads 1
+    (ordered chunk writes, like the reference's ChunkProcessor pool)."""
+    from helpers import execute
+
+    args = ["-in", ref_data_in / "VcfAnnotateFromVcf_in1.vcf",
+            "-source", ref_data_in / "VcfAnnotateFromVcf_an2_NGSD.vcf.gz",
+            "-info_keys", "COUNTS,GSC01=GROUP,HAF,CLAS,CLAS_COM,COM",
+            "-prefix", "NGSD"]
+    out1 = tmp_path / "t1.vcf"
+    out4 = tmp_path / "t4.vcf"
+    assert execute("VcfAnnotateFromVcf",
+                   args + ["-out", out1, "-threads", "1"]) == 0
+    assert execute("VcfAnnotateFromVcf",
+                   args + ["-out", out4, "-threads", "4", "-block_size", "7"]) == 0
+    assert out1.read_bytes() == out4.read_bytes()
