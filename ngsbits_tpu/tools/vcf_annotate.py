@@ -563,10 +563,12 @@ class VcfAnnotateFromVcfTool(ToolBase):
         threads = max(1, self.get_int("threads"))
         block = max(1, self.get_int("block_size"))
         chunks = [body[i:i + block] for i in range(0, len(body), block)]
-        if threads > 1 and len(chunks) > 1:
+        if threads > 1 and len(chunks) > 1 and "jax" not in sys.modules:
             # real chunk parallelism (reference: N ChunkProcessor threads,
             # ordered writes): fork workers inherit the sources read-only;
-            # the tabix reader opens its data fd per process
+            # the tabix reader opens its data fd per process. Forking is
+            # gated on jax being unloaded (the CLI path) — forking a
+            # process with jax's internal threads risks deadlocks.
             import multiprocessing as mp
             global _POOL_STATE
             _POOL_STATE = st
@@ -577,6 +579,15 @@ class VcfAnnotateFromVcfTool(ToolBase):
                         out_lines.extend(part)
             finally:
                 _POOL_STATE = None
+        elif threads > 1 and len(chunks) > 1:
+            # in-process callers with jax loaded: thread pool (ordered;
+            # the tabix fd is per-thread, IO overlaps; annotation itself
+            # stays GIL-bound)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(threads, len(chunks))) as ex:
+                for part in ex.map(lambda c: [_annotate_vcf_line(l, st) for l in c],
+                                   chunks):
+                    out_lines.extend(part)
         else:
             for chunk in chunks:
                 for line in chunk:
