@@ -374,7 +374,14 @@ _SEQ_PACK = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
 
 
 class BamWriter:
-    """BAM writer (BGZF blocks, records re-encoded from BamBatch columns)."""
+    """BAM writer (BGZF blocks, records re-encoded from BamBatch columns).
+    Writes CRAM instead when the file name ends '.cram' (BamWriter.h:13)."""
+
+    def __new__(cls, filename: str, reader: "BamReader"):
+        if str(filename).endswith(".cram"):
+            from .cram_write import CramWriter
+            return CramWriter(str(filename), reader)
+        return super().__new__(cls)
 
     def __init__(self, filename: str, reader: "BamReader"):
         from .bgzf import _one_block, _EOF_BLOCK
