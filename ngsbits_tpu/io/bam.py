@@ -94,6 +94,36 @@ class BamBatch:
         per_read = cs[self.cigar_off[1:]] - cs[self.cigar_off[:-1]]
         return self.pos.astype(np.int64) + per_read
 
+    def subset(self, sel) -> "BamBatch":
+        """New batch with the selected records (mask or index array)."""
+        idx = np.flatnonzero(sel) if np.asarray(sel).dtype == bool else np.asarray(sel)
+
+        def ragged(flat, off):
+            lens = off[idx + 1] - off[idx]
+            new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            total = int(new_off[-1])
+            gather = np.repeat(off[idx], lens) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(new_off[:-1], lens))
+            return flat[gather], new_off
+
+        cigar, cigar_off = ragged(self.cigar, self.cigar_off)
+        seq, seq_off = ragged(self.seq, self.seq_off)
+        qual, _ = ragged(self.qual, self.seq_off)
+        names_arr = np.frombuffer(self.names, dtype=np.uint8)
+        names, name_off = ragged(names_arr, self.name_off)
+        tags, tags_off = ragged(self.tags, self.tags_off)
+        return BamBatch(
+            ref_id=self.ref_id[idx], pos=self.pos[idx], flag=self.flag[idx],
+            mapq=self.mapq[idx], l_seq=self.l_seq[idx],
+            n_cigar=self.n_cigar[idx], tlen=self.tlen[idx],
+            mate_ref_id=self.mate_ref_id[idx], mate_pos=self.mate_pos[idx],
+            cigar=cigar.astype(np.uint32), cigar_off=cigar_off,
+            seq=seq, qual=qual, seq_off=seq_off,
+            names=names.tobytes(), name_off=name_off,
+            tags=tags, tags_off=tags_off)
+
 
 class BamReader:
     def __new__(cls, filename: str, n_threads: int = 4,
@@ -172,6 +202,48 @@ class BamReader:
             if b is None:
                 return
             yield b
+
+    def region_batches(self, chr_, start: int, end: int):
+        """Yield (batch, overlap_mask) for records overlapping
+        chr:start-end (1-based inclusive) — the BamReader::setRegion +
+        getNextAlignment analogue (BamReader.h:383-398). Seeks via the BAI
+        when one exists next to the file, else scans from the current
+        position; the BAM must be coordinate-sorted (the scan stops once
+        records start past the region end)."""
+        from ..core.chromosome import Chromosome
+        from .bai import BaiIndex, find_index
+
+        want = chr_ if isinstance(chr_, Chromosome) else Chromosome(chr_)
+        rid = -1
+        for i, nm in enumerate(self.ref_names):
+            if Chromosome(nm) == want:
+                rid = i
+                break
+        if rid < 0:
+            return
+        beg0 = max(0, start - 1)
+        end0 = end - 1
+        idx_path = find_index(self.filename)
+        if idx_path is not None:
+            try:
+                voff = BaiIndex(idx_path).min_voffset(rid, beg0, end)
+                if voff is None:
+                    return
+                self.seek_voffset(voff)
+            except (OSError, ValueError):
+                pass   # unreadable index -> sequential scan
+        while True:
+            batch = self.read_batch()
+            if batch is None:
+                return
+            pos0 = batch.pos.astype(np.int64)
+            ends0x = batch.end_positions()
+            on = (batch.ref_id == rid) & (pos0 <= end0) & (ends0x > beg0)
+            if on.any():
+                yield batch, on
+            if ((batch.ref_id > rid)
+                    | ((batch.ref_id == rid) & (pos0 > end0))).any():
+                return
 
     def _read_batch_native(self, max_records: int) -> BamBatch | None:
         lib = self._lib

@@ -98,7 +98,24 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
 
     frag_best: dict = {} if count_fragments else None
 
-    for batch in reader:
+    # with a BAI next to the file, restrict the scan to the per-chromosome
+    # locus spans (BamReader::setRegion-style random access instead of a
+    # whole-file sweep — the win grows with file size vs locus sparsity)
+    from ..io.bai import find_index
+    use_index = (own_reader and hasattr(reader, "region_batches")
+                 and find_index(bam_file) is not None)
+
+    def _span_batches():
+        spans = []
+        for cn, (lo, hi) in chr_bounds.items():
+            rids = np.flatnonzero(ref_num == cn)
+            if len(rids):
+                spans.append((int(rids[0]), int(s_pos[lo]), int(s_pos[hi - 1])))
+        for rid, a, b in sorted(spans):
+            for bt, mask in reader.region_batches(reader.ref_names[rid], a, b):
+                yield bt if mask.all() else bt.subset(mask)
+
+    for batch in (_span_batches() if use_index else reader):
         flag = batch.flag
         sel = (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUPLICATE | FLAG_UNMAPPED)) == 0
         if not include_not_properly_paired:
