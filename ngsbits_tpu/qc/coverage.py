@@ -286,10 +286,15 @@ def _make_acc(bed: BedFile, idxs, lo: int, hi: int):
 
 
 def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq: int,
-                          skip_mismapped: bool = False, threads: int = 4):
-    """One sequential pass over the BAM; returns {chr_num: accumulator}.
+                          skip_mismapped: bool = False, threads: int = 4,
+                          random_access: bool = False):
+    """One pass over the BAM; returns {chr_num: accumulator}.
     `threads` sizes the BGZF inflate pool (the reference spreads chunk
-    workers over a QThreadPool; here decode is the parallel stage)."""
+    workers over a QThreadPool; here decode is the parallel stage).
+    `random_access` + a BAI next to the file restricts the scan to the
+    per-chromosome ROI bounding boxes (WorkerLowOrHighCoverage's
+    random-access mode; useful when the ROI covers a small part of a
+    large file)."""
     by_chr = _roi_by_chr(bed)
     accs: dict[int, object] = {}
     for num, (chr_, idxs, lo, hi) in by_chr.items():
@@ -300,7 +305,25 @@ def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq:
     want = np.zeros(len(ref_num) + 1, dtype=bool)
     for i, rn in enumerate(ref_num):
         want[i] = rn in accs
-    for batch in reader:
+    if random_access:
+        from ..io.bai import find_index
+        random_access = (find_index(bam_file) is not None
+                         and hasattr(reader, "region_batches"))
+
+    def _batches():
+        if not random_access:
+            yield from reader
+            return
+        for num in sorted(accs):
+            chr_, idxs, lo, hi = by_chr[num]
+            rids = np.flatnonzero(ref_num == num)
+            if not len(rids):
+                continue
+            name = reader.ref_names[int(rids[0])]
+            for bt, mask in reader.region_batches(name, lo, hi):
+                yield bt if mask.all() else bt.subset(mask)
+
+    for batch in _batches():
         sel = _alignment_filter(batch, min_mapq, skip_mismapped)
         rid = batch.ref_id
         sel &= (rid >= 0) & want[np.clip(rid, 0, len(ref_num) - 1)]
@@ -326,9 +349,11 @@ def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq:
 
 
 def low_or_high_coverage(bed: BedFile, bam_file: str, cutoff: int, min_mapq: int,
-                         min_baseq: int, threads: int, is_high: bool) -> BedFile:
+                         min_baseq: int, threads: int, is_high: bool,
+                         random_access: bool = False) -> BedFile:
     accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, min_baseq,
-                                         threads=threads)
+                                         threads=threads,
+                                         random_access=random_access)
     output = BedFile()
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         acc = accs[num]
@@ -351,12 +376,14 @@ def low_or_high_coverage(bed: BedFile, bam_file: str, cutoff: int, min_mapq: int
 
 
 def avg_coverage(bed: BedFile, bam_file: str, min_mapq: int, threads: int,
-                 decimals: int, skip_mismapped: bool = False):
+                 decimals: int, skip_mismapped: bool = False,
+                 random_access: bool = False):
     """Appends mean-depth annotation to each region (reference semantics:
     sum of clipped alignment-overlap / region length)."""
     accs, by_chr = _compute_chr_coverage(bed, bam_file, min_mapq, 0,
                                          skip_mismapped=skip_mismapped,
-                                         threads=threads)
+                                         threads=threads,
+                                         random_access=random_access)
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         acc = accs[num]
         acc.finalize()

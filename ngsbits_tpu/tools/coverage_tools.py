@@ -44,7 +44,8 @@ class BedCoverageTool(ToolBase):
         header = "#chr\tstart\tend"
         for bam in self.get_infile_list("bam"):
             cov.avg_coverage(f, bam, self.get_int("min_mapq"), self.get_int("threads"),
-                             self.get_int("decimals"), self.get_flag("skip_mismapped"))
+                             self.get_int("decimals"), self.get_flag("skip_mismapped"),
+                             random_access=self.get_flag("random_access"))
             header += "\t" + _base_name(bam)
         f.headers.append(header.encode())
         f.store(self.get("out"))
@@ -72,7 +73,8 @@ class _LowOrHighBase(ToolBase):
         f.merge(True, True)
         output = cov.low_or_high_coverage(f, bam, self.get_int("cutoff"),
                                           self.get_int("min_mapq"), self.get_int("min_baseq"),
-                                          self.get_int("threads"), self.is_high)
+                                          self.get_int("threads"), self.is_high,
+                                          random_access=self.get_flag("random_access"))
         if not self.is_high:
             output.headers.append(b"#BAM: " + os.path.basename(bam).encode())
             output.headers.append(b"#ROI: " + os.path.basename(in_path or "").encode())

@@ -115,3 +115,40 @@ def test_pileup_indexed_matches_sweep(indexed_bam):
     assert np.array_equal(r1.counts, r2.counts)
     assert np.array_equal(r1.dels, r2.dels)
     assert r1.counts.sum() > 0
+
+
+def test_bedcoverage_random_access_identical(ref_data_in, tmp_path):
+    """BedCoverage -random_access must produce the same BED as the sweep."""
+    from helpers import execute
+
+    bam = ref_data_in / "BamClipOverlap_in1.bam"
+    reader = BamReader(str(bam))
+    # ROI: a few windows on the most-covered reference
+    best = {}
+    for batch in reader:
+        for i in range(0, len(batch), 11):
+            r = int(batch.ref_id[i])
+            if r >= 0:
+                best.setdefault(r, []).append(int(batch.pos[i]))
+    rid = max(best, key=lambda r: len(best[r]))
+    chrom = reader.ref_names[rid]
+    ps = sorted(best[rid])
+    reader.close()
+    roi = tmp_path / "roi.bed"
+    with open(roi, "w") as fh:
+        for p in (ps[0], ps[len(ps) // 2], ps[-1]):
+            fh.write(f"{chrom}\t{max(0, p - 50)}\t{p + 100}\n")
+    a = tmp_path / "sweep.bed"
+    b = tmp_path / "ra.bed"
+    assert execute("BedCoverage", ["-in", roi, "-bam", bam, "-out", a]) == 0
+    assert execute("BedCoverage", ["-in", roi, "-bam", bam, "-out", b,
+                                   "-random_access"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+    a2 = tmp_path / "sweep_low.bed"
+    b2 = tmp_path / "ra_low.bed"
+    assert execute("BedLowCoverage", ["-in", roi, "-bam", bam, "-cutoff", "5",
+                                      "-out", a2]) == 0
+    assert execute("BedLowCoverage", ["-in", roi, "-bam", bam, "-cutoff", "5",
+                                      "-out", b2, "-random_access"]) == 0
+    assert a2.read_bytes() == b2.read_bytes()
