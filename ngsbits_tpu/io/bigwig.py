@@ -202,8 +202,10 @@ class BigWigReader:
         blocks = sorted(self._overlapping_blocks(self._root, chr_id, start + offset, end + offset))
         out = []
         for _bs, doff, dsize in blocks:
-            self.fp.seek(doff)
-            raw = self.fp.read(dsize)
+            # pread: query-time reads stay safe across threads/forked chunk
+            # workers sharing the fd (index parsing happens pre-fork)
+            import os as _os
+            raw = _os.pread(self.fp.fileno(), dsize, doff)
             if self.header.uncompress_buf_size > 0:
                 raw = zlib.decompress(raw)
             (hdr_chrom, hdr_start, hdr_end, step, span, dtype, _pad,

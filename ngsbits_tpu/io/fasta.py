@@ -82,8 +82,10 @@ class FastaFileIndex:
         # bytes needed incl. newlines
         rows_spanned = (col0 + length + e.line_bases - 1) // e.line_bases
         raw_len = length + (rows_spanned - 1) * (e.line_bytes - e.line_bases)
-        self._fh.seek(byte_start)
-        raw = self._fh.read(raw_len)
+        # pread: no shared-offset mutation — safe across threads and forked
+        # chunk workers sharing the fd (VcfAnnotate* -threads)
+        import os as _os
+        raw = _os.pread(self._fh.fileno(), raw_len, byte_start)
         seq = raw.replace(b"\n", b"").replace(b"\r", b"")[:length]
         return seq.upper() if to_upper else seq
 

@@ -126,8 +126,13 @@ class SeqPurgeTool(ToolBase):
                 nl1, nl2 = engine.process_batch(b1, b2)
             return b1, b2, nl1, nl2
 
+        # -block_prefetch bounds the decoded-block window held in memory
+        # (reference: ring of block_prefetch AnalysisJob blocks); our unit
+        # is one block_size batch per queue slot and stream
+        depth = min(64, max(1, self.get_int("block_prefetch") // 2))
+
         def trimmed_batches(r1, r2):
-            source = prefetch_paired(r1, r2, depth=2)
+            source = prefetch_paired(r1, r2, depth=depth)
             if not use_pool:
                 for pair in source:
                     res = trim_pair(pair)

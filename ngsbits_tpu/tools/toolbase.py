@@ -195,8 +195,18 @@ class ToolBase:
         # fresh first-seen registry for non-standard contigs
         from ..core.chromosome import reset_dynamic_contigs
         reset_dynamic_contigs()
+        import os as _os
+        ref_saved = ()
         try:
             self.parse(argv)
+            # a -ref parameter overrides the settings.ini reference genome
+            # for the whole invocation (internal BAM/CRAM readers included),
+            # like the reference passing it down to BamReader
+            if "ref" in self._args:
+                v = self.get("ref")
+                if v:
+                    ref_saved = (_os.environ.get("NGSBITS_REFERENCE_GENOME"),)
+                    _os.environ["NGSBITS_REFERENCE_GENOME"] = str(v)
             self.main()
             return 0
         except SystemExit as e:
@@ -206,6 +216,12 @@ class ToolBase:
         except Exception as e:  # noqa: BLE001 — mirrors ToolBase catch-all
             print(f"Error: {e}", file=sys.stderr)
             return 1
+        finally:
+            if ref_saved != ():
+                if ref_saved[0] is None:
+                    _os.environ.pop("NGSBITS_REFERENCE_GENOME", None)
+                else:
+                    _os.environ["NGSBITS_REFERENCE_GENOME"] = ref_saved[0]
 
     # command line string for qcML metadata
     def command_line_parameters(self, argv: list[str]) -> str:

@@ -87,7 +87,8 @@ class VariantFilterRegionsTool(ToolBase):
             else:
                 keep = [i for i, f in enumerate(flags) if f]
                 self._subset(variants, keep)
-            vcf_store(variants, out or None)
+            vcf_store(variants, out or None,
+                      compression_level=self.get_int("compression_level"))
         else:
             gsvar = GSvarFile.from_file(self.get("in"))
             chrs = [v.chr for v in gsvar.variants]

@@ -79,6 +79,7 @@ class VcfAnnotateFromBigWigTool(ToolBase):
             data = stdin_binary().read()
 
         out_lines = []
+        body = []
         for raw in data.split(b"\n"):
             line = raw.rstrip(b"\r")
             if not line.strip():
@@ -90,6 +91,9 @@ class VcfAnnotateFromBigWigTool(ToolBase):
                         + os.path.basename(bw_path).encode() + b" (mode " + mode.encode() + b')">')
                 out_lines.append(line)
                 continue
+            body.append(line)
+
+        def annotate_line(line):
             parts = line.split(b"\t")
             if len(parts) < 8:
                 raise ToolError(f"VCF line with too few columns: {line.decode()}")
@@ -107,8 +111,7 @@ class VcfAnnotateFromBigWigTool(ToolBase):
                     intervals = reader.get_overlapping_intervals(chr_, start, end, offset)
                 value = self._interpret(intervals, start + offset, end + offset, mode)
             if value is None:
-                out_lines.append(line)
-                continue
+                return line
             info = parts[7]
             if info == b".":
                 info = b""
@@ -116,7 +119,13 @@ class VcfAnnotateFromBigWigTool(ToolBase):
                 info += b";"
             info += name.encode() + b"=" + _qt_float(value).encode()
             parts[7] = info
-            out_lines.append(b"\t".join(parts))
+            return b"\t".join(parts)
+
+        # chunk-parallel (ChunkProcessor pattern), ordered output
+        from ..utils.chunkpool import process_chunks
+        out_lines.extend(process_chunks(
+            body, lambda chunk, _st: [annotate_line(l) for l in chunk], None,
+            self.get_int("threads"), self.get_int("block_size")))
         data_out = b"".join(l + b"\n" for l in out_lines)
         out_path = self.get_outfile("out")
         if not out_path:

@@ -87,6 +87,7 @@ class VcfAnnotateConsequenceTool(ToolBase):
         out_path = self.get_outfile("out")
         fh_in = open(in_path, "rb") if in_path else stdin_binary()
         out = open(out_path, "wb") if out_path else stdout_binary()
+        body = []
         for raw in fh_in:
             line = raw.strip()
             if not line:
@@ -100,7 +101,20 @@ class VcfAnnotateConsequenceTool(ToolBase):
                               b'Format: Allele|Consequence|IMPACT|SYMBOL|HGNC_ID|Feature|Feature_type|EXON|INTRON|HGVSc|HGVSp">\n')
                 out.write(line + b"\n")
                 continue
-            out.write(self._annotate_line(line, annotator, transcripts, index, tag, max_dist))
+            body.append(line)
+        # chunk-parallel annotation (the reference's ChunkProcessor pool),
+        # ordered — byte-identical to a sequential pass
+        from ..utils.chunkpool import process_chunks
+
+        def annotate_chunk(chunk, st):
+            ann, trs, idx, tg, md = st
+            return [self._annotate_line(l, ann, trs, idx, tg, md) for l in chunk]
+
+        for piece in process_chunks(
+                body, annotate_chunk,
+                (annotator, transcripts, index, tag, max_dist),
+                self.get_int("threads"), self.get_int("block_size")):
+            out.write(piece)
         if in_path:
             fh_in.close()
         if out_path:

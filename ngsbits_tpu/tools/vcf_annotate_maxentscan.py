@@ -158,6 +158,7 @@ class VcfAnnotateMaxEntScanTool(ToolBase):
         out_path = self.get_outfile("out")
         fh = open(in_path, "rb") if in_path else stdin_binary()
         out = open(out_path, "wb") if out_path else stdout_binary()
+        body = []
         for raw in fh:
             line = raw
             if not line.strip():
@@ -168,7 +169,16 @@ class VcfAnnotateMaxEntScanTool(ToolBase):
                         out.write(h)
                 out.write(line if line.endswith(b"\n") else line + b"\n")
                 continue
-            out.write(self._annotate_line(line.strip()))
+            body.append(line.strip())
+        from ..utils.chunkpool import process_chunks
+
+        def annotate_chunk(chunk, _st):
+            return [self._annotate_line(l) for l in chunk]
+
+        for piece in process_chunks(body, annotate_chunk, None,
+                                    self.get_int("threads"),
+                                    self.get_int("block_size")):
+            out.write(piece)
         if in_path:
             fh.close()
         if out_path:

@@ -109,7 +109,7 @@ class VcfReplaceSamplesTool(ToolBase):
             ids.append((entry[:pos].strip().encode(), entry[pos + 1:].strip().encode()))
 
         raw_lines = _read_lines(in_)
-        out_fh = _open_out(out)
+        out_lines = []
         for i, line in enumerate(raw_lines):
             if i == len(raw_lines) - 1 and line == b"":
                 break
@@ -118,7 +118,14 @@ class VcfReplaceSamplesTool(ToolBase):
                     for old, new in ids:
                         line = line.replace(old, new)
                     break
-            out_fh.write(line + b"\n")
+            out_lines.append(line + b"\n")
+        data = b"".join(out_lines)
+        level = self.get_int("compression_level")
+        if level > 0:
+            from ..io.bgzf import bgzf_compress
+            data = bgzf_compress(data, level=level)
+        out_fh = _open_out(out)
+        out_fh.write(data)
         if out_fh is not stdout_binary():
             out_fh.close()
 

@@ -73,3 +73,30 @@ def test_vcf_annotate_from_bigwig(tmp_path):
     assert lines[4].split("\t")[7] == "."
     header = [l for l in read_lines(out) if l.startswith("##INFO")]
     assert header == ['##INFO=<ID=SCORE,Number=1,Type=Float,Description="Annotation from BigWigReader.bw (mode max)">']
+
+
+def test_annotate_threads_identical(tmp_path):
+    """-threads chunk workers produce byte-identical output (chunkpool
+    ordered processing; block_size 2 forces multiple chunks)."""
+    import os
+    import random
+
+    if not os.path.exists(BW):
+        import pytest
+        pytest.skip("BigWigReader.bw fixture missing")
+    rng = random.Random(3)
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    for i in range(40):
+        lines.append(f"chr1\t{rng.randint(1, 120)}\t.\tA\tG\t.\t.\t.")
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+    a = tmp_path / "t1.vcf"
+    b = tmp_path / "t4.vcf"
+    assert execute("VcfAnnotateFromBigWig", ["-in", vcf, "-out", a, "-bw", BW,
+                                             "-name", "S", "-mode", "max",
+                                             "-threads", "1"]) == 0
+    assert execute("VcfAnnotateFromBigWig", ["-in", vcf, "-out", b, "-bw", BW,
+                                             "-name", "S", "-mode", "max",
+                                             "-threads", "4", "-block_size", "2"]) == 0
+    assert a.read_bytes() == b.read_bytes()
