@@ -240,6 +240,16 @@ class BamClipOverlapTool(ToolBase):
 
                 soft_clip = (s2 <= s1 <= e2) or (s2 <= e1 <= e2) or (s1 <= s2 and e1 >= e2)
 
+                if soft_clip and self.get_flag("v"):
+                    # verbose read info (BamClipOverlap/main.cpp:206-213)
+                    ov = min(e1, e2) - max(s1, s2) + 1
+                    for label, r in (("forward", forward_read),
+                                     ("reverse", reverse_read)):
+                        print(f"{label} read: name - {r.name.decode()}, "
+                              f"region - {r.start() - 1}-{r.end()}, "
+                              f"insert size: {r.tlen} bp; mate: {r.mate_pos}, "
+                              f"overlap: {ov} bp", file=sys.stderr)
+
                 if soft_clip:
                     if s1 <= s2 and e1 <= e2:
                         overlap = e1 - s2 + 1

@@ -20,14 +20,20 @@ _QP_RX = re.compile(
     rb' cvRef="QC" accession="([^"]*)"')
 
 
-def qc_from_qcml(path: str) -> QCCollection:
+def qc_from_qcml(path: str, obo: str = "") -> QCCollection:
     """Parse qualityParameter elements of a qcML file; value types come from
-    the ontology (QCCollection::fromQCML semantics)."""
+    the ontology (QCCollection::fromQCML semantics; a custom OBO file
+    replaces the built-in qcML.obo, QcToTsv/main.cpp:30-31)."""
     from ..core.qcml import validate_qcml_schema
     error = validate_qcml_schema(path)
     if error:
         raise ToolError(f"QC file '{path}' does not match schema: {error}")
-    terms = qcml_terms()
+    if obo:
+        from ..core.ontology import OntologyTermCollection
+        with open(obo, "r", encoding="utf-8", errors="replace") as fh:
+            terms = OntologyTermCollection.from_obo_text(fh.read())
+    else:
+        terms = qcml_terms()
     out = QCCollection()
     with open(path, "rb") as fh:
         data = fh.read()
@@ -67,7 +73,7 @@ class QcToTsvTool(ToolBase):
     def main(self):
         lines = ["#accession\tname\tvalue"]
         for path in self.get_infile_list("in"):
-            qc = qc_from_qcml(path)
+            qc = qc_from_qcml(path, obo=self.get("obo") or "")
             for v in qc:
                 lines.append(f"{v.accession}\t{v.name}\t{v.to_string()}")
         text = "".join(l + "\n" for l in lines)

@@ -76,6 +76,17 @@ class SampleIdentityTool(ToolBase):
             af = np.where(depth < min_depth, -1, af).astype(np.int64)
             return label, af, None
 
+        if self.get_flag("time"):
+            # -time: per-sample wall time on STDOUT (SampleIdentity/main.cpp)
+            import time as _time
+            inner = compute_af
+
+            def compute_af(b, _inner=inner):
+                t0 = _time.perf_counter()
+                res = _inner(b)
+                print(f"time {b}: {(_time.perf_counter() - t0) * 1000:.0f} ms")
+                return res
+
         threads = max(1, self.get_int("threads"))
         if threads > 1 and len(bams) > 1:
             # per-sample parallelism: BAM decode releases the GIL in the

@@ -207,7 +207,20 @@ class ToolBase:
                 if v:
                     ref_saved = (_os.environ.get("NGSBITS_REFERENCE_GENOME"),)
                     _os.environ["NGSBITS_REFERENCE_GENOME"] = str(v)
+            # -debug (flag or >=0 interval): stage timing to stderr, the
+            # baseline behavior of the reference's per-tool debug output
+            debug = False
+            if "debug" in self._args:
+                dv = self.get("debug")
+                debug = bool(dv) if isinstance(dv, bool) else \
+                    (dv not in ("", None) and int(dv) >= 0)
+            import time as _time
+            t0 = _time.perf_counter()
             self.main()
+            if debug:
+                print(f"[debug] {self.name} finished in "
+                      f"{(_time.perf_counter() - t0) * 1000:.0f} ms",
+                      file=sys.stderr)
             return 0
         except SystemExit as e:
             return int(e.code or 0)
