@@ -653,9 +653,14 @@ def iter_entries(filename: str, validate: bool = False, long_read: bool = False)
 
 class FastqEntryWriter:
     """Per-entry gzip writer (buffers to batch the compressor; each flushed
-    buffer becomes its own gzip member via libdeflate when available)."""
+    buffer becomes its own gzip member via libdeflate when available).
+    ``flush_entries`` caps the number of buffered entries (BamToFastq's
+    -write_buffer_size); otherwise flushing is byte-bounded."""
 
-    def __init__(self, filename: str, compression_level: int = 1):
+    def __init__(self, filename: str, compression_level: int = 1,
+                 flush_entries: int | None = None):
+        self._flush_entries = flush_entries
+        self._n_entries = 0
         self._level = compression_level
         self._raw = open(filename, "wb")
         self._member_lib = _gzip_member_lib()
@@ -671,6 +676,7 @@ class FastqEntryWriter:
         data = b"".join(self._parts)
         self._parts = []
         self._size = 0
+        self._n_entries = 0
         if not data:
             return
         if self._member_lib is not None:
@@ -689,7 +695,10 @@ class FastqEntryWriter:
     def write(self, e: FastqEntry):
         self._parts += [e.header, b"\n", e.bases, b"\n", e.header2, b"\n", e.quals, b"\n"]
         self._size += len(e.bases) * 2
-        if self._size > (4 << 20):
+        self._n_entries += 1
+        if (self._size > (4 << 20)
+                or (self._flush_entries is not None
+                    and self._n_entries >= self._flush_entries)):
             self._flush()
 
     def close(self):

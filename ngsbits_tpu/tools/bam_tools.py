@@ -19,6 +19,16 @@ from ..io.fastq import FastqEntry, FastqEntryWriter
 from ..qc.mapping_stats import _tag_int
 from .toolbase import ToolBase, ToolError
 
+
+def _make_writer(out: str, reader, write_cram: bool):
+    """BamWriter, or CramWriter when -write_cram is set regardless of the
+    file extension (BamFilter/main.cpp:27)."""
+    if write_cram and not str(out).endswith(".cram"):
+        from ..io.cram_write import CramWriter
+        return CramWriter(str(out), reader)
+    return BamWriter(out, reader)
+
+
 _RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
 
 
@@ -151,7 +161,7 @@ class BamFilterTool(ToolBase):
         minDup = self.get_int("minDup")
         maxIS = self.get_int("maxIS")
         reader = BamReader(self.get("in"))
-        writer = BamWriter(self.get("out"), reader)
+        writer = _make_writer(self.get("out"), reader, self.get_flag("write_cram"))
 
         def passes(batch, i):
             fl = int(batch.flag[i])
@@ -231,7 +241,7 @@ class BamDownsampleTool(ToolBase):
         test = self.get_flag("test")
         rng = np.random.default_rng(1 if test else None)
         reader = BamReader(self.get("in"))
-        writer = BamWriter(self.get("out"), reader)
+        writer = _make_writer(self.get("out"), reader, self.get_flag("write_cram"))
         kept_names: set = set()
         c_reads = c_kept = 0
         for batch in reader:
@@ -298,8 +308,9 @@ class BamToFastqTool(ToolBase):
             start, end = coords.replace(",", "").split("-")
             region = (Chromosome(chrom).num, int(start), int(end))
 
-        w1 = FastqEntryWriter(out1, level)
-        w2 = FastqEntryWriter(out2, level) if is_pe else None
+        buf_pairs = max(1, self.get_int("write_buffer_size"))
+        w1 = FastqEntryWriter(out1, level, flush_entries=buf_pairs)
+        w2 = FastqEntryWriter(out2, level, flush_entries=buf_pairs) if is_pe else None
 
         from ..core.chromosome import Chromosome
         ref_nums = [Chromosome(n).num for n in reader.ref_names]

@@ -153,15 +153,43 @@ class NGSDGeneBurdenTestTool(ToolBase):
                         parts = line.rstrip("\n").split("\t")
                         cnv_polymorphism.append(BedLine(parts[0], int(parts[1]) + 1, int(parts[2])))
 
-        results = []
-        for gene in genes:
+        # per-gene parallelism (reference: GeneBurdenTest worker pool,
+        # NGSDGeneBurdenTest/main.cpp:98): one SQLite connection per worker
+        # thread; sqlite and fasta reads release the GIL in C
+        threads = max(1, self.get_int("threads"))
+
+        def run_gene(gene, dbw):
             try:
-                results.append(self._test_gene(
-                    db, genome, gene, ps_ids_cases, ps_ids_controls, impacts, inheritance,
+                return ("ok", self._test_gene(
+                    dbw, genome, gene, ps_ids_cases, ps_ids_controls, impacts, inheritance,
                     max_ngsd_count, max_gnomad_af, include_mosaic, predict_pathogenic,
                     include_cnvs, callset_ids_cases, callset_ids_controls, cnv_polymorphism,
                     ccr_only, ccr80_region, splice_region_size, excluded_regions, debug))
-            except Exception as e:
+            except Exception as e:  # noqa: BLE001 — per-gene error policy below
+                return ("err", gene, e)
+
+        if threads > 1 and len(genes) > 1:
+            import threading as _threading
+            from concurrent.futures import ThreadPoolExecutor
+            tl = _threading.local()
+
+            def worker(gene):
+                dbw = getattr(tl, "db", None)
+                if dbw is None:
+                    dbw = tl.db = NGSD(self.get_flag("test"))
+                return run_gene(gene, dbw)
+
+            with ThreadPoolExecutor(max_workers=threads) as pool:
+                outcomes = list(pool.map(worker, genes))
+        else:
+            outcomes = [run_gene(g, db) for g in genes]
+
+        results = []
+        for outcome in outcomes:
+            if outcome[0] == "ok":
+                results.append(outcome[1])
+            else:
+                _, gene, e = outcome
                 if skip_errors:
                     sys.stdout.write(f"ERROR in processing gene {gene}:\t{e}\t Removed from output!\n")
                 else:

@@ -172,6 +172,31 @@ class TsvMergeTool(ToolBase):
             for i, h in enumerate(f.header):
                 if i not in ki:
                     header.append(h)
+        if self.get_flag("simple"):
+            # -simple: positional merge requiring identical keys in identical
+            # order in every file (TsvMerge simple mode) — no hash join
+            n = len(files[0].rows)
+            for fi, (f, ki) in enumerate(zip(files, key_idx)):
+                if len(f.rows) != n:
+                    raise ToolError("Input files differ in row count "
+                                    "('simple' mode requires the same keys in "
+                                    "the same order)!")
+            rows = []
+            for r_i in range(n):
+                key = tuple(files[0].rows[r_i][i] for i in key_idx[0])
+                row = list(key)
+                for fi, (f, ki) in enumerate(zip(files, key_idx)):
+                    this_key = tuple(f.rows[r_i][i] for i in ki)
+                    if this_key != key:
+                        raise ToolError(
+                            "Keys differ between input files in line "
+                            f"{r_i + 1} ('simple' mode requires the same keys "
+                            "in the same order)!")
+                    row.extend(f.rows[r_i][i] for i in range(len(f.header))
+                               if i not in ki)
+                rows.append(row)
+            write_tsv(self.get("out"), comments, header, rows)
+            return
         # build key -> row values
         order = []
         data: dict = {}

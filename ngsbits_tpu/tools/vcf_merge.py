@@ -324,11 +324,26 @@ class VcfMergeTool(ToolBase):
             self._print_details(data[-1], log)
 
         if bam_files:
-            for bam, entry in zip(bam_files, data):
+            # per-sample re-calling parallelism (reference: QThreadPool,
+            # VcfMerge/main.cpp:298-323); each worker writes only its own
+            # entry's tag_to_format, and the BAM pileup decode releases
+            # the GIL in the native decoder
+            threads = max(1, self.get_int("threads"))
+
+            def recall_one(pair):
+                bam, entry = pair
                 self._recall(bam, entry, var_details,
                              self.get_int("min_mapq"),
                              self.get_flag("no_genotype_correction"),
                              self.get_flag("long_read"))
+
+            if threads > 1 and len(bam_files) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=threads) as pool:
+                    list(pool.map(recall_one, zip(bam_files, data)))
+            else:
+                for pair in zip(bam_files, data):
+                    recall_one(pair)
 
         var_details.sort(key=lambda v: (v[0].num, v[1], v[2], v[3]))
 

@@ -58,10 +58,96 @@ class VcfSortTool(ToolBase):
         self.add_flag("debug", "Enable debug output to STDOUT.")
 
     def main(self):
+        if self.get_flag("split_chrs"):
+            self._sort_split_chrs()
+            return
         vl = VcfFile.from_file(self.get("in"))
         vcf_sort(vl)
         vcf_store(vl, self.get("out"), self.get_int("compression_level"),
                   self.get_flag("remove_unused_contigs"))
+
+    def _sort_split_chrs(self):
+        """Reduced-memory mode: bucket body lines per chromosome on disk,
+        sort one chromosome at a time, concatenate in chromosome order
+        (VcfSort -split_chrs). Output bytes match the in-memory sort."""
+        import gzip as _gzip
+        import os
+        import tempfile
+
+        from ..core.chromosome import Chromosome
+
+        path = self.get("in")
+        opener = _gzip.open if str(path).endswith(".gz") else open
+        header_raw = []
+        buckets: dict[int, object] = {}
+        chrom_of: dict[int, str] = {}
+        with tempfile.TemporaryDirectory() as td:
+            with opener(path, "rb") as fh:
+                for raw in fh:
+                    line = raw.rstrip(b"\r\n")
+                    if not line.strip():
+                        continue
+                    if line.startswith(b"#"):
+                        header_raw.append(line)
+                        continue
+                    c = Chromosome(line.split(b"\t", 1)[0])
+                    b = buckets.get(c.num)
+                    if b is None:
+                        b = buckets[c.num] = open(
+                            os.path.join(td, f"c{len(buckets)}.vcf"), "w+b")
+                        chrom_of[c.num] = c.str
+                    b.write(line + b"\n")
+            header_blob = b"\n".join(header_raw) + b"\n"
+
+            out_parts = []
+            final_header = None
+            for num in sorted(buckets):
+                b = buckets[num]
+                b.flush()
+                tmp_in = os.path.join(td, "part_in.vcf")
+                with open(tmp_in, "wb") as fh:
+                    fh.write(header_blob)
+                    b.seek(0)
+                    fh.write(b.read())
+                b.close()
+                vl = VcfFile.from_file(tmp_in)
+                vcf_sort(vl)
+                tmp_out = os.path.join(td, "part_out.vcf")
+                vcf_store(vl, tmp_out, 0, False)
+                body = []
+                hdr = []
+                with open(tmp_out, "rb") as fh:
+                    for raw in fh:
+                        (hdr if raw.startswith(b"#") else body).append(raw)
+                if final_header is None:
+                    final_header = hdr
+                out_parts.extend(body)
+
+            if final_header is None:   # header-only input
+                vl = VcfFile.from_file(path)
+                vcf_store(vl, self.get("out"),
+                          self.get_int("compression_level"),
+                          self.get_flag("remove_unused_contigs"))
+                return
+            if self.get_flag("remove_unused_contigs"):
+                used = {chrom_of[n].encode() for n in buckets}
+                final_header = [
+                    h for h in final_header
+                    if not h.startswith(b"##contig=<ID=")
+                    or h.split(b"##contig=<ID=", 1)[1].split(b",", 1)[0]
+                       .split(b">", 1)[0] in used]
+            data = b"".join(final_header) + b"".join(out_parts)
+            out = self.get("out")
+            level = self.get_int("compression_level")
+            if out in ("", "-", None):
+                stdout_binary().write(data)
+            elif level > 0 or str(out).endswith(".gz"):
+                from ..io.bgzf import bgzf_compress
+                with open(out, "wb") as fh:
+                    fh.write(bgzf_compress(data, level=max(level, 1)))
+            else:
+                with open(out, "wb") as fh:
+                    fh.write(data)
 
 
 class VcfToTsvTool(ToolBase):

@@ -90,3 +90,38 @@ def test_vcf_break_multi(ref_data_in, ref_data_out, tmp_path):
         assert execute("VcfBreakMulti", ["-in", ref_data_in / f"VcfBreakMulti_in{n}.vcf",
                                          "-out", out] + extra) == 0
         compare_files(out, ref_data_out / f"VcfBreakMulti_out{n}.vcf")
+
+
+def test_vcfsort_split_chrs_identical(ref_data_in, tmp_path):
+    """-split_chrs (one chromosome at a time via tmp files) must produce
+    byte-identical output to the in-memory sort."""
+    from helpers import execute
+
+    src = ref_data_in / "VcfSort_in1.vcf"
+    a = tmp_path / "mem.vcf"
+    b = tmp_path / "split.vcf"
+    assert execute("VcfSort", ["-in", src, "-out", a]) == 0
+    assert execute("VcfSort", ["-in", src, "-out", b, "-split_chrs"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_tsvmerge_simple_identical(ref_data_in, tmp_path):
+    """-simple (positional merge) matches the hash-join on same-key inputs
+    and errors on mismatched keys."""
+    from helpers import execute
+
+    f1 = tmp_path / "a.tsv"
+    f2 = tmp_path / "b.tsv"
+    f1.write_text("#key\tx\nk1\t1\nk2\t2\n")
+    f2.write_text("#key\ty\nk1\t9\nk2\t8\n")
+    a = tmp_path / "m1.tsv"
+    b = tmp_path / "m2.tsv"
+    assert execute("TsvMerge", ["-in", f1, f2, "-cols", "key", "-out", a]) == 0
+    assert execute("TsvMerge", ["-in", f1, f2, "-cols", "key", "-out", b,
+                                "-simple"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+    f3 = tmp_path / "c.tsv"
+    f3.write_text("#key\ty\nk2\t9\nk1\t8\n")   # different key order
+    assert execute("TsvMerge", ["-in", f1, f3, "-cols", "key",
+                                "-out", tmp_path / "m3.tsv", "-simple"]) == 1
