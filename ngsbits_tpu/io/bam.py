@@ -98,7 +98,7 @@ class BamBatch:
         """New batch with the selected records (mask or index array)."""
         idx = np.flatnonzero(sel) if np.asarray(sel).dtype == bool else np.asarray(sel)
 
-        def ragged(flat, off):
+        def gather_of(off):
             lens = off[idx + 1] - off[idx]
             new_off = np.zeros(len(idx) + 1, dtype=np.int64)
             np.cumsum(lens, out=new_off[1:])
@@ -106,14 +106,17 @@ class BamBatch:
             gather = np.repeat(off[idx], lens) + (
                 np.arange(total, dtype=np.int64)
                 - np.repeat(new_off[:-1], lens))
-            return flat[gather], new_off
+            return gather, new_off
 
-        cigar, cigar_off = ragged(self.cigar, self.cigar_off)
-        seq, seq_off = ragged(self.seq, self.seq_off)
-        qual, _ = ragged(self.qual, self.seq_off)
-        names_arr = np.frombuffer(self.names, dtype=np.uint8)
-        names, name_off = ragged(names_arr, self.name_off)
-        tags, tags_off = ragged(self.tags, self.tags_off)
+        cg, cigar_off = gather_of(self.cigar_off)
+        cigar = self.cigar[cg]
+        sg, seq_off = gather_of(self.seq_off)   # shared by seq and qual
+        seq = self.seq[sg]
+        qual = self.qual[sg]
+        ng, name_off = gather_of(self.name_off)
+        names = np.frombuffer(self.names, dtype=np.uint8)[ng]
+        tg, tags_off = gather_of(self.tags_off)
+        tags = self.tags[tg]
         return BamBatch(
             ref_id=self.ref_id[idx], pos=self.pos[idx], flag=self.flag[idx],
             mapq=self.mapq[idx], l_seq=self.l_seq[idx],
@@ -223,27 +226,49 @@ class BamReader:
             return
         beg0 = max(0, start - 1)
         end0 = end - 1
-        idx_path = find_index(self.filename)
-        if idx_path is not None:
-            try:
-                voff = BaiIndex(idx_path).min_voffset(rid, beg0, end)
-                if voff is None:
+        bai = getattr(self, "_bai_cache", None)
+        if bai is None:
+            idx_path = find_index(self.filename)
+            if idx_path is not None:
+                import struct as _struct
+                try:
+                    bai = BaiIndex(idx_path)
+                except (OSError, ValueError, _struct.error, IndexError):
+                    bai = False   # unreadable index
+            else:
+                bai = False
+            self._bai_cache = bai
+        source = self
+        if bai:
+            voff = bai.min_voffset(rid, beg0, end)
+            if voff is None:
+                return
+            self.seek_voffset(voff)
+        else:
+            # no usable index: full filtered scan on a fresh cursor (the
+            # caller's reader position is unknown and BAM order may differ
+            # from chromosome-number order)
+            source = BamReader(self.filename,
+                               batch_records=self.batch_records)
+        try:
+            while True:
+                batch = source.read_batch()
+                if batch is None:
                     return
-                self.seek_voffset(voff)
-            except (OSError, ValueError):
-                pass   # unreadable index -> sequential scan
-        while True:
-            batch = self.read_batch()
-            if batch is None:
-                return
-            pos0 = batch.pos.astype(np.int64)
-            ends0x = batch.end_positions()
-            on = (batch.ref_id == rid) & (pos0 <= end0) & (ends0x > beg0)
-            if on.any():
-                yield batch, on
-            if ((batch.ref_id > rid)
-                    | ((batch.ref_id == rid) & (pos0 > end0))).any():
-                return
+                pos0 = batch.pos.astype(np.int64)
+                ends0x = batch.end_positions()
+                on = (batch.ref_id == rid) & (pos0 <= end0) & (ends0x > beg0)
+                if on.any():
+                    yield batch, on
+                # early stop: sorted records are past the region (valid for
+                # the seeked cursor and for the fresh full scan — ref_id is
+                # nondecreasing in a coordinate-sorted BAM)
+                if ((batch.ref_id > rid)
+                        | ((batch.ref_id == rid) & (pos0 > end0))).any():
+                    return
+        finally:
+            if source is not self:
+                source.close()
 
     def _read_batch_native(self, max_records: int) -> BamBatch | None:
         lib = self._lib
@@ -604,7 +629,10 @@ class BamRecord:
 
 
 def write_record(writer: "BamWriter", r: BamRecord):
-    """Append one BamRecord through a BamWriter."""
+    """Append one BamRecord through a BamWriter (or CramWriter)."""
+    if hasattr(writer, "write_bam_record"):
+        writer.write_bam_record(r)
+        return
     name = r.name + b"\x00"
     lseq = len(r.seq)
     packed = np.zeros((lseq + 1) // 2, dtype=np.uint8)

@@ -39,9 +39,13 @@ def _one_block(data: bytes, level: int = 6) -> bytes:
     return header + cdata + tail
 
 
-def bgzf_compress(data: bytes, level: int = 6, block_size: int = 0xFF00) -> bytes:
+def bgzf_compress(data: bytes, level: int = 6, block_size: int = 0xFF00,
+                  eof: bool = True) -> bytes:
+    """BGZF-compress data; ``eof=False`` omits the trailing EOF block so
+    callers can stream several parts and terminate once."""
     parts = []
     for off in range(0, len(data), block_size):
         parts.append(_one_block(data[off:off + block_size], level))
-    parts.append(_EOF_BLOCK)
+    if eof:
+        parts.append(_EOF_BLOCK)
     return b"".join(parts)

@@ -218,6 +218,20 @@ class CramWriter:
             if len(self._pending) >= self.RECORDS_PER_CONTAINER:
                 self._flush()
 
+    def write_bam_record(self, r):
+        """Append one BamRecord (the write_record() path used by
+        read-modify-write tools like BamClipOverlap)."""
+        seq_ascii = SEQ_NIBBLE_ASCII[np.asarray(r.seq, dtype=np.uint8)].tobytes()
+        qual = np.asarray(r.qual, dtype=np.uint8).tobytes()
+        tags = bytes(r.tags)
+        self._pending.append((int(r.flag), int(r.ref_id), int(r.pos),
+                              int(r.mapq), np.asarray(r.cigar, dtype=np.uint32),
+                              seq_ascii, qual, bytes(r.name),
+                              int(r.mate_ref_id), int(r.mate_pos),
+                              int(r.tlen), tags))
+        if len(self._pending) >= self.RECORDS_PER_CONTAINER:
+            self._flush()
+
     @staticmethod
     def _snapshot(batch, i: int):
         seq_ascii = SEQ_NIBBLE_ASCII[batch.seq_of(i)].tobytes()

@@ -671,12 +671,21 @@ class FastqEntryWriter:
                                      compresslevel=compression_level, mtime=0)
         self._parts = []
         self._size = 0
+        self._pending = bytearray()
 
-    def _flush(self):
-        data = b"".join(self._parts)
-        self._parts = []
-        self._size = 0
-        self._n_entries = 0
+    def _flush(self, force_compress: bool = False):
+        # move buffered entries into the pending byte buffer (the
+        # -write_buffer_size batching boundary); compression happens on the
+        # byte bound so member framing stays independent of entry batching
+        if self._parts:
+            self._pending += b"".join(self._parts)
+            self._parts = []
+            self._size = 0
+            self._n_entries = 0
+        if not force_compress and len(self._pending) <= (4 << 20):
+            return
+        data = bytes(self._pending)
+        self._pending = bytearray()
         if not data:
             return
         if self._member_lib is not None:
@@ -702,7 +711,7 @@ class FastqEntryWriter:
             self._flush()
 
     def close(self):
-        self._flush()
+        self._flush(force_compress=True)
         if self._member_lib is not None:
             if self._members == 0:
                 out = np.empty(64, dtype=np.uint8)

@@ -300,7 +300,8 @@ def _compute_chr_coverage(bed: BedFile, bam_file: str, min_mapq: int, min_baseq:
     for num, (chr_, idxs, lo, hi) in by_chr.items():
         accs[num] = _make_acc(bed, idxs, lo, hi)
 
-    reader = BamReader(bam_file, n_threads=max(1, threads))
+    # at least the reader's default inflate pool; -threads only raises it
+    reader = BamReader(bam_file, n_threads=max(4, threads))
     ref_num = np.array([Chromosome(n).num for n in reader.ref_names], dtype=np.int64)
     want = np.zeros(len(ref_num) + 1, dtype=bool)
     for i, rn in enumerate(ref_num):

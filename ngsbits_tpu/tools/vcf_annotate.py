@@ -153,9 +153,6 @@ class _AnnotateState:
                  "out_id_col_names")
 
 
-_POOL_STATE: _AnnotateState | None = None
-
-
 def _annotate_vcf_line(line: bytes, st: _AnnotateState) -> bytes:
     """Annotate one body line (the reference's ChunkProcessor inner loop)."""
     from ..core.chromosome import Chromosome
@@ -225,8 +222,8 @@ def _annotate_vcf_line(line: bytes, st: _AnnotateState) -> bytes:
     return line + b"\n"
 
 
-def _annotate_chunk(chunk: list) -> list:
-    return [_annotate_vcf_line(l, _POOL_STATE) for l in chunk]
+def _annotate_chunk_st(chunk: list, st: _AnnotateState) -> list:
+    return [_annotate_vcf_line(l, st) for l in chunk]
 
 
 class _SourceIndex:
@@ -560,38 +557,13 @@ class VcfAnnotateFromVcfTool(ToolBase):
                 continue
             body.append(line)
 
-        threads = max(1, self.get_int("threads"))
-        block = max(1, self.get_int("block_size"))
-        chunks = [body[i:i + block] for i in range(0, len(body), block)]
-        if threads > 1 and len(chunks) > 1 and "jax" not in sys.modules:
-            # real chunk parallelism (reference: N ChunkProcessor threads,
-            # ordered writes): fork workers inherit the sources read-only;
-            # the tabix reader opens its data fd per process. Forking is
-            # gated on jax being unloaded (the CLI path) — forking a
-            # process with jax's internal threads risks deadlocks.
-            import multiprocessing as mp
-            global _POOL_STATE
-            _POOL_STATE = st
-            try:
-                ctx = mp.get_context("fork")
-                with ctx.Pool(processes=min(threads, len(chunks))) as pool:
-                    for part in pool.imap(_annotate_chunk, chunks):
-                        out_lines.extend(part)
-            finally:
-                _POOL_STATE = None
-        elif threads > 1 and len(chunks) > 1:
-            # in-process callers with jax loaded: thread pool (ordered;
-            # the tabix fd is per-thread, IO overlaps; annotation itself
-            # stays GIL-bound)
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(threads, len(chunks))) as ex:
-                for part in ex.map(lambda c: [_annotate_vcf_line(l, st) for l in c],
-                                   chunks):
-                    out_lines.extend(part)
-        else:
-            for chunk in chunks:
-                for line in chunk:
-                    out_lines.append(_annotate_vcf_line(line, st))
+        # ordered chunk parallelism (reference: N ChunkProcessor threads):
+        # fork workers inherit the sources read-only when jax is unloaded,
+        # thread pool otherwise (utils/chunkpool.py)
+        from ..utils.chunkpool import process_chunks
+        out_lines.extend(process_chunks(
+            body, _annotate_chunk_st, st,
+            self.get_int("threads"), self.get_int("block_size")))
 
         _write(out, out_lines)
 

@@ -121,9 +121,12 @@ class VcfReplaceSamplesTool(ToolBase):
             out_lines.append(line + b"\n")
         data = b"".join(out_lines)
         level = self.get_int("compression_level")
-        if level > 0:
+        to_file = out not in ("", "-", None)
+        # same semantics as vcf_store: compress when a level is given or the
+        # name says .gz; stdout always gets plain text
+        if to_file and (level > 0 or str(out).endswith(".gz")):
             from ..io.bgzf import bgzf_compress
-            data = bgzf_compress(data, level=level)
+            data = bgzf_compress(data, level=max(level, 1))
         out_fh = _open_out(out)
         out_fh.write(data)
         if out_fh is not stdout_binary():

@@ -99,9 +99,11 @@ class VcfSortTool(ToolBase):
                     b.write(line + b"\n")
             header_blob = b"\n".join(header_raw) + b"\n"
 
-            out_parts = []
+            # sort one chromosome at a time, streaming each part to the
+            # output so peak memory stays bounded by the largest chromosome
+            body_parts = []    # per-chrom tmp output paths, chromosome order
             final_header = None
-            for num in sorted(buckets):
+            for pi, num in enumerate(sorted(buckets)):
                 b = buckets[num]
                 b.flush()
                 tmp_in = os.path.join(td, "part_in.vcf")
@@ -112,16 +114,18 @@ class VcfSortTool(ToolBase):
                 b.close()
                 vl = VcfFile.from_file(tmp_in)
                 vcf_sort(vl)
-                tmp_out = os.path.join(td, "part_out.vcf")
+                tmp_out = os.path.join(td, f"part_out_{pi}.vcf")
                 vcf_store(vl, tmp_out, 0, False)
-                body = []
-                hdr = []
-                with open(tmp_out, "rb") as fh:
-                    for raw in fh:
-                        (hdr if raw.startswith(b"#") else body).append(raw)
+                del vl
+                body_parts.append(tmp_out)
                 if final_header is None:
+                    hdr = []
+                    with open(tmp_out, "rb") as fh:
+                        for raw in fh:
+                            if not raw.startswith(b"#"):
+                                break
+                            hdr.append(raw)
                     final_header = hdr
-                out_parts.extend(body)
 
             if final_header is None:   # header-only input
                 vl = VcfFile.from_file(path)
@@ -136,18 +140,34 @@ class VcfSortTool(ToolBase):
                     if not h.startswith(b"##contig=<ID=")
                     or h.split(b"##contig=<ID=", 1)[1].split(b",", 1)[0]
                        .split(b">", 1)[0] in used]
-            data = b"".join(final_header) + b"".join(out_parts)
+
             out = self.get("out")
             level = self.get_int("compression_level")
-            if out in ("", "-", None):
-                stdout_binary().write(data)
-            elif level > 0 or str(out).endswith(".gz"):
-                from ..io.bgzf import bgzf_compress
-                with open(out, "wb") as fh:
-                    fh.write(bgzf_compress(data, level=max(level, 1)))
-            else:
-                with open(out, "wb") as fh:
-                    fh.write(data)
+            gz = out not in ("", "-", None) and (level > 0
+                                                 or str(out).endswith(".gz"))
+            from ..io.bgzf import _EOF_BLOCK, bgzf_compress
+            sink = (open(out, "wb") if out not in ("", "-", None)
+                    else stdout_binary())
+
+            def emit(part: bytes):
+                if gz:
+                    sink.write(bgzf_compress(part, level=max(level, 1),
+                                             eof=False))
+                else:
+                    sink.write(part)
+
+            emit(b"".join(final_header))
+            for tmp_out in body_parts:
+                body = bytearray()
+                with open(tmp_out, "rb") as fh:
+                    for raw in fh:
+                        if not raw.startswith(b"#"):
+                            body += raw
+                emit(bytes(body))
+            if gz:
+                sink.write(_EOF_BLOCK)
+            if out not in ("", "-", None):
+                sink.close()
 
 
 class VcfToTsvTool(ToolBase):

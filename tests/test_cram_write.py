@@ -87,3 +87,19 @@ def test_roundtrip_reference_fixture(ref_data_in, tmp_path, fixture):
                 print("orig:", a)
                 print("rt:  ", b)
     assert n_diff == 0
+
+
+def test_write_record_path_to_cram(ref_data_in, tmp_path):
+    """The per-record write path (BamClipOverlap etc.) must work for .cram
+    outputs (CramWriter.write_bam_record)."""
+    from helpers import execute
+
+    out = tmp_path / "clip.cram"
+    assert execute("BamClipOverlap",
+                   ["-in", ref_data_in / "BamClipOverlap_in1.bam",
+                    "-out", out]) == 0
+    from ngsbits_tpu.io.cram import CramReader
+    r = CramReader(str(out))
+    n = sum(len(b) for b in r)
+    r.close()
+    assert n > 0
