@@ -85,13 +85,29 @@ class NGSDExportAnnotationDataTool(ToolBase):
             class_infos[int(variant_id)] = ((clas or "").strip().replace("n/a", ""),
                                             encode_info_value(comment or ""))
 
+        # -verbose: per-stage progress to stderr (reference exportingGermline
+        # etc. debug output)
+        import time as _time
+
+        def stage(name, fn, *args):
+            t0 = _time.perf_counter()
+            if self.get_flag("verbose"):
+                print(f"exporting {name}...", file=sys.stderr)
+            fn(*args)
+            if self.get_flag("verbose"):
+                print(f"exporting {name} done in "
+                      f"{(_time.perf_counter() - t0) * 1000:.0f} ms",
+                      file=sys.stderr)
+
         if germline:
-            self._export_germline(db, reference, chrs, disease_groups, ps_infos, class_infos,
-                                  germline, max_af, max_vcf_lines, ref_file)
+            stage("germline", self._export_germline, db, reference, chrs,
+                  disease_groups, ps_infos, class_infos, germline, max_af,
+                  max_vcf_lines, ref_file)
         if somatic:
-            self._export_somatic(db, reference, chrs, somatic, max_vcf_lines, ref_file)
+            stage("somatic", self._export_somatic, db, reference, chrs,
+                  somatic, max_vcf_lines, ref_file)
         if genes:
-            self._export_genes(db, genes, gene_offset)
+            stage("genes", self._export_genes, db, genes, gene_offset)
         db.close()
 
     def _vcf_header(self, out, db, reference, chrs, ref_file):
