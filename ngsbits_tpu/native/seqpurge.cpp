@@ -266,7 +266,23 @@ void process_rows(const Args& a, int64_t row_begin, int64_t row_end, Accum& acc)
             }
         } else {
             // ---- steps 2+3: adapter-prefix fallback (AnalysisWorker.cpp:304-427) ----
-            auto scan = [&](const uint8_t* read, int32_t rlen, const uint8_t* ad) -> int32_t {
+            const bool a1_has_n = memchr(a.a1, N_CODE, a.a_size) != nullptr;
+            const bool a2_has_n = memchr(a.a2, N_CODE, a.a_size) != nullptr;
+            auto scan = [&](const uint8_t* read, int32_t rlen, const uint8_t* ad,
+                            bool any_n) -> int32_t {
+                if (!any_n) {
+                    // fast path: no N in read or adapter — straight-line
+                    // compare counts (vectorizable), same decisions
+                    for (int32_t o = 0; o < rlen; ++o) {
+                        const int32_t wend = std::min((int32_t)a.a_size, rlen - o);
+                        int32_t m = 0;
+                        for (int32_t i = 0; i < wend; ++i) m += (read[o + i] == ad[i]);
+                        if (wend > 0 && 100.0 * m / wend < a.match_perc) continue;
+                        const double pv = a.table[(int64_t)wend * a.tstride + m];
+                        if (pv <= a.mep) return o;
+                    }
+                    return -1;
+                }
                 for (int32_t o = 0; o < rlen; ++o) {
                     int32_t m = 0, mm = 0;
                     const int32_t wend = std::min((int32_t)a.a_size, rlen - o);
@@ -282,8 +298,8 @@ void process_rows(const Args& a, int64_t row_begin, int64_t row_end, Accum& acc)
                 }
                 return -1;
             };
-            const int32_t off_f = scan(s1, l1, a.a1);
-            const int32_t off_r = scan(s2, l2, a.a2);
+            const int32_t off_f = scan(s1, l1, a.a1, has_n || a1_has_n);
+            const int32_t off_r = scan(s2, l2, a.a2, has_n || a2_has_n);
             if (off_f != -1 || off_r != -1) {
                 const int32_t eff_f = off_f != -1 ? off_f : off_r;
                 const int32_t eff_r = off_r != -1 ? off_r : off_f;
