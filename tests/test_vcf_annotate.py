@@ -106,3 +106,30 @@ def test_threads_identical_output(ref_data_in, tmp_path):
     assert execute("VcfAnnotateFromVcf",
                    args + ["-out", out4, "-threads", "4", "-block_size", "7"]) == 0
     assert out1.read_bytes() == out4.read_bytes()
+
+
+def test_threads_fork_path_subprocess(ref_data_in, tmp_path):
+    """The fork-based pool (taken when jax is unloaded — the CLI case) must
+    match the sequential output; pytest holds jax, so exercise it through
+    subprocesses."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = ["-in", str(ref_data_in / "VcfAnnotateFromVcf_in1.vcf"),
+            "-source", str(ref_data_in / "VcfAnnotateFromVcf_an2_NGSD.vcf.gz"),
+            "-info_keys", "COUNTS,HAF", "-prefix", "NGSD"]
+    out1 = tmp_path / "f1.vcf"
+    out2 = tmp_path / "f2.vcf"
+    for out, extra in ((out1, ["-threads", "1"]),
+                       (out2, ["-threads", "3", "-block_size", "5"])):
+        r = subprocess.run(
+            [sys.executable, "-m", "ngsbits_tpu", "VcfAnnotateFromVcf"]
+            + base + ["-out", str(out)] + extra,
+            env=env, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-500:]
+    assert out1.read_bytes() == out2.read_bytes() and out1.stat().st_size > 0
