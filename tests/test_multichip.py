@@ -84,9 +84,26 @@ def test_two_process_distributed_init():
         "import sys\n"
         "from ngsbits_tpu.parallel.mesh import distributed_init\n"
         "import jax\n"
+        "import jax.numpy as jnp\n"
+        "import numpy as np\n"
         f"distributed_init('127.0.0.1:{port}', 2, int(sys.argv[1]))\n"
         "assert jax.process_count() == 2, jax.process_count()\n"
         "assert len(jax.devices()) == 2\n"
+        # real cross-process collective: each process contributes its own
+        # shard of a ReadQC-style counter; the psum total must be identical
+        # everywhere (the multi-host histogram-merge pattern)\n"
+        "from jax.sharding import Mesh, PartitionSpec as P\n"
+        "mesh = Mesh(np.array(jax.devices()), ('batch',))\n"
+        "pid = int(sys.argv[1])\n"
+        "local = jnp.full((1, 8), pid + 1, dtype=jnp.int32)\n"
+        "arr = jax.make_array_from_process_local_data(\n"
+        "    jax.NamedSharding(mesh, P('batch', None)), np.asarray(local),\n"
+        "    (2, 8))\n"
+        "@jax.jit\n"
+        "def total(x):\n"
+        "    return x.sum(axis=0)\n"
+        "out = np.asarray(jax.device_get(total(arr)))\n"
+        "assert (out == 3).all(), out\n"
         "print('DIST_OK')\n"
     )
     env = dict(os.environ)
