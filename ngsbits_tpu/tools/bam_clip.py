@@ -248,7 +248,7 @@ class BamClipOverlapTool(ToolBase):
                         print(f"{label} read: name - {r.name.decode()}, "
                               f"region - {r.start() - 1}-{r.end()}, "
                               f"insert size: {r.tlen} bp; mate: {r.mate_pos}, "
-                              f"overlap: {ov} bp", file=sys.stderr)
+                              f"overlap: {ov} bp")
 
                 if soft_clip:
                     if s1 <= s2 and e1 <= e2:
