@@ -206,6 +206,15 @@ class BamClipOverlapTool(ToolBase):
         reader = BamReader(self.get("in"))
         writer = BamWriter(self.get("out"), reader)
         al_map: dict[bytes, BamRecord] = {}
+        verbose = self.get_flag("v")
+
+        def _read_line(label, r, overlap, end=None):
+            """Reference verbose read line (BamClipOverlap/main.cpp:206)."""
+            return (f"{label} read: name - {r.name.decode()}, region - "
+                    f"{reader.ref_names[r.ref_id]}:{r.start() - 1}-"
+                    f"{r.end() if end is None else end}, insert size: {r.tlen}"
+                    f" bp; mate: {r.mate_pos + 1}, CIGAR "
+                    f"{r.cigar_string().decode()}, overlap: {overlap} bp")
 
         for batch in reader:
             for i in range(len(batch)):
@@ -239,16 +248,6 @@ class BamClipOverlapTool(ToolBase):
                 s2, e2 = reverse_read.start(), reverse_read.end()
 
                 soft_clip = (s2 <= s1 <= e2) or (s2 <= e1 <= e2) or (s1 <= s2 and e1 >= e2)
-
-                if soft_clip and self.get_flag("v"):
-                    # verbose read info (BamClipOverlap/main.cpp:206-213)
-                    ov = min(e1, e2) - max(s1, s2) + 1
-                    for label, r in (("forward", forward_read),
-                                     ("reverse", reverse_read)):
-                        print(f"{label} read: name - {r.name.decode()}, "
-                              f"region - {r.start() - 1}-{r.end()}, "
-                              f"insert size: {r.tlen} bp; mate: {r.mate_pos}, "
-                              f"overlap: {ov} bp")
 
                 if soft_clip:
                     if s1 <= s2 and e1 <= e2:
@@ -309,6 +308,22 @@ class BamClipOverlapTool(ToolBase):
                             + ("forward read " if both_strands else "read1 ")
                             + forward_read.name.decode() + " was not identified.")
 
+                    if verbose:
+                        # BamClipOverlap/main.cpp:206-215,271
+                        print(_read_line("forward", forward_read, overlap))
+                        print(_read_line("reverse", reverse_read, overlap))
+                        print(f"forward read bases {forward_read.bases().decode()}")
+                        print(f"forward read qualities {forward_read.qualities_ascii().decode()}")
+                        print(f"forward CIGAR {forward_read.cigar_string(True).decode()}")
+                        print(f"reverse read bases {reverse_read.bases().decode()}")
+                        print(f"reverse read qualities {reverse_read.qualities_ascii().decode()}")
+                        print(f"reverse CIGAR {reverse_read.cigar_string(True).decode()}")
+                        print(f"  clip forward read from position "
+                              f"{forward_read.end() - clip_forward + 1} to {forward_read.end()}")
+                        print(f"  clip reverse read from position "
+                              f"{reverse_read.start()} to {reverse_read.start() - 1 + clip_reverse}")
+                        print(f"  overlap found from {overlap_start} to {overlap_end}")
+
                     forward_overlap, hi1 = _scan_overlap(
                         forward_read, overlap_start, overlap_end,
                         forward_read.end() - clip_forward, ignore_indels)
@@ -316,6 +331,15 @@ class BamClipOverlapTool(ToolBase):
                         reverse_read, overlap_start, overlap_end,
                         reverse_read.start() - 1 + clip_reverse, ignore_indels)
                     has_indel = hi1 or hi2
+                    if verbose:
+                        fb = "".join(forward_overlap.base)
+                        fc = "".join(forward_overlap.cigar)
+                        rb = "".join(reverse_overlap.base)
+                        rc = "".join(reverse_overlap.cigar)
+                        print(f"  finished reading overlap forward bases {fb}")
+                        print(f"  finished reading overlap forward cigar {fc}")
+                        print(f"  finished reading overlap reverse bases {rb}")
+                        print(f"  finished reading overlap reverse cigar {rc}")
 
                     # correct for insertions
                     i2 = 0
@@ -335,6 +359,15 @@ class BamClipOverlapTool(ToolBase):
                                                    forward_overlap.genome_pos[i2],
                                                    forward_overlap.read_pos[i2])
                         i2 += 1
+                    if verbose:
+                        print("  finished indel correction forward bases "
+                              + "".join(forward_overlap.base))
+                        print("  finished indel correction forward cigar "
+                              + "".join(forward_overlap.cigar))
+                        print("  finished indel correction reverse bases "
+                              + "".join(reverse_overlap.base))
+                        print("  finished indel correction reverse cigar "
+                              + "".join(reverse_overlap.cigar))
                     if len(forward_overlap) != len(reverse_overlap):
                         raise ToolError(
                             f"Length mismatch between forward/reverse overlap - "
@@ -353,29 +386,57 @@ class BamClipOverlapTool(ToolBase):
                                 second = -1
                             mm_pos.append((first, second))
 
+                    if verbose and mm_pos:
+                        print(f"  overlap mismatch for read pair "
+                              f"{forward_read.name.decode()} - "
+                              + "".join(forward_overlap.base) + " != "
+                              + "".join(reverse_overlap.base) + "!")
+
                     if base_flag or rem_flag or map_flag or basen_flag:
                         if mm_pos and map_flag:
                             forward_read.mapq = 0
                             reverse_read.mapq = 0
                             reads_mismatch += 2
+                            if verbose:
+                                print("  Set mapping quality to 0.")
                         elif mm_pos and rem_flag:
                             reads_mismatch += 2
                             skip_al = True
+                            if verbose:
+                                print("   Removed pair.")
                         elif mm_pos and base_flag:
                             reads_mismatch += 2
+                            orig_for = forward_read.qualities_ascii().decode()
+                            orig_rev = reverse_read.qualities_ascii().decode()
                             for first, second in mm_pos:
                                 if first >= 0:
                                     forward_read.qual[first] = 0  # '!'
                                 if second >= 0:
                                     reverse_read.qual[second] = 0
+                            if verbose:
+                                print(f"   changed forward base qualities from "
+                                      f"{orig_for} to {forward_read.qualities_ascii().decode()}")
+                                print(f"   changed reverse base qualities from "
+                                      f"{orig_rev} to {reverse_read.qualities_ascii().decode()}")
                         elif mm_pos and basen_flag:
                             reads_mismatch += 2
+                            orig_for = forward_read.bases().decode()
+                            orig_rev = reverse_read.bases().decode()
                             n_code = ascii2code[ord("N")]
                             for first, second in mm_pos:
                                 if first >= 0:
                                     forward_read.seq[first] = n_code
                                 if second >= 0:
                                     reverse_read.seq[second] = n_code
+                            if verbose:
+                                print(f"   changed forward sequences from "
+                                      f"{orig_for} to {forward_read.bases().decode()}")
+                                print(f"   changed reverse sequences from "
+                                      f"{orig_rev} to {reverse_read.bases().decode()}")
+                        else:
+                            if verbose:
+                                print(f"  no overlap mismatch for read pair "
+                                      f"{forward_read.name.decode()}")
 
                     if has_indel:
                         if reads_clipped % 4 == 0:
@@ -405,6 +466,15 @@ class BamClipOverlapTool(ToolBase):
                     reverse_read.tlen = forward_read.start() - reverse_end - 1
                     reverse_read.mate_pos = forward_read.start() - 1
 
+                    if verbose:
+                        print("  clipped "
+                              + _read_line("forward", forward_read, overlap,
+                                           end=forward_end))
+                        print("  clipped "
+                              + _read_line("reverse", reverse_read, overlap,
+                                           end=reverse_end))
+                        print()
+
                     bases_clipped += overlap
                     reads_clipped += 2
 
@@ -423,11 +493,11 @@ class BamClipOverlapTool(ToolBase):
         if reads_saved != reads_count:
             raise ToolError(f"Lost Reads: {reads_count - reads_saved}/{reads_count}")
         pct = lambda a, b: f"{100.0 * a / b:.2f}" if b else "nan"
-        sys.stderr.write(f"Overlap mismatch filtering was used for {reads_mismatch} "
+        sys.stdout.write(f"Overlap mismatch filtering was used for {reads_mismatch} "
                          f"of {reads_count} reads ({pct(reads_mismatch, reads_count)} %).\n")
-        sys.stderr.write(f"Softclipped {reads_clipped} of {reads_count} reads "
+        sys.stdout.write(f"Softclipped {reads_clipped} of {reads_count} reads "
                          f"({pct(reads_clipped, reads_count)} %).\n")
-        sys.stderr.write(f"Softclipped {bases_clipped} of {bases_count} basepairs "
+        sys.stdout.write(f"Softclipped {bases_clipped} of {bases_count} basepairs "
                          f"({pct(bases_clipped, bases_count)} %).\n")
 
 

@@ -33,8 +33,17 @@ from ref_case_extract import all_cases
 REF = Path("/root/reference/src/tools-TEST")
 
 
+# lastlog-comparing cases replay for tools whose console output matches the
+# reference log byte-for-byte; BamDownsample/FastqDownsample keep their
+# platform-specific RNG goldens (the reference itself keys them by OS) and
+# stay out.
+LASTLOG_TOOLS = {"CnvReferenceCohort", "BamClipOverlap"}
+
+
 def _replayable(c) -> bool:
-    if c["unresolved"] or c["gated"] or c["uses_lastlog"]:
+    if c["unresolved"] or c["gated"]:
+        return False
+    if c["uses_lastlog"] and c["tool"] not in LASTLOG_TOOLS:
         return False
     if c["fail_expected"]:
         return True  # assert non-zero exit
@@ -116,8 +125,17 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 continue
             try:
                 sink = io.StringIO()
-                with contextlib.redirect_stdout(sink), contextlib.redirect_stderr(sink):
+                errsink = io.StringIO()
+                with contextlib.redirect_stdout(sink), \
+                        contextlib.redirect_stderr(errsink):
                     rc = helpers.execute(c["tool"], c["args"])
+                # cppTFW's EXECUTE captures the tool's console output into a
+                # log file; lastlog compares read it back
+                log_path = None
+                if c["uses_lastlog"]:
+                    log_path = f"out/lastlog_{seq}.txt"
+                    with open(log_path, "w") as lf:
+                        lf.write(sink.getvalue())
                 if c["fail_expected"]:
                     # cppTFW's EXECUTE_FAIL expects a non-zero exit; but
                     # VcfSplit_Test pairs it with golden COMPAREs although
@@ -129,14 +147,19 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                         results[seq] = ("pass", "")
                         continue
                 if rc not in (0, None) and not c["fail_expected"]:
-                    tail = sink.getvalue().strip().splitlines()
+                    tail = (sink.getvalue() + errsink.getvalue()).strip().splitlines()
                     results[seq] = ("error",
                                     f"exit code {rc}: {tail[-1][:200] if tail else ''}")
                     continue
                 for src_f, dst_f in c.get("bam_to_text", []):
                     helpers.bam_to_text(src_f, dst_f)
                 for kind, a, b, delta in c["compares"]:
-                    strips = tuple(c["strips"].get(a, []) + c["strips"].get(b, []))
+                    strips = tuple(c["strips"].get(a, []) + c["strips"].get(b, [])
+                                   + c["strips"].get("<LASTLOG>", []))
+                    if a == "<LASTLOG>":
+                        a = log_path
+                    if b == "<LASTLOG>":
+                        b = log_path
                     if kind == "COMPARE_FILES_DELTA":
                         helpers.compare_files_delta(a, b, delta=delta or 0.01,
                                                     strip_patterns=strips)
