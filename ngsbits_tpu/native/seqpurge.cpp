@@ -115,6 +115,8 @@ struct Args {
 
 void process_rows(const Args& a, int64_t row_begin, int64_t row_end, Accum& acc) {
     const int64_t L = a.L;
+    const bool a1_has_n = memchr(a.a1, N_CODE, a.a_size) != nullptr;
+    const bool a2_has_n = memchr(a.a2, N_CODE, a.a_size) != nullptr;
     std::vector<uint8_t> rc2(L);        // revcomp(read2)
     std::vector<uint8_t> s1_snap, q1_snap, s2_snap, q2_snap;  // for ec
     if (a.ec) {
@@ -266,8 +268,6 @@ void process_rows(const Args& a, int64_t row_begin, int64_t row_end, Accum& acc)
             }
         } else {
             // ---- steps 2+3: adapter-prefix fallback (AnalysisWorker.cpp:304-427) ----
-            const bool a1_has_n = memchr(a.a1, N_CODE, a.a_size) != nullptr;
-            const bool a2_has_n = memchr(a.a2, N_CODE, a.a_size) != nullptr;
             auto scan = [&](const uint8_t* read, int32_t rlen, const uint8_t* ad,
                             bool any_n) -> int32_t {
                 if (!any_n) {

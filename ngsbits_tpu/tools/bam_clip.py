@@ -208,6 +208,10 @@ class BamClipOverlapTool(ToolBase):
         al_map: dict[bytes, BamRecord] = {}
         verbose = self.get_flag("v")
 
+        def vprint(*args_):
+            # the reference's console stream is stderr (main.cpp:52)
+            print(*args_, file=sys.stderr)
+
         def _read_line(label, r, overlap, end=None):
             """Reference verbose read line (BamClipOverlap/main.cpp:206)."""
             return (f"{label} read: name - {r.name.decode()}, region - "
@@ -310,19 +314,19 @@ class BamClipOverlapTool(ToolBase):
 
                     if verbose:
                         # BamClipOverlap/main.cpp:206-215,271
-                        print(_read_line("forward", forward_read, overlap))
-                        print(_read_line("reverse", reverse_read, overlap))
-                        print(f"forward read bases {forward_read.bases().decode()}")
-                        print(f"forward read qualities {forward_read.qualities_ascii().decode()}")
-                        print(f"forward CIGAR {forward_read.cigar_string(True).decode()}")
-                        print(f"reverse read bases {reverse_read.bases().decode()}")
-                        print(f"reverse read qualities {reverse_read.qualities_ascii().decode()}")
-                        print(f"reverse CIGAR {reverse_read.cigar_string(True).decode()}")
-                        print(f"  clip forward read from position "
+                        vprint(_read_line("forward", forward_read, overlap))
+                        vprint(_read_line("reverse", reverse_read, overlap))
+                        vprint(f"forward read bases {forward_read.bases().decode()}")
+                        vprint(f"forward read qualities {forward_read.qualities_ascii().decode()}")
+                        vprint(f"forward CIGAR {forward_read.cigar_string(True).decode()}")
+                        vprint(f"reverse read bases {reverse_read.bases().decode()}")
+                        vprint(f"reverse read qualities {reverse_read.qualities_ascii().decode()}")
+                        vprint(f"reverse CIGAR {reverse_read.cigar_string(True).decode()}")
+                        vprint(f"  clip forward read from position "
                               f"{forward_read.end() - clip_forward + 1} to {forward_read.end()}")
-                        print(f"  clip reverse read from position "
+                        vprint(f"  clip reverse read from position "
                               f"{reverse_read.start()} to {reverse_read.start() - 1 + clip_reverse}")
-                        print(f"  overlap found from {overlap_start} to {overlap_end}")
+                        vprint(f"  overlap found from {overlap_start} to {overlap_end}")
 
                     forward_overlap, hi1 = _scan_overlap(
                         forward_read, overlap_start, overlap_end,
@@ -336,10 +340,10 @@ class BamClipOverlapTool(ToolBase):
                         fc = "".join(forward_overlap.cigar)
                         rb = "".join(reverse_overlap.base)
                         rc = "".join(reverse_overlap.cigar)
-                        print(f"  finished reading overlap forward bases {fb}")
-                        print(f"  finished reading overlap forward cigar {fc}")
-                        print(f"  finished reading overlap reverse bases {rb}")
-                        print(f"  finished reading overlap reverse cigar {rc}")
+                        vprint(f"  finished reading overlap forward bases {fb}")
+                        vprint(f"  finished reading overlap forward cigar {fc}")
+                        vprint(f"  finished reading overlap reverse bases {rb}")
+                        vprint(f"  finished reading overlap reverse cigar {rc}")
 
                     # correct for insertions
                     i2 = 0
@@ -360,13 +364,13 @@ class BamClipOverlapTool(ToolBase):
                                                    forward_overlap.read_pos[i2])
                         i2 += 1
                     if verbose:
-                        print("  finished indel correction forward bases "
+                        vprint("  finished indel correction forward bases "
                               + "".join(forward_overlap.base))
-                        print("  finished indel correction forward cigar "
+                        vprint("  finished indel correction forward cigar "
                               + "".join(forward_overlap.cigar))
-                        print("  finished indel correction reverse bases "
+                        vprint("  finished indel correction reverse bases "
                               + "".join(reverse_overlap.base))
-                        print("  finished indel correction reverse cigar "
+                        vprint("  finished indel correction reverse cigar "
                               + "".join(reverse_overlap.cigar))
                     if len(forward_overlap) != len(reverse_overlap):
                         raise ToolError(
@@ -387,7 +391,7 @@ class BamClipOverlapTool(ToolBase):
                             mm_pos.append((first, second))
 
                     if verbose and mm_pos:
-                        print(f"  overlap mismatch for read pair "
+                        vprint(f"  overlap mismatch for read pair "
                               f"{forward_read.name.decode()} - "
                               + "".join(forward_overlap.base) + " != "
                               + "".join(reverse_overlap.base) + "!")
@@ -398,12 +402,12 @@ class BamClipOverlapTool(ToolBase):
                             reverse_read.mapq = 0
                             reads_mismatch += 2
                             if verbose:
-                                print("  Set mapping quality to 0.")
+                                vprint("  Set mapping quality to 0.")
                         elif mm_pos and rem_flag:
                             reads_mismatch += 2
                             skip_al = True
                             if verbose:
-                                print("   Removed pair.")
+                                vprint("   Removed pair.")
                         elif mm_pos and base_flag:
                             reads_mismatch += 2
                             orig_for = forward_read.qualities_ascii().decode()
@@ -414,9 +418,9 @@ class BamClipOverlapTool(ToolBase):
                                 if second >= 0:
                                     reverse_read.qual[second] = 0
                             if verbose:
-                                print(f"   changed forward base qualities from "
+                                vprint(f"   changed forward base qualities from "
                                       f"{orig_for} to {forward_read.qualities_ascii().decode()}")
-                                print(f"   changed reverse base qualities from "
+                                vprint(f"   changed reverse base qualities from "
                                       f"{orig_rev} to {reverse_read.qualities_ascii().decode()}")
                         elif mm_pos and basen_flag:
                             reads_mismatch += 2
@@ -429,13 +433,13 @@ class BamClipOverlapTool(ToolBase):
                                 if second >= 0:
                                     reverse_read.seq[second] = n_code
                             if verbose:
-                                print(f"   changed forward sequences from "
+                                vprint(f"   changed forward sequences from "
                                       f"{orig_for} to {forward_read.bases().decode()}")
-                                print(f"   changed reverse sequences from "
+                                vprint(f"   changed reverse sequences from "
                                       f"{orig_rev} to {reverse_read.bases().decode()}")
                         else:
                             if verbose:
-                                print(f"  no overlap mismatch for read pair "
+                                vprint(f"  no overlap mismatch for read pair "
                                       f"{forward_read.name.decode()}")
 
                     if has_indel:
@@ -467,13 +471,13 @@ class BamClipOverlapTool(ToolBase):
                     reverse_read.mate_pos = forward_read.start() - 1
 
                     if verbose:
-                        print("  clipped "
+                        vprint("  clipped "
                               + _read_line("forward", forward_read, overlap,
                                            end=forward_end))
-                        print("  clipped "
+                        vprint("  clipped "
                               + _read_line("reverse", reverse_read, overlap,
                                            end=reverse_end))
-                        print()
+                        vprint()
 
                     bases_clipped += overlap
                     reads_clipped += 2
@@ -493,11 +497,11 @@ class BamClipOverlapTool(ToolBase):
         if reads_saved != reads_count:
             raise ToolError(f"Lost Reads: {reads_count - reads_saved}/{reads_count}")
         pct = lambda a, b: f"{100.0 * a / b:.2f}" if b else "nan"
-        sys.stdout.write(f"Overlap mismatch filtering was used for {reads_mismatch} "
+        sys.stderr.write(f"Overlap mismatch filtering was used for {reads_mismatch} "
                          f"of {reads_count} reads ({pct(reads_mismatch, reads_count)} %).\n")
-        sys.stdout.write(f"Softclipped {reads_clipped} of {reads_count} reads "
+        sys.stderr.write(f"Softclipped {reads_clipped} of {reads_count} reads "
                          f"({pct(reads_clipped, reads_count)} %).\n")
-        sys.stdout.write(f"Softclipped {bases_clipped} of {bases_count} basepairs "
+        sys.stderr.write(f"Softclipped {bases_clipped} of {bases_count} basepairs "
                          f"({pct(bases_clipped, bases_count)} %).\n")
 
 

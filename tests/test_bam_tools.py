@@ -102,9 +102,8 @@ def test_bam_clip_overlap(ref_data_in, tmp_path, capsys, n, extra, clipped):
     out = tmp_path / "c.bam"
     assert execute("BamClipOverlap", ["-in", ref_data_in / f"BamClipOverlap_in{n}.bam",
                                       "-out", out] + extra) == 0
-    # summary goes to stdout like the reference (captured into the lastlog)
-    out_text = capsys.readouterr().out
-    assert f"Softclipped {clipped} of" in out_text
+    err = capsys.readouterr().err
+    assert f"Softclipped {clipped} of" in err
     n_in = sum(1 for _ in bam_text(ref_data_in / f"BamClipOverlap_in{n}.bam"))
     lines = bam_text(out)
     assert len(lines) == n_in

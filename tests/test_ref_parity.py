@@ -129,13 +129,15 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 with contextlib.redirect_stdout(sink), \
                         contextlib.redirect_stderr(errsink):
                     rc = helpers.execute(c["tool"], c["args"])
-                # cppTFW's EXECUTE captures the tool's console output into a
-                # log file; lastlog compares read it back
+                # cppTFW's EXECUTE captures the tool's console output
+                # (merged stdout+stderr channels) into a log file; lastlog
+                # compares read it back
                 log_path = None
                 if c["uses_lastlog"]:
                     log_path = f"out/lastlog_{seq}.txt"
                     with open(log_path, "w") as lf:
                         lf.write(sink.getvalue())
+                        lf.write(errsink.getvalue())
                 if c["fail_expected"]:
                     # cppTFW's EXECUTE_FAIL expects a non-zero exit; but
                     # VcfSplit_Test pairs it with golden COMPAREs although
@@ -154,8 +156,7 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 for src_f, dst_f in c.get("bam_to_text", []):
                     helpers.bam_to_text(src_f, dst_f)
                 for kind, a, b, delta in c["compares"]:
-                    strips = tuple(c["strips"].get(a, []) + c["strips"].get(b, [])
-                                   + c["strips"].get("<LASTLOG>", []))
+                    strips = tuple(c["strips"].get(a, []) + c["strips"].get(b, []))
                     if a == "<LASTLOG>":
                         a = log_path
                     if b == "<LASTLOG>":
