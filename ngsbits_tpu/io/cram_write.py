@@ -192,6 +192,7 @@ class CramWriter:
         self._fh.write(fid.ljust(20, b"\x00"))
         self._record_counter = 0
         self._pending: list = []
+        self._cigar_drop_warned = False
         # SAM header container (CT_FILE_HEADER block)
         text = reader.header_text.encode() if isinstance(reader.header_text, str) \
             else reader.header_text
@@ -209,6 +210,16 @@ class CramWriter:
         head = struct.pack("<i", len(data)) + head
         crc = zlib.crc32(head) & 0xFFFFFFFF
         self._fh.write(head + struct.pack("<I", crc) + data)
+
+    def _warn_cigar_dropped(self, name: bytes):
+        if self._cigar_drop_warned:
+            return
+        self._cigar_drop_warned = True
+        import sys
+        print("Warning: CRAM output drops the CIGAR of mapped records "
+              "without sequence (first: %s); the reference-free feature "
+              "encoding needs the bases to carry alignment ops."
+              % name.decode("ascii", "replace"), file=sys.stderr)
 
     # ---- record accumulation (BamWriter interface) ----
     def write_records(self, batch, keep=None):
@@ -269,6 +280,8 @@ class CramWriter:
             (flag, ref_id, pos, mapq, cigar, seq, qual, name,
              mate_ref, mate_pos, tlen, _blob) = r
             rl = len(seq)
+            if rl == 0 and len(cigar) > 0 and not (flag & 0x4):
+                self._warn_cigar_dropped(name)
             n_bases += rl
             has_qual = bool(qual) and qual != b"\xff" * rl
             cf = CF_DETACHED | (CF_QUAL_SCORES if has_qual else 0)

@@ -127,8 +127,8 @@ def get_lib():
             p(np.uint8, flags="C"), p(np.uint8, flags="C"),
             p(np.int32, flags="C"), ct.c_int64, ct.c_int64,
             p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
-            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
-            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),
             p(np.int32, flags="C_CONTIGUOUS,WRITEABLE")]
         lib.ngs_pad_flat.restype = None
         lib.ngs_pad_flat.argtypes = [

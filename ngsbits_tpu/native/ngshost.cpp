@@ -679,8 +679,8 @@ struct ValidBaseTable {
 void ngs_readqc_batch(const uint8_t* bases, const uint8_t* quals,
                       const int32_t* lens, int64_t B, int64_t L,
                       int32_t* counts5,     // [5*L] A,C,G,T,N x cycle
-                      int32_t* qsum_cycle,  // [L]
-                      int32_t* qhist,       // [100]
+                      int64_t* qsum_cycle,  // [L] (int64: a 23M-read batch of
+                      int64_t* qhist,       // [100] Q93 would overflow int32)
                       int32_t* read_qsum) { // [B]
     static const BaseIdxTable table;
     const int8_t* base_idx = table.t;

@@ -100,8 +100,8 @@ def readqc_batch_host(bases: np.ndarray, quals: np.ndarray,
     if (lib is not None and B and bases.flags.c_contiguous
             and quals.flags.c_contiguous and bases.shape == quals.shape):
         counts5 = np.zeros((5, L), dtype=np.int32)
-        qsum_cycle = np.zeros(L, dtype=np.int32)
-        qhist = np.zeros(QHIST_SIZE, dtype=np.int32)
+        qsum_cycle = np.zeros(L, dtype=np.int64)
+        qhist = np.zeros(QHIST_SIZE, dtype=np.int64)
         read_qsum = np.zeros(B, dtype=np.int32)
         lib.ngs_readqc_batch(bases, quals,
                              np.ascontiguousarray(lengths, dtype=np.int32),

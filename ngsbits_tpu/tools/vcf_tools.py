@@ -80,7 +80,7 @@ class VcfSortTool(ToolBase):
         opener = _gzip.open if str(path).endswith(".gz") else open
         header_raw = []
         buckets: dict[int, object] = {}
-        chrom_of: dict[int, str] = {}
+        chrom_of: dict[int, set] = {}
         with tempfile.TemporaryDirectory() as td:
             with opener(path, "rb") as fh:
                 for raw in fh:
@@ -90,12 +90,16 @@ class VcfSortTool(ToolBase):
                     if line.startswith(b"#"):
                         header_raw.append(line)
                         continue
-                    c = Chromosome(line.split(b"\t", 1)[0])
+                    raw_chr = line.split(b"\t", 1)[0]
+                    c = Chromosome(raw_chr)
                     b = buckets.get(c.num)
                     if b is None:
                         b = buckets[c.num] = open(
                             os.path.join(td, f"c{len(buckets)}.vcf"), "w+b")
-                        chrom_of[c.num] = c.str
+                        chrom_of[c.num] = set()
+                    # all raw spellings per bucket: the non-split path keeps
+                    # a ##contig line for every spelling seen in the data
+                    chrom_of[c.num].add(raw_chr)
                     b.write(line + b"\n")
             header_blob = b"\n".join(header_raw) + b"\n"
 
@@ -134,7 +138,9 @@ class VcfSortTool(ToolBase):
                           self.get_flag("remove_unused_contigs"))
                 return
             if self.get_flag("remove_unused_contigs"):
-                used = {chrom_of[n].encode() for n in buckets}
+                used = set()
+                for n in buckets:
+                    used |= chrom_of[n]
                 final_header = [
                     h for h in final_header
                     if not h.startswith(b"##contig=<ID=")

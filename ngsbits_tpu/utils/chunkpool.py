@@ -30,15 +30,19 @@ def process_chunks(items: list, fn, state, threads: int, block_size: int) -> lis
     if threads > 1 and len(chunks) > 1 and "jax" not in sys.modules:
         global _FN, _STATE
         import multiprocessing as mp
-        _FN, _STATE = fn, state
         try:
             ctx = mp.get_context("fork")
-            with ctx.Pool(processes=min(threads, len(chunks))) as pool:
-                for part in pool.imap(_run_chunk, chunks):
-                    out.extend(part)
-        finally:
-            _FN = _STATE = None
-        return out
+        except ValueError:
+            ctx = None  # no fork start method (e.g. Windows) -> thread pool
+        if ctx is not None:
+            _FN, _STATE = fn, state
+            try:
+                with ctx.Pool(processes=min(threads, len(chunks))) as pool:
+                    for part in pool.imap(_run_chunk, chunks):
+                        out.extend(part)
+            finally:
+                _FN = _STATE = None
+            return out
     if threads > 1 and len(chunks) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(threads, len(chunks))) as ex:
