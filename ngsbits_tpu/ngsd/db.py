@@ -1630,12 +1630,16 @@ def _ngsd_paths_ext(cls):
     }
 
     def project_folder(self, p_type: str) -> str:
-        env = os.environ.get(f"NGSBITS_PROJECTS_FOLDER_{p_type.upper()}")
-        if env:
-            return env.rstrip("/") + "/"
-        env = os.environ.get("NGSBITS_PROJECTS_FOLDER")
-        if env:
-            return env.rstrip("/") + "/" + p_type + "/"
+        # NGSD::projectFolder (NGSD.cpp:1358-1376): per-type key first, then
+        # the generic projects_folder + type subdirectory; settings.string
+        # also honors NGSBITS_PROJECTS_FOLDER[_TYPE] env overrides
+        from ..core import settings
+        val = settings.string(f"projects_folder_{p_type}", optional=True)
+        if val:
+            return val.rstrip("/") + "/"
+        val = settings.string("projects_folder", optional=True)
+        if val:
+            return val.rstrip("/") + "/" + p_type + "/"
         raise NgsdError(f"Found no project folder entry in settings.ini file for project type '{p_type}'!")
 
     def processed_sample_path(self, ps_id, path_type: str = "SAMPLE_FOLDER") -> str:

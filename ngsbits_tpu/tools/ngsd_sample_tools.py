@@ -131,8 +131,13 @@ class NGSDExportSamplesTool(ToolBase):
         ps_override = self.get_string("ps_override").strip()
         if ps_override:
             if os.path.exists(ps_override):
+                # Helper::loadTextFile(..., trim, '#', skip_empty): comment
+                # lines and empty lines are dropped (NGSDExportSamples
+                # main.cpp:186)
                 with open(ps_override) as fh:
-                    params["ps_override"] = [l.strip() for l in fh if l.strip()]
+                    params["ps_override"] = [
+                        l.strip() for l in fh
+                        if l.strip() and not l.lstrip().startswith("#")]
             else:
                 params["ps_override"] = [s.strip() for s in ps_override.split(";") if s.strip()]
 

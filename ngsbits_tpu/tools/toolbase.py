@@ -3,7 +3,9 @@
 Behavioral reference: ngs-bits cppCORE ``ToolBase`` (argument declaration via
 setup(): addInfile/addOutfile/addString/addInt/addFloat/addFlag/addEnum/
 addInfileList; auto --help/--version/--changelog; exceptions are caught and
-reported as 'Error: ...' with exit code 1; single-dash long options).
+reported as 'Exception: ...' with exit code 1 — the prefix the reference's
+tool logs pin, e.g. tools-TEST/data_out/NGSDTransferReportConfig_Test_*.log;
+single-dash long options).
 """
 
 from __future__ import annotations
@@ -214,9 +216,19 @@ class ToolBase:
                 dv = self.get("debug")
                 debug = bool(dv) if isinstance(dv, bool) else \
                     (dv not in ("", None) and int(dv) >= 0)
+            # tools with a -no_time flag suppress timing output with it
+            # (NGSDAddVariantsGermline/main.cpp:35 'Disable timing output')
+            if "no_time" in self._args and self.get("no_time"):
+                debug = False
             import time as _time
             t0 = _time.perf_counter()
             self.main()
+            # QTextStream(stdout) flushes when main()'s scope exits — before
+            # any ToolBase-level message; mirror that ordering
+            try:
+                sys.stdout.flush()
+            except Exception:  # noqa: BLE001 — closed/broken pipe
+                pass
             if debug:
                 print(f"[debug] {self.name} finished in "
                       f"{(_time.perf_counter() - t0) * 1000:.0f} ms",
@@ -227,7 +239,13 @@ class ToolBase:
         except BrokenPipeError:
             return 0
         except Exception as e:  # noqa: BLE001 — mirrors ToolBase catch-all
-            print(f"Error: {e}", file=sys.stderr)
+            # stack unwinding destroys (flushes) the tool's stdout stream
+            # before the catch block prints — keep that order
+            try:
+                sys.stdout.flush()
+            except Exception:  # noqa: BLE001
+                pass
+            print(f"Exception: {e}", file=sys.stderr)
             return 1
         finally:
             if ref_saved != ():

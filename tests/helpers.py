@@ -20,7 +20,9 @@ def read_lines(path) -> list[str]:
     data = path.read_bytes()
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    return data.decode("utf-8", errors="replace").splitlines()
+    # some reference goldens carry Windows \r\n (even \r\r\n) endings;
+    # cppTFW compares text modulo \r, so drop them before splitting
+    return data.replace(b"\r", b"").decode("utf-8", errors="replace").splitlines()
 
 
 def remove_lines(lines: list[str], pattern: str) -> list[str]:

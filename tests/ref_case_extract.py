@@ -24,8 +24,30 @@ _COMPARE_RX = re.compile(
 _BAM2TXT_RX = re.compile(r"BAM_TO_TEXT\(\s*(.*?)\);", re.S)
 _REMOVE_RX = re.compile(
     r'REMOVE_LINES\(\s*(.*?),\s*QRegularExpression\("((?:[^"\\]|\\.)*)"\)\s*\);', re.S)
-_SKIP_RX = re.compile(
-    r"SKIP_IF_NO_\w+|SKIP_IF\(|NGSD\s|NGSD\(|QSKIP|\bSKIP\(")
+# environment gates we genuinely cannot satisfy in this mount
+_GENOME_SKIP_RX = re.compile(r"SKIP_IF_NO_HG(19|38)_GENOME")
+_OTHER_SKIP_RX = re.compile(r"SKIP_IF_NO_PROD_GENLAB|QSKIP|SKIP_IF\(|\bSKIP\(")
+# the test NGSD we CAN provide (SQLite layer, ngsbits_tpu/ngsd)
+_TEST_NGSD_RX = re.compile(r"SKIP_IF_NO_TEST_NGSD")
+_NGSD_DECL_RX = re.compile(r"NGSD\s+\w+\s*\(")
+
+# NGSD C++-API calls inside method bodies: read-only ones appear in S_EQUAL
+# etc. assertions and do not influence tool outputs; mutating ones are setup
+# the replay must reproduce (supported set) or a gate reason (anything else)
+_DB_CALL_RX = re.compile(r"\bdb\.(\w+)\(")
+_DB_READONLY = {
+    "getValue", "getValues", "getSampleDiseaseInfo", "sampleId",
+    "processedSampleId", "phenotypeToGenes", "phenotypeIdByName",
+    "relatedSamples", "getSampleData", "geneSymbol", "variant",
+    "getProcessedSampleData", "geneInfo", "variantId", "synonymousSymbols",
+    "previousSymbols", "pubmedIds", "geneToApprovedID", "genesOverlapping",
+    "transcripts", "transcriptId", "geneId",
+}
+# db.getQuery() alone is a handle; db.getQuery().exec("...") is a mutation
+# the replay reproduces as a raw SQL statement
+_GETQUERY_EXEC_RX = re.compile(r"\.exec\s*\(")
+_DB_SETUP = {"init", "executeQueriesFromFile", "importGeneExpressionData",
+             "importExonExpressionData"}
 
 
 def _resolve_expr(expr: str) -> str:
@@ -84,6 +106,161 @@ def _split_top_level(s: str) -> list[str]:
     return [x.strip() for x in out]
 
 
+def _balanced_args(s: str, open_idx: int) -> str:
+    """Return the contents of the parenthesised argument list that opens at
+    ``s[open_idx] == '('``."""
+    depth, i, inq = 0, open_idx, False
+    while i < len(s):
+        c = s[i]
+        if inq:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                inq = False
+        elif c == '"':
+            inq = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1:i]
+        i += 1
+    return s[open_idx + 1:]
+
+
+def _ngsd_ops(window: str):
+    """NGSD setup operations (in order) found in a body window, plus the
+    names of any db mutations the replay harness cannot reproduce."""
+    ops, unsupported = [], []
+    for m in _DB_CALL_RX.finditer(window):
+        fn = m.group(1)
+        if fn in _DB_READONLY:
+            continue
+        argstr = _balanced_args(window, m.end() - 1)
+        if fn == "getQuery":
+            # find end of getQuery(...) then check for .exec("...")
+            open_idx = m.end() - 1
+            inner = _balanced_args(window, open_idx)
+            after = window[open_idx + len(inner) + 2:]
+            em = _GETQUERY_EXEC_RX.match(after)
+            if em:
+                stmt = _resolve_expr(
+                    _balanced_args(after, em.end() - 1))
+                if stmt:
+                    ops.append(("sqlstmt", stmt))
+                else:
+                    unsupported.append("getQuery().exec")
+            continue
+        if fn == "init":
+            ops.append(("init",))
+        elif fn == "executeQueriesFromFile":
+            p = _resolve_expr(argstr)
+            if p:
+                ops.append(("sql", p))
+            else:
+                unsupported.append(fn)
+        elif fn in ("importGeneExpressionData", "importExonExpressionData"):
+            parts = _split_top_level(argstr)
+            path = _resolve_expr(parts[0]) if parts else None
+            ps = _resolve_expr(parts[1]) if len(parts) > 1 else None
+            force = len(parts) > 2 and parts[2].strip() == "true"
+            mode = "genes" if fn == "importGeneExpressionData" else "exons"
+            if path and ps:
+                ops.append(("import_expr", mode, path, ps, force))
+            else:
+                unsupported.append(fn)
+        else:
+            unsupported.append(fn)
+    return ops, unsupported
+
+
+_CHECK_MACRO_RX = re.compile(r"\b(I_EQUAL|S_EQUAL|F_EQUAL)\(")
+_VAR_ASSIGN_RX = re.compile(
+    r"^\s*(?:int|QString|QByteArray|double|auto)?\s*(\w+)\s*=\s*db\.getValue\(")
+_SUFFIX_KIND = (
+    (".toDate().toString(Qt::ISODate)", "date"),
+    (".toInt()", "int"),
+    (".toDouble()", "float"),
+    (".toString()", "str"),
+)
+
+
+def _parse_getvalue(line: str, start: int):
+    """Parse ``db.getValue(<query>)<suffix>`` at ``line[start:]``; returns
+    (flat_query | None, kind, end_index) or None."""
+    open_idx = line.find("(", start)
+    if open_idx < 0:
+        return None
+    q = _balanced_args(line, open_idx)
+    end = open_idx + len(q) + 2
+    rest = line[end:]
+    kind = "str"
+    for suffix, k in _SUFFIX_KIND:
+        if rest.startswith(suffix):
+            kind = k
+            end += len(suffix)
+            break
+    return _resolve_expr(q), kind, end
+
+
+def _parse_expected(kind: str, text: str):
+    text = text.strip().rstrip(");").strip()
+    if kind == "int":
+        try:
+            return int(text)
+        except ValueError:
+            return None
+    if kind == "float":
+        try:
+            return float(text)
+        except ValueError:
+            return None
+    m = re.fullmatch(r'"((?:[^"\\]|\\.)*)"', text)
+    return m.group(1) if m else None
+
+
+def _db_checks(scope: str) -> list[tuple]:
+    """Extract `(kind, flat_query, expected)` assertions over db.getValue
+    from an EXECUTE's scope: both direct ``I_EQUAL(db.getValue(q).toInt(), n)``
+    and the two-step ``int c = db.getValue(q).toInt(); I_EQUAL(c, n)``."""
+    checks = []
+    pending: dict[str, tuple] = {}   # var -> (kind, flat_query)
+    for line in scope.splitlines():
+        am = _VAR_ASSIGN_RX.match(line)
+        if am and "db.getValue(" in line:
+            parsed = _parse_getvalue(line, line.index("db.getValue(") + len("db.getValue"))
+            if parsed and parsed[0] is not None:
+                pending[am.group(1)] = (parsed[1], parsed[0])
+            else:
+                pending.pop(am.group(1), None)   # unresolvable query
+            continue
+        cm = _CHECK_MACRO_RX.search(line)
+        if not cm:
+            continue
+        argstr = _balanced_args(line, line.find("(", cm.start()))
+        ops = _split_top_level(argstr)
+        if len(ops) != 2:
+            continue
+        lhs, rhs = ops
+        if lhs.startswith("db.getValue("):
+            parsed = _parse_getvalue(lhs, len("db.getValue"))
+            if not parsed or parsed[0] is None:
+                continue
+            kind = "int" if cm.group(1) == "I_EQUAL" else parsed[1]
+            expected = _parse_expected(kind, rhs)
+            if expected is not None:
+                checks.append((kind, parsed[0], expected))
+        elif re.fullmatch(r"\w+", lhs) and lhs in pending:
+            kind, q = pending[lhs]
+            if cm.group(1) == "I_EQUAL":
+                kind = "int"
+            expected = _parse_expected(kind, rhs)
+            if expected is not None:
+                checks.append((kind, q, expected))
+    return checks
+
+
 def extract_cases(test_cpp: Path) -> list[dict]:
     """Return a list of case dicts for one reference test file.
 
@@ -96,10 +273,31 @@ def extract_cases(test_cpp: Path) -> list[dict]:
     methods = list(_METHOD_RX.finditer(src))
     for i, m in enumerate(methods):
         body = src[m.end(): methods[i + 1].start() if i + 1 < len(methods) else len(src)]
-        gated = bool(_SKIP_RX.search(body))
+        gate_reason = None
+        if _GENOME_SKIP_RX.search(body):
+            gate_reason = "needs reference genome (no FASTA in this mount)"
+        elif _OTHER_SKIP_RX.search(body):
+            gate_reason = "reference gates on env (GenLab/QSKIP) absent here"
+        needs_ngsd = bool(_TEST_NGSD_RX.search(body)
+                          or _NGSD_DECL_RX.search(body))
+        prev_end = 0
+        unsupported_so_far: list[str] = []
         for em in _EXECUTE_RX.finditer(body):
             kind, tool, argexpr = em.groups()
             flat = _resolve_expr(argexpr)
+            window = body[prev_end:em.start()]
+            ngsd_ops, unsup = _ngsd_ops(window)
+            mkdirs = [d for d in re.findall(
+                r'QDir\([^)]*\)\.(?:mkdir|mkpath)\("([^"]+)"\)', window)]
+            unsupported_so_far.extend(unsup)
+            # cppTFW logs each EXECUTE's console output to
+            # out/<TestClass>_line<N>.log (N = source line of the macro)
+            exec_line = src.count("\n", 0, m.end() + em.start()) + 1
+            prev_end = em.end()
+            case_gate = gate_reason
+            if case_gate is None and unsupported_so_far:
+                case_gate = ("method mutates NGSD via C++ API the replay "
+                             f"cannot reproduce: db.{unsupported_so_far[0]}()")
             case = {
                 "tool": tool,
                 "method": m.group(1),
@@ -107,7 +305,12 @@ def extract_cases(test_cpp: Path) -> list[dict]:
                 "args": _split_args(flat) if flat is not None else None,
                 "unresolved": flat is None,
                 "fail_expected": kind == "EXECUTE_FAIL",
-                "gated": gated,
+                "gated": case_gate is not None,
+                "gate_reason": case_gate,
+                "needs_ngsd": needs_ngsd,
+                "ngsd_ops": ngsd_ops,
+                "mkdirs": mkdirs,
+                "log_path": f"out/{test_cpp.stem}_line{exec_line}.log",
                 "compares": [],
                 "strips": {},
                 "uses_lastlog": False,
@@ -116,6 +319,7 @@ def extract_cases(test_cpp: Path) -> list[dict]:
             rest = body[em.end():]
             nxt = _EXECUTE_RX.search(rest)
             scope = rest[: nxt.start()] if nxt else rest
+            case["db_checks"] = _db_checks(scope) if needs_ngsd else []
             case["bam_to_text"] = []
             for bm in _BAM2TXT_RX.finditer(scope):
                 ops = _split_top_level(bm.group(1))

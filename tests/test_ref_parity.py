@@ -22,6 +22,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import tempfile
 from pathlib import Path
 
@@ -33,27 +34,49 @@ from ref_case_extract import all_cases
 REF = Path("/root/reference/src/tools-TEST")
 
 
-# lastlog-comparing cases replay for tools whose console output matches the
-# reference log byte-for-byte; BamDownsample/FastqDownsample keep their
-# platform-specific RNG goldens (the reference itself keys them by OS) and
-# stay out.
-LASTLOG_TOOLS = {"CnvReferenceCohort", "BamClipOverlap"}
+# lastlog-comparing cases replay everywhere the console output is
+# deterministic; BamDownsample/FastqDownsample keep their platform-specific
+# RNG goldens (the reference itself keys them by OS) and stay out.
+LASTLOG_DENY = {"BamDownsample", "FastqDownsample"}
 
 
 def _replayable(c) -> bool:
     if c["unresolved"] or c["gated"]:
         return False
-    if c["uses_lastlog"] and c["tool"] not in LASTLOG_TOOLS:
+    if c["uses_lastlog"] and c["tool"] in LASTLOG_DENY:
         return False
-    if c["fail_expected"]:
-        return True  # assert non-zero exit
-    return bool(c["compares"])
+    # cases with no compare/check still replay as exit-status smoke runs
+    # (the reference asserts the same by running them without TFW failure)
+    return True
 
 
 def _env_gate(c) -> str | None:
     """Skip reason for cases needing environment pieces absent from this
     mount (mirrors the reference's own Settings-based SKIPs)."""
     args = c["args"] or []
+    if any(re.match(r"^[A-Za-z]:\\\\?", a) for a in args):
+        # e.g. MappingQC_Test.cpp debug_mapping_qc_runtime: EXECUTEs against
+        # C:\Marc\... — a developer-machine-only method, never runnable in CI
+        return "gated: references developer-local Windows data paths"
+    if c["tool"] == "NGSDExportIgvGeneTrack":
+        # golden names carry ', NM_...' matches from
+        # hg38_ensembl_transcript_matches.tsv — listed in cppNGS.qrc but not
+        # present in this mount's Resources/ (only the hg19 file is)
+        return ("gated: needs hg38_ensembl_transcript_matches.tsv "
+                "(listed in cppNGS.qrc, absent from this mount)")
+    if c["tool"] == "GenesToBed" and c["method"] == "ccds_exon_annotated":
+        # golden line order within identical (chr,start,end) groups is the
+        # tie order of the reference's non-stable std::sort (BedFile::sort
+        # does not compare annotations) — implementation-defined, not
+        # reproducible semantics (e.g. CCDS46474/46473/2302 vs 46473/46474/
+        # 2302 between adjacent groups in GenesToBed_out4.bed)
+        return "gated: golden depends on std::sort tie order for equal regions"
+    if c["tool"] == "NGSDTransferReportConfig":
+        # goldens pin 'overlapping variants: 3' — computed over the
+        # hg38_coding_highconf_all_kits.bed ROI, which cppNGS.qrc lists but
+        # this mount does not contain (Resources/ has no such file)
+        return ("gated: needs hg38_coding_highconf_all_kits.bed "
+                "(listed in cppNGS.qrc, absent from this mount)")
     if c["tool"] == "BedLiftOver" and "-chain" in args:
         name = args[args.index("-chain") + 1]
         if not os.path.exists(name) and "/" not in name \
@@ -98,6 +121,108 @@ _RESULTS: dict[str, dict[int, tuple[str, str]]] = {}
 _SANDBOXES: list[tempfile.TemporaryDirectory] = []
 
 
+class _MergedLog:
+    """Captures a tool's console output the way cppTFW's log file sees it:
+    stderr lines appear immediately, stdout is buffered until flushed (Qt's
+    QTextStream(stdout) flushes when the tool's main() scope exits, which is
+    why reference .log goldens show the stderr lines first)."""
+
+    def __init__(self):
+        self.parts: list[str] = []
+        self.out = _BufferedOut(self)
+        self.err = _PassthroughErr(self)
+
+    def text(self) -> str:
+        self.out.flush()
+        return "".join(self.parts)
+
+
+class _BufferedOut(io.TextIOBase):
+    def __init__(self, merged):
+        self._m = merged
+        self._buf: list[str] = []
+
+    def write(self, s):
+        self._buf.append(s)
+        return len(s)
+
+    def flush(self):
+        if self._buf:
+            self._m.parts.append("".join(self._buf))
+            self._buf = []
+
+    def getvalue(self):
+        return "".join(self._buf)
+
+
+class _PassthroughErr(io.TextIOBase):
+    def __init__(self, merged):
+        self._m = merged
+
+    def write(self, s):
+        self._m.parts.append(s)
+        return len(s)
+
+    def flush(self):
+        pass
+
+
+def _apply_ngsd_ops(ops):
+    """Reproduce the reference method's NGSD setup preamble
+    (``NGSD db(true); db.init(); db.executeQueriesFromFile(...)`` and
+    expression imports) against the SQLite NGSD layer."""
+    from ngsbits_tpu.ngsd import NGSD
+    for op in ops:
+        if op[0] == "init":
+            path = os.environ["NGSBITS_NGSD_TEST"]
+            if os.path.exists(path):
+                os.remove(path)
+            db = NGSD(test_db=True)
+            db.init()
+            db.close()
+        elif op[0] == "sql":
+            db = NGSD(test_db=True)
+            db.run_mysql_file(op[1])
+            db.close()
+        elif op[0] == "sqlstmt":
+            db = NGSD(test_db=True)
+            db.run_mysql_script(op[1])
+            db.close()
+        elif op[0] == "import_expr":
+            mode, path, ps, force = op[1:]
+            args = ["-test", "-expression", path, "-ps", ps, "-mode", mode]
+            if force:
+                args.append("-force")
+            with contextlib.redirect_stdout(io.StringIO()), \
+                    contextlib.redirect_stderr(io.StringIO()):
+                rc = helpers.execute("NGSDImportExpressionData", args)
+            assert rc in (0, None), f"expression import setup failed: {op}"
+
+
+def _run_db_checks(checks):
+    """Replay the reference method's S_EQUAL/I_EQUAL(db.getValue(...))
+    assertions against the SQLite NGSD."""
+    from ngsbits_tpu.ngsd import NGSD
+    db = NGSD(test_db=True)
+    try:
+        for kind, q, expected in checks:
+            val = db.get_value(q)
+            if kind == "int":
+                got = 0 if val is None else int(val)
+                assert got == expected, f"db check [{q}]: {got!r} != {expected!r}"
+            elif kind == "float":
+                assert val is not None and abs(float(val) - expected) < 1e-6, \
+                    f"db check [{q}]: {val!r} != {expected!r}"
+            elif kind == "date":
+                assert str(val)[:10] == expected, \
+                    f"db check [{q}]: {val!r} != {expected!r}"
+            else:
+                got = "" if val is None else str(val)
+                assert got == expected, f"db check [{q}]: {got!r} != {expected!r}"
+    finally:
+        db.close()
+
+
 def _run_file(fname: str) -> dict[int, tuple[str, str]]:
     if fname in _RESULTS:
         return _RESULTS[fname]
@@ -107,13 +232,26 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
     os.symlink("/root/reference/src", root / "src")
     bindir = root / "bin"
     (bindir / "out").mkdir(parents=True)
+    # mirror the reference CI's test settings (.github/workflows/settings.sh:
+    # a generic projects_folder plus an empty directory for it)
+    (root / "projects_folder").mkdir()
+    (bindir / "settings.ini").write_text(
+        'projects_folder = "../projects_folder"\n'
+        'location = "UKT"\n')
     results: dict[int, tuple[str, str]] = {}
     cwd = os.getcwd()
     os.chdir(bindir)
+    needs_ngsd = any(c.get("needs_ngsd") for c in CASES_BY_FILE[fname])
+    saved_ngsd_env = os.environ.get("NGSBITS_NGSD_TEST")
+    if needs_ngsd:
+        os.environ["NGSBITS_NGSD_TEST"] = str(root / "ngsd_test.sqlite")
     try:
         for seq, c in enumerate(CASES_BY_FILE[fname]):
             if not _replayable(c):
-                results[seq] = ("skip", "not replayable (gated/unresolved/no compares)")
+                reason = (c.get("gate_reason")
+                          or ("unresolved C++ arg expression" if c["unresolved"]
+                              else "platform-specific RNG lastlog golden"))
+                results[seq] = ("skip", f"gated: {reason}")
                 continue
             missing = _missing_fixtures(c)
             if missing:
@@ -124,32 +262,27 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 results[seq] = ("skip", env_gate)
                 continue
             try:
-                sink = io.StringIO()
-                errsink = io.StringIO()
-                with contextlib.redirect_stdout(sink), \
-                        contextlib.redirect_stderr(errsink):
+                _apply_ngsd_ops(c.get("ngsd_ops") or [])
+                for d in c.get("mkdirs") or []:
+                    os.makedirs(d, exist_ok=True)
+                merged = _MergedLog()
+                with contextlib.redirect_stdout(merged.out), \
+                        contextlib.redirect_stderr(merged.err):
                     rc = helpers.execute(c["tool"], c["args"])
                 # cppTFW's EXECUTE captures the tool's console output
-                # (merged stdout+stderr channels) into a log file; lastlog
-                # compares read it back
-                log_path = None
-                if c["uses_lastlog"]:
-                    log_path = f"out/lastlog_{seq}.txt"
-                    with open(log_path, "w") as lf:
-                        lf.write(sink.getvalue())
-                        lf.write(errsink.getvalue())
-                if c["fail_expected"]:
-                    # cppTFW's EXECUTE_FAIL expects a non-zero exit; but
-                    # VcfSplit_Test pairs it with golden COMPAREs although
-                    # the tool source exits 0 on that input, so when goldens
-                    # exist they are the assertion and the exit code is
-                    # tolerated either way.
-                    if not c["compares"]:
-                        assert rc not in (0, None), "EXECUTE_FAIL case exited 0"
-                        results[seq] = ("pass", "")
-                        continue
+                # (merged stdout+stderr channels) into out/<class>_line<N>.log;
+                # lastlog compares and literal references both read it back
+                log_path = c.get("log_path") or f"out/lastlog_{seq}.txt"
+                with open(log_path, "w") as lf:
+                    lf.write(merged.text())
+                # cppTFW's EXECUTE_FAIL means "execute, tolerating a failed
+                # exit" — VcfSplit_Test pairs it with golden COMPAREs and
+                # NGSDAddVariantsSomatic_Test uses it on a re-import the tool
+                # source handles with a NOTE + exit 0 (main.cpp:296-300), so
+                # the exit code is not an assertion; any compares/db checks
+                # that follow are.
                 if rc not in (0, None) and not c["fail_expected"]:
-                    tail = (sink.getvalue() + errsink.getvalue()).strip().splitlines()
+                    tail = merged.text().strip().splitlines()
                     results[seq] = ("error",
                                     f"exit code {rc}: {tail[-1][:200] if tail else ''}")
                     continue
@@ -166,6 +299,8 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                                                     strip_patterns=strips)
                     else:
                         helpers.compare_files(a, b, strip_patterns=strips)
+                if c.get("db_checks"):
+                    _run_db_checks(c["db_checks"])
                 results[seq] = ("pass", "")
             except AssertionError as e:
                 results[seq] = ("fail", str(e).splitlines()[0][:300])
@@ -175,6 +310,11 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 results[seq] = ("error", f"{type(e).__name__}: {e}")
     finally:
         os.chdir(cwd)
+        if needs_ngsd:
+            if saved_ngsd_env is None:
+                os.environ.pop("NGSBITS_NGSD_TEST", None)
+            else:
+                os.environ["NGSBITS_NGSD_TEST"] = saved_ngsd_env
     _RESULTS[fname] = results
     return results
 
@@ -192,4 +332,4 @@ def test_ref_parity(fname: str, seq: int):
 def test_corpus_extraction_floor():
     """The extractor must keep finding the corpus; a parse regression that
     silently drops cases would otherwise look like a green run."""
-    assert len(PARAMS) >= 230, f"only {len(PARAMS)} replayable cases extracted"
+    assert len(PARAMS) >= 420, f"only {len(PARAMS)} replayable cases extracted"
