@@ -12,7 +12,20 @@ import os
 import sys
 
 
+def _is_tpu_lane(config) -> bool:
+    """True when the run selects the on-chip lane (pytest -m tpu): those
+    tests need the real TPU backend, so the CPU re-exec must not happen."""
+    markexpr = config.getoption("-m", default="") or ""
+    return "tpu" in markexpr and "not tpu" not in markexpr
+
+
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: on-chip tests that need the real TPU backend "
+                   "(run with: python -m pytest -m tpu tests/)")
+    if _is_tpu_lane(config):
+        os.environ["_NGSBITS_TPU_LANE"] = "1"
+        return
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_NGSBITS_REEXEC"):
         capman = config.pluginmanager.getplugin("capturemanager")
         if capman is not None:

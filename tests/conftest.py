@@ -6,8 +6,10 @@ import sys
 # PALLAS_AXON_POOL_IPS is set, and once registered it hijacks the backend
 # even with JAX_PLATFORMS=cpu — routing every test's jax traffic through the
 # single-chip TPU tunnel (slow, and large transfers can wedge the relay).
-# The root-level conftest.py re-execs with a cleaned environment.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The root-level conftest.py re-execs with a cleaned environment — except
+# for the on-chip lane (pytest -m tpu), which keeps the real TPU backend.
+if not os.environ.get("_NGSBITS_TPU_LANE"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import pathlib
 import sys

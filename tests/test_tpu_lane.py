@@ -1,0 +1,179 @@
+"""On-chip test lane: the golden e2e tests re-run with the REAL TPU backend.
+
+The default suite pins JAX_PLATFORMS=cpu (tests/conftest.py), so the
+production device branches (qc/read_stats.py is_tpu_backend(),
+ops/seqpurge.py dispatch, ops/pallas_kernels.py Mosaic compilation) are
+never exercised by CI. This lane runs them on the chip:
+
+    python -m pytest -m tpu tests/ -q
+
+(The root conftest skips the CPU re-exec for `-m tpu` runs.) Every test
+skips unless jax's default backend is a TPU, so the default CPU suite
+deselects/skips them cleanly. Reference anchors: the same goldens as
+tools-TEST/ReadQC_Test.cpp, SeqPurge_Test.cpp, MappingQC_Test.cpp.
+
+First-compile through the tunnel takes 20-160 s per new shape; the fixtures
+are tiny so each tool contributes only a handful of shapes (ReadQC buckets
+to powers of two).
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+from helpers import QCML_STRIP, compare_files, execute
+
+pytestmark = pytest.mark.tpu
+
+GENOME_STRIP = (r"AT dropout", r"GC dropout")
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    jax = pytest.importorskip("jax")
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs the real TPU backend (run: python -m pytest -m tpu tests/)")
+    from ngsbits_tpu.utils.backend import is_tpu_backend
+    assert is_tpu_backend()
+    return jax
+
+
+@pytest.fixture(scope="module")
+def stub_ref(tmp_path_factory):
+    ref = tmp_path_factory.mktemp("genome") / "hg19.fa"
+    ref.write_bytes(b"")
+    shutil.copy("/root/reference/src/tools-TEST/data_in/hg19.fa.fai",
+                str(ref) + ".fai")
+    return ref
+
+
+def cmp_gz(out, golden):
+    a = gzip.decompress(open(out, "rb").read())
+    b = gzip.decompress(open(golden, "rb").read())
+    assert a == b, f"{out} differs from {golden}"
+
+
+def test_readqc_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path):
+    """ReadQC_Test.cpp base case with the device batch-stats path."""
+    out = tmp_path / "r1.qcML"
+    assert execute("ReadQC", ["-in1", ref_data_in / "ReadQC_in1.fastq.gz",
+                              "-in2", ref_data_in / "ReadQC_in2.fastq.gz",
+                              "-out", out]) == 0
+    compare_files(out, ref_data_out / "ReadQC_out1.qcML", QCML_STRIP)
+
+
+def test_seqpurge_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path,
+                                 monkeypatch):
+    """SeqPurge_Test.cpp base case forced through the device formulation
+    (Pallas insert scan + XLA adapter scans) instead of the C++ kernel."""
+    monkeypatch.setenv("NGSBITS_SEQPURGE_NO_NATIVE", "1")
+    o1 = tmp_path / "o1.fastq.gz"
+    o2 = tmp_path / "o2.fastq.gz"
+    qc = tmp_path / "o1.qcML"
+    assert execute("SeqPurge", ["-in1", ref_data_in / "SeqPurge_in1.fastq.gz",
+                                "-in2", ref_data_in / "SeqPurge_in2.fastq.gz",
+                                "-out1", o1, "-out2", o2, "-ncut", "0",
+                                "-qcut", "0", "-min_len", "15", "-qc", qc,
+                                "-block_size", "100", "-block_prefetch", "1"]) == 0
+    cmp_gz(o1, ref_data_out / "SeqPurge_out1.fastq.gz")
+    cmp_gz(o2, ref_data_out / "SeqPurge_out2.fastq.gz")
+    compare_files(qc, ref_data_out / "SeqPurge_out1.qcML", QCML_STRIP)
+
+
+def test_mappingqc_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path,
+                                  stub_ref):
+    """MappingQC_Test.cpp ROI case (stub genome; dropout lines stripped the
+    way the genome-less replay documents)."""
+    out = tmp_path / "m3.qcML"
+    assert execute("MappingQC", ["-in", ref_data_in / "MappingQC_in1.bam",
+                                 "-roi", ref_data_in / "MappingQC_in2.bed",
+                                 "-build", "hg19", "-out", out,
+                                 "-ref", stub_ref]) == 0
+    compare_files(out, ref_data_out / "MappingQC_test03_out.qcML",
+                  QCML_STRIP + GENOME_STRIP)
+
+
+def test_bedcoverage_backend_parity_on_chip(tpu, ref_data_in, tmp_path):
+    """BedCoverage on-chip run must byte-match the host-path output (the
+    reference golden needs panel.bam, absent from this mount, so the chip
+    run is pinned against our own CPU-path output instead)."""
+    bam = ref_data_in / "MappingQC_in1.bam"
+    bed = ref_data_in / "MappingQC_in2.bed"
+    out_dev = tmp_path / "cov_dev.tsv"
+    assert execute("BedCoverage", ["-in", bed, "-bam", bam,
+                                   "-out", out_dev]) == 0
+    import subprocess
+    import sys
+    out_cpu = tmp_path / "cov_cpu.tsv"
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+           "PYTHONPATH": "/root/repo"}
+    subprocess.run([sys.executable, "-m", "ngsbits_tpu", "BedCoverage",
+                    "-in", str(bed), "-bam", str(bam), "-out", str(out_cpu)],
+                   check=True, env=env, cwd="/root/repo")
+    assert out_dev.read_bytes() == out_cpu.read_bytes()
+
+
+def _reads(B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
+    quals = rng.integers(33, 74, size=(B, L)).astype(np.uint8)
+    lengths = rng.integers(1, L + 1, size=(B,)).astype(np.int32)
+    return bases, quals, lengths
+
+
+def test_readqc_pallas_mosaic(tpu):
+    """readqc_batch_pallas compiled via Mosaic (interpret=False) matches the
+    host reference — the CPU suite only ever runs interpret mode."""
+    from ngsbits_tpu.ops import pallas_kernels as pk
+    from ngsbits_tpu.ops.readqc import readqc_batch_host
+    bases, quals, lengths = _reads(256, 151, seed=7)
+    ref = readqc_batch_host(bases, quals, lengths)
+    got = pk.readqc_batch_pallas(bases, quals, lengths, interpret=False)
+    for r, g, name in zip(ref, got,
+                          ["counts5", "qsum_cycle", "qhist", "read_qsum"]):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=name)
+
+
+def test_insert_scan_pallas_mosaic(tpu):
+    """Mosaic-compiled insert scan matches the numpy host formulation."""
+    from ngsbits_tpu.ops import pallas_kernels as pk
+    from ngsbits_tpu.ops.seqpurge import insert_scan_host
+    rng = np.random.default_rng(11)
+    B, L = 128, 128
+    seq1 = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
+    seq2 = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
+    seq2[: B // 2, : L // 2] = seq1[: B // 2, L // 2:]
+    min_len = rng.integers(1, L + 1, size=(B,)).astype(np.int32)
+    rm, rmm = insert_scan_host(seq1, seq2, min_len)
+    gm, gmm = pk.insert_scan_pallas(seq1, seq2, min_len, interpret=False)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(gm))
+    np.testing.assert_array_equal(np.asarray(rmm), np.asarray(gmm))
+
+
+def test_device_kernel_throughput_smoke(tpu):
+    """The ReadQC device kernel sustains well above the host decode rate —
+    a cheap on-chip perf floor so regressions in the device path surface
+    here rather than only in bench.py."""
+    from ngsbits_tpu.ops.readqc import readqc_batch
+    B, L = 65536, 160
+    bases, quals, lengths = _reads(B, L, seed=3)
+    # device-resident inputs: measure the kernel, not the axon tunnel
+    # (BASELINE.md round 3: per-batch result transfer dominated the tunnel)
+    bases, quals, lengths = map(tpu.device_put, (bases, quals, lengths))
+    r = readqc_batch(bases, quals, lengths)  # compile + warm
+    tpu.block_until_ready(r)
+    # async-pipelined dispatches amortize the tunnel's ~10 ms round-trip
+    t0 = time.perf_counter()
+    n = 40
+    results = [readqc_batch(bases, quals, lengths) for _ in range(n)]
+    tpu.block_until_ready(results[-1])
+    rate = B * n / (time.perf_counter() - t0)
+    # host decode tops out well under 10 M reads/s; the chip should be far
+    # above it even through the tunnel
+    assert rate > 1e7, f"device ReadQC kernel at {rate:.0f} reads/s"
