@@ -54,6 +54,12 @@ class _ChrCoverage:
         self.counts = None  # per-base path (min_baseq) fills this lazily
         self._cov = None
         self._ps = None
+        self._dev = None    # device-resident accumulator (TPU route)
+        import os as _os
+        if _os.environ.get("NGSBITS_MESH", "") in ("", "0"):
+            from ..ops import device_reduce as dr
+            if dr.use_device(hi - lo + 1, dr.COVERAGE_DEVICE_MIN_SPAN):
+                self._dev = dr.DeviceCoverage(hi - lo + 1)
 
     def add_spans(self, starts: np.ndarray, ends: np.ndarray):
         """Add alignment spans (1-based inclusive), clipped to [lo, hi]."""
@@ -62,6 +68,9 @@ class _ChrCoverage:
         ok = s <= e
         s = s[ok] - self.lo
         e = e[ok] - self.lo
+        if self._dev is not None:
+            self._dev.add(s.astype(np.int32), (e + 1).astype(np.int32))
+            return
         import os as _os
         if _os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
             # mesh mode: defer to the sharded scatter-add + psum step in
@@ -82,6 +91,13 @@ class _ChrCoverage:
 
     def finalize(self):
         span = self.hi - self.lo + 1
+        if self._dev is not None:
+            cov = self._dev.finalize()
+            if self.counts is not None:
+                cov = cov + self.counts
+            self._cov = cov
+            self._dev = None
+            return
         if getattr(self, "_mesh_spans", None) is not None:
             import jax
 
@@ -136,10 +152,23 @@ class _ChrCoverageSparse:
         self.counts = None
         self._cov = None
         self._ps = None
+        # TPU route: buffer raw genomic spans; finalize evaluates coverage
+        # at every flattened ROI base with one sort+searchsorted dispatch
+        # (no host flattening work per batch, no scatter anywhere)
+        self._dev = None
+        import os as _os
+        if _os.environ.get("NGSBITS_MESH", "") in ("", "0"):
+            from ..ops import device_reduce as dr
+            if dr.use_device(self.total, dr.COVERAGE_DEVICE_MIN_SPAN):
+                self._dev = dr.DeviceCoverage(self.total)
 
     def add_spans(self, starts: np.ndarray, ends: np.ndarray):
         n = len(self.ms)
         if n == 0 or len(starts) == 0:
+            return
+        if self._dev is not None:
+            self._dev.add(starts.astype(np.int32),
+                          (ends + 1).astype(np.int32))
             return
         starts = starts.astype(np.int64)
         ends = ends.astype(np.int64)
@@ -173,7 +202,15 @@ class _ChrCoverageSparse:
         self.counts += np.bincount(flat, minlength=self.total)
 
     def finalize(self):
-        cov = np.cumsum(self.diff[: self.total + 1])[: self.total]
+        if self._dev is not None:
+            # genomic position of every flattened ROI base
+            lens = (self.me - self.ms + 1)
+            flat_pos = (np.arange(self.total, dtype=np.int64)
+                        + np.repeat(self.ms - self.off[:-1], lens))
+            cov = self._dev.coverage_at(flat_pos.astype(np.int32))
+            self._dev = None
+        else:
+            cov = np.cumsum(self.diff[: self.total + 1])[: self.total]
         if self.counts is not None:
             cov = cov + self.counts
         self._cov = cov

@@ -161,6 +161,13 @@ class MappingScan:
         self.reads_per_ref: np.ndarray | None = None
         self.roi_cov_diff = (np.zeros(int(roi.flat_off[-1]) + 1, dtype=np.int64)
                              if roi is not None else None)
+        # TPU route: scatter-add the ROI depth diff into a device-resident
+        # buffer instead (one small transfer per batch, cumsum at finalize)
+        self._roi_dev = None
+        if roi is not None:
+            from ..ops import device_reduce as dr
+            if dr.use_device(int(roi.flat_off[-1]), dr.COVERAGE_DEVICE_MIN_SPAN):
+                self._roi_dev = dr.DeviceCoverage(int(roi.flat_off[-1]))
         self.gc_chunk_weights = (np.zeros(dropout.n, dtype=np.float64)
                                  if dropout is not None else None)
         self._chr_num_cache: np.ndarray | None = None
@@ -279,8 +286,12 @@ class MappingScan:
                 ol_e = np.minimum(r_end, qe[rep])
                 flat_s = self.roi.flat_off[regions] + (ol_s - r_start)
                 flat_e = flat_s + (ol_e - ol_s)
-                np.add.at(self.roi_cov_diff, flat_s, 1)
-                np.add.at(self.roi_cov_diff, flat_e + 1, -1)
+                if self._roi_dev is not None:
+                    self._roi_dev.add(flat_s.astype(np.int32),
+                                      (flat_e + 1).astype(np.int32))
+                else:
+                    np.add.at(self.roi_cov_diff, flat_s, 1)
+                    np.add.at(self.roi_cov_diff, flat_e + 1, -1)
 
                 # paired-end mate-overlap subtraction
                 fl = batch.flag[gu]
@@ -591,7 +602,10 @@ def mapping_roi(bed: BedFile, bam_file: str, ref_file: str, min_mapq: int = 1,
     np.add.at(gc_reads, gc_bins[valid], scan.gc_chunk_weights[valid])
     at_dropout, gc_dropout, roi_perc, read_perc = _dropout_metrics(gc_roi, gc_reads)
 
-    cov = np.cumsum(scan.roi_cov_diff)[:-1][:roi_bases]
+    if scan._roi_dev is not None:
+        cov = scan._roi_dev.finalize()[:roi_bases]
+    else:
+        cov = np.cumsum(scan.roi_cov_diff)[:-1][:roi_bases]
     avg_depth = scan.bases_usable / roi_bases
     hist, bases_half = _depth_histogram_metrics(cov, roi_bases, avg_depth,
                                                 is_cfdna, adaptive=True)

@@ -81,6 +81,13 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
     if n == 0:
         return result
 
+    # TPU route: stream base-count scatter-adds into a device-resident
+    # buffer for large locus panels (contamination/ancestry/WGS gender scans)
+    from ..ops import device_reduce as dr
+    dev_counts = (dr.DeviceBincount(n * 4)
+                  if not count_fragments
+                  and dr.use_device(n, dr.PILEUP_DEVICE_MIN_SNPS) else None)
+
     # group loci by chromosome, sorted positions with original index mapping
     order = np.lexsort((positions, chr_nums))
     s_chr = chr_nums[order]
@@ -252,12 +259,17 @@ def pileup_at_positions(bam_file: str, chr_nums: np.ndarray, positions: np.ndarr
                     else:
                         frag_best[key] = (code, q)
                 continue
-            np.add.at(result.counts.reshape(-1),
-                      snp_global[keep] * 4 + codes[keep], 1)
+            flat_idx = snp_global[keep] * 4 + codes[keep]
+            if dev_counts is not None:
+                dev_counts.add(flat_idx.astype(np.int32))
+            else:
+                np.add.at(result.counts.reshape(-1), flat_idx, 1)
 
     if count_fragments and frag_best:
         for (name, snp_idx), (code, _q) in frag_best.items():
             result.counts[snp_idx, code] += 1
+    if dev_counts is not None:
+        result.counts += dev_counts.finalize().reshape(n, 4)
     if own_reader:
         reader.close()
     return result

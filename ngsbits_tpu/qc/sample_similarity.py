@@ -161,7 +161,21 @@ def calculate_similarity(in1: dict, in2: dict) -> SimilarityResult:
     min_count = min(r.no_variants1, r.no_variants2)
     r.ol_perc = 100.0 * c_ol / min_count
     r.ol_count = c_ol
-    r.sample_correlation = correlation(geno1, geno2)
+    # TPU route: exact integer-moment Pearson on device for large discrete
+    # genotype sets (VCF/GSvar 0/0.5/1); BAM-mode continuous AFs and small
+    # sets stay on the float64 host path (measured faster through the
+    # tunnel — BASELINE.md round 4)
+    from ..ops import device_reduce as dr
+    r.sample_correlation = None
+    if dr.use_device(c_ol, dr.CORR_DEVICE_MIN_N):
+        import numpy as _np
+        g1 = _np.asarray(geno1)
+        g2 = _np.asarray(geno2)
+        if (_np.array_equal(g1 * 2, _np.rint(g1 * 2))
+                and _np.array_equal(g2 * 2, _np.rint(g2 * 2))):
+            r.sample_correlation = dr.pearson_from_genotypes(g1, g2)
+    if r.sample_correlation is None:
+        r.sample_correlation = correlation(geno1, geno2)
     r.ibs2_perc = 100.0 * c_ibs2 / min_count
     r.ibs0_perc = 100.0 * c_ibs0 / min_count
 

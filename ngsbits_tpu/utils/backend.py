@@ -20,3 +20,28 @@ def is_tpu_backend() -> bool:
             return False
     import jax
     return jax.default_backend() == "tpu"
+
+
+_TUNNELED: bool | None = None
+
+
+def is_tunneled_backend() -> bool:
+    """True when the TPU is reached through a network tunnel (the 'axon'
+    PJRT relay) rather than directly attached.
+
+    Device↔host transfer cost through the tunnel is orders of magnitude
+    above PCIe, so auto device-dispatch policies that depend on fetching
+    sizable results (coverage arrays, pileup counts) stay on the host
+    there — measured in BASELINE.md round 4."""
+    global _TUNNELED
+    if _TUNNELED is None:
+        if not is_tpu_backend():
+            _TUNNELED = False
+        else:
+            import jax.extend as jex
+            try:
+                ver = jex.backend.get_backend().platform_version
+            except Exception:  # noqa: BLE001 — conservative default
+                ver = ""
+            _TUNNELED = "axon" in ver
+    return _TUNNELED

@@ -118,6 +118,75 @@ def test_bedcoverage_backend_parity_on_chip(tpu, ref_data_in, tmp_path):
     assert out_dev.read_bytes() == out_cpu.read_bytes()
 
 
+def test_coverage_device_engine_parity(tpu, ref_data_in, tmp_path,
+                                       monkeypatch):
+    """BedCoverage with the device scatter-add engine forced on must match
+    the host engine byte-for-byte (integer ops both ways)."""
+    bam = ref_data_in / "MappingQC_in1.bam"
+    bed = ref_data_in / "MappingQC_in2.bed"
+    out_host = tmp_path / "h.tsv"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+    assert execute("BedCoverage", ["-in", bed, "-bam", bam,
+                                   "-out", out_host]) == 0
+    out_dev = tmp_path / "d.tsv"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+    assert execute("BedCoverage", ["-in", bed, "-bam", bam,
+                                   "-out", out_dev]) == 0
+    assert out_dev.read_bytes() == out_host.read_bytes()
+
+
+def test_mappingqc_device_engine_parity(tpu, ref_data_in, tmp_path, stub_ref,
+                                        monkeypatch):
+    """MappingQC ROI depth via the device-resident diff buffer must match
+    the host single-pass output."""
+    args = ["-in", ref_data_in / "MappingQC_in1.bam",
+            "-roi", ref_data_in / "MappingQC_in2.bed",
+            "-build", "hg19", "-ref", stub_ref]
+    out_host = tmp_path / "h.qcML"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+    assert execute("MappingQC", args + ["-out", out_host]) == 0
+    out_dev = tmp_path / "d.qcML"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+    assert execute("MappingQC", args + ["-out", out_dev]) == 0
+    compare_files(out_dev, out_host, QCML_STRIP)
+
+
+def test_pileup_device_engine_parity(tpu, ref_data_in, monkeypatch):
+    """pileup_at_positions base counts via DeviceBincount must equal the
+    host np.add.at accumulation."""
+    from ngsbits_tpu.io.bam import BamReader
+    from ngsbits_tpu.qc.pileup import pileup_at_positions
+    bam = str(ref_data_in / "MappingQC_in1.bam")
+    r = BamReader(bam)
+    # loci across the first mapped reference span
+    first = r.ref_names[0]
+    r.close()
+    from ngsbits_tpu.core.chromosome import Chromosome
+    cn = Chromosome(first).num
+    positions = np.arange(1, 200001, 7, dtype=np.int64)
+    chr_nums = np.full(len(positions), cn, dtype=np.int64)
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+    host = pileup_at_positions(bam, chr_nums, positions)
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+    dev = pileup_at_positions(bam, chr_nums, positions)
+    np.testing.assert_array_equal(host.counts, dev.counts)
+    np.testing.assert_array_equal(host.dels, dev.dels)
+
+
+def test_correlation_device_engine_exact(tpu):
+    """Integer-moment device Pearson equals the float64 host correlation
+    for discrete genotype vectors."""
+    from ngsbits_tpu.core.basicstats import correlation
+    from ngsbits_tpu.ops.device_reduce import pearson_from_genotypes
+    rng = np.random.default_rng(5)
+    g1 = rng.choice([0.0, 0.5, 1.0], size=70000)
+    g2 = np.where(rng.random(70000) < 0.8, g1,
+                  rng.choice([0.0, 0.5, 1.0], size=70000))
+    host = correlation(list(g1), list(g2))
+    dev = pearson_from_genotypes(g1, g2)
+    assert abs(host - dev) < 1e-9
+
+
 def _reads(B, L, seed=0):
     rng = np.random.default_rng(seed)
     bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, L))
