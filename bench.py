@@ -1,17 +1,25 @@
-"""Benchmark driver: device-kernel + end-to-end tool throughput.
+"""Benchmark driver: end-to-end tool throughput + device-kernel rate.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, "extra": {...}}
 
-The headline metric stays the ReadQC device-kernel rate for cross-round
-continuity; "extra" carries end-to-end file->output rates for ReadQC
-(5M-read FASTQ -> qcML), SeqPurge (paired FASTQ -> trimmed gz) and
-BedCoverage (1M-read BAM + ROI -> BED).
+The headline metric is END-TO-END ReadQC (5M-read gzip FASTQ -> qcML) —
+the honest user-visible number; the device-kernel rate and the other e2e
+tool rates (bgzf ReadQC, SeqPurge, BedCoverage, MappingQC) ride in
+"extra", together with a "method" block recording how each number was
+taken (best-of-N, warm/cold, backend) so rounds compare without prose.
 
-Baseline: the reference repo publishes no absolute numbers and its Qt6/C++
-tools cannot be built in this environment (BASELINE.md), so vs_baseline is
-computed against an ESTIMATED one-EPYC-core ngs-bits ReadQC throughput of
-~20k reads/s at 151bp; "baseline_note" flags this in the output.
+Baseline: the reference publishes no absolute numbers, its Qt dev
+toolchain is absent from this image (only Qt5 *runtime* libs, no qmake or
+headers), and the cppCORE submodule source is not in the mount — the
+reference ReadQC binary cannot be built here. vs_baseline therefore uses a
+MEASURED single-core proxy, computed in-run on the same input: the serial
+zlib inflate time of the bench FASTQ plus the native C per-read
+accumulation time (ngs_readqc_batch), i.e. the throughput of an optimized
+single-threaded C implementation with the reference's architecture
+(FastqFileStream -> StatisticsReads::update). This proxy is an UPPER bound
+on the reference's single-core rate (no Qt/virtual-call overhead, no
+per-read allocations), so vs_baseline is conservative.
 """
 
 from __future__ import annotations
@@ -25,7 +33,6 @@ import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 20_000.0  # estimated single-core reference ReadQC
 CACHE = "/tmp/ngsbits_bench_cache"
 REF_IN = "/root/reference/src/tools-TEST/data_in"
 
@@ -209,6 +216,69 @@ def kernel_metric() -> float:
     return B * iters / best_dt
 
 
+def baseline_proxy(fq_path: str, n_reads: int, read_len: int = 151) -> float:
+    """Measured single-core reference proxy on the same input (module
+    docstring): serial zlib inflate + native C per-read accumulation."""
+    import subprocess
+
+    code = r"""
+import sys, time, gzip
+import numpy as np
+fq, n_reads, read_len = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+# (1) serial zlib inflate of the exact bench input
+t0 = time.perf_counter()
+with gzip.open(fq, "rb") as fh:
+    while fh.read(1 << 20):
+        pass
+t_inflate = time.perf_counter() - t0
+# (2) native C per-read accumulation at the same read count
+from ngsbits_tpu.ops.readqc import readqc_batch_host
+rng = np.random.default_rng(0)
+B = 1 << 16
+bases = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, read_len))
+quals = rng.integers(33, 74, size=(B, read_len)).astype(np.uint8)
+lengths = np.full(B, read_len, dtype=np.int32)
+readqc_batch_host(bases, quals, lengths)  # warm
+iters = max(1, n_reads // B)
+t0 = time.perf_counter()
+for _ in range(iters):
+    readqc_batch_host(bases, quals, lengths)
+t_analyze = (time.perf_counter() - t0) * (n_reads / (iters * B))
+print((t_inflate + t_analyze))
+"""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    best = float("inf")
+    for _ in range(2):
+        out = subprocess.run([sys.executable, "-c", code, fq_path,
+                              str(n_reads), str(read_len)],
+                             capture_output=True, text=True, env=env)
+        if out.returncode != 0:
+            raise RuntimeError(f"baseline proxy failed: {out.stderr[-300:]}")
+        best = min(best, float(out.stdout.strip().splitlines()[-1]))
+    return n_reads / best
+
+
+def tpu_lane_result() -> dict:
+    """Run the on-chip pytest lane and record its outcome."""
+    import re
+    import subprocess
+
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, "-m", "pytest", "-m", "tpu",
+                        "tests/test_tpu_lane.py", "-q", "--no-header"],
+                       capture_output=True, text=True, timeout=900,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    dt = time.perf_counter() - t0
+    m = re.search(r"(\d+) passed", r.stdout)
+    f = re.search(r"(\d+) failed", r.stdout)
+    return {"passed": int(m.group(1)) if m else 0,
+            "failed": int(f.group(1)) if f else 0,
+            "seconds": round(dt, 1)}
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     extra = {}
@@ -269,17 +339,39 @@ def main():
                                 "-roi", roi, "-no_cont", "-ref", stub])
     extra["mappingqc_e2e_reads_per_sec"] = round(n_bam_reads / dt, 1)
 
-    # headline device kernel metric (continuity with BENCH_r01/r02)
-    reads_per_sec = kernel_metric()
+    # device kernel rate (continuity with BENCH_r01-r03 headline)
+    extra["readqc_kernel_reads_per_sec"] = round(kernel_metric(), 1)
+
+    # measured single-core reference proxy on the same input
+    proxy = baseline_proxy(fq, n_reads)
+    extra["baseline_proxy_reads_per_sec"] = round(proxy, 1)
+
+    # on-chip test lane outcome (VERDICT r3 item 1)
+    try:
+        extra["tpu_lane"] = tpu_lane_result()
+    except Exception as e:  # noqa: BLE001 — lane failure must not kill bench
+        extra["tpu_lane"] = {"error": str(e)[:200]}
+
+    extra["method"] = {
+        "e2e": "subprocess wall time, CPU backend, inputs page-cache warm, best-of-2",
+        "kernel": "best-of-3 of 50 async dispatches, device-resident inputs, single v5e via axon tunnel",
+        "baseline": ("measured in-run proxy: serial zlib inflate of the bench FASTQ "
+                     "+ native C per-read accumulation (upper bound of the "
+                     "unbuildable reference's single-core rate; no Qt dev toolchain "
+                     "or cppCORE source in this image)"),
+        "tpu_lane": "pytest -m tpu tests/test_tpu_lane.py on the real chip",
+    }
+
+    headline = extra.pop("readqc_e2e_reads_per_sec")
     print(json.dumps({
-        "metric": "readqc_reads_per_sec",
-        "value": round(reads_per_sec, 1),
+        "metric": "readqc_e2e_reads_per_sec",
+        "value": headline,
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+        "vs_baseline": round(headline / proxy, 2),
         "extra": extra,
-        "baseline_note": ("vs_baseline uses an ESTIMATED 20k reads/s "
-                          "single-core reference rate; the reference Qt6 "
-                          "binaries cannot be built in this environment"),
+        "baseline_note": ("vs_baseline is measured against the in-run "
+                          "single-core proxy (extra.baseline_proxy_reads_per_sec); "
+                          "see extra.method.baseline"),
     }))
 
 
