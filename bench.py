@@ -40,8 +40,15 @@ REF_IN = "/root/reference/src/tools-TEST/data_in"
 # ------------------------------------------------------------ data synthesis
 
 def synth_fastq(path: str, n_reads: int = 5_000_000, read_len: int = 151):
-    """Vectorized synthetic FASTQ: fixed-width records assembled as one
-    uint8 matrix per chunk, gzip level 1 (the writer default)."""
+    """Vectorized synthetic FASTQ with REALISTIC compressibility: reads are
+    windows of a fixed 5 Mb genome (deflate finds the shared k-mers the way
+    it does on real resequencing data, ~4:1 instead of the ~1.7:1 of
+    uniform-random bases) and qualities are a smooth per-cycle curve with
+    small per-read jitter (real Illumina quals are run-heavy). Uniform-
+    random input is literal-heavy and caps inflate at ~170 MB/s for every
+    inflater, which benchmarks deflate's worst case rather than FASTQ.
+    Gzip level 1 (the writer default), single member (the hard, serial-
+    decode case)."""
     if os.path.exists(path):
         return
     rng = np.random.default_rng(42)
@@ -49,6 +56,11 @@ def synth_fastq(path: str, n_reads: int = 5_000_000, read_len: int = 151):
     hdr_w = 12  # "@r0000000000"
     rec_len = hdr_w + 1 + read_len + 1 + 2 + read_len + 1
     bases_lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases_lut[rng.integers(0, 4, size=5_000_000)]
+    gwin = np.lib.stride_tricks.sliding_window_view(genome, read_len)
+    qual_curve = np.clip(
+        70 - (np.arange(read_len) * 12) // read_len
+        + rng.integers(-2, 3, size=read_len), 35, 73).astype(np.uint8)
     with open(path + ".tmp", "wb") as raw:
         gz = gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=1, mtime=0)
         written = 0
@@ -58,13 +70,19 @@ def synth_fastq(path: str, n_reads: int = 5_000_000, read_len: int = 151):
             headers = "".join(f"@r{written + i:010d}" for i in range(n))
             m[:, :hdr_w] = np.frombuffer(headers.encode(), dtype=np.uint8).reshape(n, hdr_w)
             m[:, hdr_w] = 10
-            m[:, hdr_w + 1: hdr_w + 1 + read_len] = bases_lut[
-                rng.integers(0, 4, size=(n, read_len))]
+            starts = rng.integers(0, len(gwin), size=n)
+            reads = gwin[starts].copy()
+            # ~0.5% mismatches so reads aren't exact genome copies
+            mut = rng.random(size=reads.shape) < 0.005
+            reads[mut] = bases_lut[rng.integers(0, 4, size=int(mut.sum()))]
+            m[:, hdr_w + 1: hdr_w + 1 + read_len] = reads
             m[:, hdr_w + 1 + read_len] = 10
             m[:, hdr_w + 2 + read_len] = ord("+")
             m[:, hdr_w + 3 + read_len] = 10
-            m[:, hdr_w + 4 + read_len: hdr_w + 4 + 2 * read_len] = rng.integers(
-                33, 74, size=(n, read_len), dtype=np.uint8)
+            quals = np.clip(qual_curve[None, :].astype(np.int16)
+                            + rng.integers(-1, 2, size=(n, 1)), 33, 73)
+            m[:, hdr_w + 4 + read_len: hdr_w + 4 + 2 * read_len] = \
+                quals.astype(np.uint8)
             m[:, -1] = 10
             gz.write(m.tobytes())
             written += n

@@ -453,7 +453,51 @@ struct FastqReaderC {
     size_t pos = 0;             // consumed prefix of buf
     bool eof = false;
     bool final_pad_done = false;
+#ifdef HAVE_LIBDEFLATE
+    // whole-member libdeflate mode for plain (non-BGZF) gzip: the file's
+    // compressed bytes live in memory and refill() decodes one gzip member
+    // per call with libdeflate (~3x zlib streaming inflate). Used when the
+    // compressed size is under NGSBITS_WHOLE_GZ_MB (default 2048).
+    bool use_whole = false;
+    std::vector<uint8_t> comp;
+    size_t comp_off = 0;
+    size_t out_hint = 0;
+    libdeflate_decompressor* whole_d = nullptr;
+#endif
 };
+
+#ifdef HAVE_LIBDEFLATE
+// Decode the next gzip member of r->comp into r->buf (append); returns
+// bytes appended, 0 at EOF, -1 on error (r->error set).
+static int64_t whole_gz_next_member(FastqReaderC* r) {
+    if (r->comp_off + 18 > r->comp.size()) return 0;
+    size_t remaining = r->comp.size() - r->comp_off;
+    size_t cap = r->out_hint ? r->out_hint
+                             : std::max<size_t>(remaining * 4, 8 << 20);
+    for (;;) {
+        size_t old = r->buf.size();
+        r->buf.resize(old + cap);
+        size_t a_in = 0, a_out = 0;
+        libdeflate_result res = libdeflate_gzip_decompress_ex(
+            r->whole_d, r->comp.data() + r->comp_off, remaining,
+            r->buf.data() + old, cap, &a_in, &a_out);
+        if (res == LIBDEFLATE_SUCCESS) {
+            r->buf.resize(old + a_out);
+            r->comp_off += a_in;
+            r->out_hint = std::max<size_t>(a_out, 1 << 20);
+            return (int64_t)a_out;
+        }
+        r->buf.resize(old);
+        if (res == LIBDEFLATE_INSUFFICIENT_SPACE) {
+            cap = cap * 2 + (64 << 20);
+            continue;
+        }
+        if (r->comp_off > 0) return 0;  // trailing garbage after members
+        r->error = "gzip decode failed";
+        return -1;
+    }
+}
+#endif
 
 // True when the file starts with a BGZF member (gzip + FEXTRA + 'BC'
 // subfield). BGZF is valid multi-member gzip, so this is purely a routing
@@ -493,6 +537,42 @@ void* ngs_fastq_open(const char* path, int buffer_kb) {
         }
         r->bgzf.close();
     }
+#ifdef HAVE_LIBDEFLATE
+    {
+        const char* lim_env = getenv("NGSBITS_WHOLE_GZ_MB");
+        long lim_mb = lim_env ? atol(lim_env) : 2048;
+        FILE* f = (lim_mb > 0) ? fopen(path, "rb") : nullptr;
+        if (f) {
+            uint8_t magic[2];
+            bool is_gz = fread(magic, 1, 2, f) == 2
+                         && magic[0] == 0x1f && magic[1] == 0x8b;
+            if (is_gz && fseek(f, 0, SEEK_END) == 0) {
+                long sz = ftell(f);
+                if (sz > 18 && sz <= lim_mb * (1L << 20)) {
+                    fseek(f, 0, SEEK_SET);
+                    r->comp.resize(sz);
+                    if (fread(r->comp.data(), 1, sz, f) == (size_t)sz) {
+                        r->whole_d = libdeflate_alloc_decompressor();
+                        if (r->whole_d) {
+                            // ISIZE of the last member seeds the first
+                            // output-capacity guess (exact when single
+                            // member under 4 GiB)
+                            uint32_t isize;
+                            memcpy(&isize, r->comp.data() + sz - 4, 4);
+                            if (isize > (8 << 20)) r->out_hint = isize;
+                            r->use_whole = true;
+                            fclose(f);
+                            return r;
+                        }
+                    }
+                    r->comp.clear();
+                    r->comp.shrink_to_fit();
+                }
+            }
+            fclose(f);
+        }
+    }
+#endif
     r->gz = gzopen(path, "rb");
     if (r->gz) gzbuffer(r->gz, buffer_kb * 1024);
     else r->error = "cannot open file";
@@ -501,7 +581,11 @@ void* ngs_fastq_open(const char* path, int buffer_kb) {
 
 int ngs_fastq_ok(void* h) {
     auto* r = static_cast<FastqReaderC*>(h);
-    return (r->gz != nullptr || r->use_bgzf) ? 1 : 0;
+    bool ok = (r->gz != nullptr || r->use_bgzf);
+#ifdef HAVE_LIBDEFLATE
+    ok = ok || r->use_whole;
+#endif
+    return ok ? 1 : 0;
 }
 
 const char* ngs_fastq_error(void* h) {
@@ -512,6 +596,9 @@ void ngs_fastq_close(void* h) {
     auto* r = static_cast<FastqReaderC*>(h);
     if (r->gz) gzclose(r->gz);
     if (r->use_bgzf) r->bgzf.close();
+#ifdef HAVE_LIBDEFLATE
+    if (r->whole_d) libdeflate_free_decompressor(r->whole_d);
+#endif
     delete r;
 }
 
@@ -553,6 +640,14 @@ int64_t ngs_fastq_read_batch(
             if (take == 0) r->eof = true;
             return shift;
         }
+#ifdef HAVE_LIBDEFLATE
+        if (r->use_whole) {
+            int64_t got = whole_gz_next_member(r);
+            if (got < 0) return -2;
+            if (got == 0) r->eof = true;
+            return shift;
+        }
+#endif
         r->buf.resize(old + chunk);
         int got = gzread(r->gz, r->buf.data() + old, (unsigned)chunk);
         if (got < 0) { r->error = "gzread failed"; return -2; }
