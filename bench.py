@@ -279,6 +279,45 @@ print((t_inflate + t_analyze))
     return n_reads / best
 
 
+def seqpurge_analyze_scaling(sp1: str, sp2: str, n_pairs: int) -> dict:
+    """Pairs/s of the analysis stage alone (pre-decoded batches, C++ kernel)
+    at 1/2/4 threads, in a CPU-backend subprocess."""
+    import subprocess
+
+    code = r"""
+import sys, time, copy
+import numpy as np
+sp1, sp2 = sys.argv[1], sys.argv[2]
+from ngsbits_tpu.io.fastq import FastqReader
+from ngsbits_tpu.qc.seqpurge import SeqPurgeEngine, SeqPurgeParams
+batches = list(zip(FastqReader(sp1), FastqReader(sp2)))
+n = sum(len(b1) for b1, _ in batches)
+out = {}
+for t in (1, 2, 4):
+    best = float("inf")
+    for _ in range(2):
+        engine = SeqPurgeEngine(SeqPurgeParams(qcut=0, ncut=0, min_len=15),
+                                threads=t)
+        work = [(copy.deepcopy(b1), copy.deepcopy(b2)) for b1, b2 in batches]
+        t0 = time.perf_counter()
+        for b1, b2 in work:
+            engine.process_batch(b1, b2)
+        best = min(best, time.perf_counter() - t0)
+    out[str(t)] = round(n / best, 1)
+print(repr(out))
+"""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run([sys.executable, "-c", code, sp1, sp2],
+                         capture_output=True, text=True, env=env, timeout=600)
+    if out.returncode != 0:
+        return {"error": out.stderr[-200:]}
+    import ast
+    return ast.literal_eval(out.stdout.strip().splitlines()[-1])
+
+
 def tpu_lane_result() -> dict:
     """Run the on-chip pytest lane and record its outcome."""
     import re
@@ -331,6 +370,28 @@ def main():
         "-min_len", "15", "-ncut", "0", "-qcut", "0", "-summary",
         f"{CACHE}/sp_summary.txt"])
     extra["seqpurge_e2e_pairs_per_sec"] = round(n_pairs / dt, 1)
+
+    # (b2) SeqPurge on bgzip-blocked input: decode rides the parallel BGZF
+    # inflate pool (same routing ReadQC gets — FastqReader sniffs BGZF)
+    sp1b, sp2b = f"{CACHE}/sp_R1.bgzf.fastq.gz", f"{CACHE}/sp_R2.bgzf.fastq.gz"
+    for src, dst in ((sp1, sp1b), (sp2, sp2b)):
+        if not os.path.exists(dst):
+            from ngsbits_tpu.io.bgzf import bgzf_compress
+            with open(dst + ".tmp", "wb") as fh:
+                fh.write(bgzf_compress(gzip.decompress(open(src, "rb").read()),
+                                       level=1))
+            os.replace(dst + ".tmp", dst)
+    dt = run_tool("SeqPurge", [
+        "-in1", sp1b, "-in2", sp2b,
+        "-out1", f"{CACHE}/sp_o1b.fastq.gz", "-out2", f"{CACHE}/sp_o2b.fastq.gz",
+        "-min_len", "15", "-ncut", "0", "-qcut", "0"])
+    extra["seqpurge_e2e_bgzf_pairs_per_sec"] = round(n_pairs / dt, 1)
+
+    # (b3) analyze-stage scaling: pre-decoded batches through the C++
+    # kernel at 1/2/4 threads — isolates analysis scaling from the 2-core
+    # decode bound (VERDICT r3 item 6; ThreadCoordinator.cpp '>4 threads')
+    extra["seqpurge_analyze_pairs_per_sec"] = seqpurge_analyze_scaling(
+        sp1, sp2, n_pairs)
 
     # (c) end-to-end BedCoverage: 1M-read BAM + ROI -> coverage BED
     bam = f"{CACHE}/cov_1m.bam"

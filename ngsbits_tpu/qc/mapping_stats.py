@@ -162,9 +162,14 @@ class MappingScan:
         self.roi_cov_diff = (np.zeros(int(roi.flat_off[-1]) + 1, dtype=np.int64)
                              if roi is not None else None)
         # TPU route: scatter-add the ROI depth diff into a device-resident
-        # buffer instead (one small transfer per batch, cumsum at finalize)
+        # buffer instead (one small transfer per batch, cumsum at finalize);
+        # mesh mode defers to the sharded scatter-add + psum step instead
         self._roi_dev = None
-        if roi is not None:
+        self._roi_mesh: list | None = None
+        import os as _os
+        if roi is not None and _os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
+            self._roi_mesh = []
+        elif roi is not None:
             from ..ops import device_reduce as dr
             if dr.use_device(int(roi.flat_off[-1]), dr.COVERAGE_DEVICE_MIN_SPAN):
                 self._roi_dev = dr.DeviceCoverage(int(roi.flat_off[-1]))
@@ -286,7 +291,10 @@ class MappingScan:
                 ol_e = np.minimum(r_end, qe[rep])
                 flat_s = self.roi.flat_off[regions] + (ol_s - r_start)
                 flat_e = flat_s + (ol_e - ol_s)
-                if self._roi_dev is not None:
+                if self._roi_mesh is not None:
+                    self._roi_mesh.append((flat_s.astype(np.int32),
+                                           (flat_e + 1).astype(np.int32)))
+                elif self._roi_dev is not None:
                     self._roi_dev.add(flat_s.astype(np.int32),
                                       (flat_e + 1).astype(np.int32))
                 else:
@@ -602,7 +610,24 @@ def mapping_roi(bed: BedFile, bam_file: str, ref_file: str, min_mapq: int = 1,
     np.add.at(gc_reads, gc_bins[valid], scan.gc_chunk_weights[valid])
     at_dropout, gc_dropout, roi_perc, read_perc = _dropout_metrics(gc_roi, gc_reads)
 
-    if scan._roi_dev is not None:
+    if scan._roi_mesh is not None:
+        # sharded scatter-add + psum over the mesh (P2, SURVEY §2.5)
+        import jax
+
+        from ..parallel.mesh import make_mesh, sharded_coverage_step
+        span = int(scan.roi.flat_off[-1])
+        s = (np.concatenate([x[0] for x in scan._roi_mesh])
+             if scan._roi_mesh else np.zeros(0, np.int32))
+        e = (np.concatenate([x[1] for x in scan._roi_mesh])
+             if scan._roi_mesh else np.zeros(0, np.int32))
+        nd = jax.device_count()
+        pad = nd if len(s) == 0 else (-len(s)) % nd
+        if pad:   # zero-length spans contribute nothing
+            s = np.concatenate([s, np.zeros(pad, np.int32)])
+            e = np.concatenate([e, np.zeros(pad, np.int32)])
+        cov = np.asarray(sharded_coverage_step(make_mesh(), s, e, span),
+                         dtype=np.int64)[:roi_bases]
+    elif scan._roi_dev is not None:
         cov = scan._roi_dev.finalize()[:roi_bases]
     else:
         cov = np.cumsum(scan.roi_cov_diff)[:-1][:roi_bases]

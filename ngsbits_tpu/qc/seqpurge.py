@@ -113,6 +113,8 @@ class SeqPurgeEngine:
         import os
         if os.environ.get("NGSBITS_SEQPURGE_NO_NATIVE"):
             return False
+        if os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
+            return False    # mesh mode routes the scans over the device mesh
         from ..io.native import get_lib
         return get_lib() is not None
 
@@ -230,7 +232,27 @@ class SeqPurgeEngine:
 
         # ---- step 1: insert match (device counts + host decisions) ----
         from ..utils.backend import is_tpu_backend
-        if is_tpu_backend():
+        import os as _os
+        if _os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
+            # mesh mode: shard the scan over read pairs (SURVEY §2.5 P3) —
+            # pad B to a device-count multiple with empty pairs, outputs
+            # re-gather on host; decisions below are unchanged so trim
+            # results are byte-identical to the single-device run
+            import jax
+            from ..parallel.mesh import make_mesh, sharded_insert_scan
+            nd = jax.device_count()
+            pad = (-B) % nd
+            if pad:
+                z = np.zeros((pad, L), dtype=np.uint8)
+                ps1 = np.concatenate([seq1, z])
+                ps2 = np.concatenate([seq2rc, z])
+                pml = np.concatenate([min_len, np.zeros(pad, np.int32)])
+            else:
+                ps1, ps2, pml = seq1, seq2rc, min_len
+            m, mm = jax.device_get(
+                sharded_insert_scan(make_mesh(), ps1, ps2, pml))
+            m, mm = m[:B], mm[:B]
+        elif is_tpu_backend():
             import jax
             m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
         else:

@@ -72,6 +72,48 @@ def test_bedcoverage_identical_1_vs_8_devices(tmp_path):
     assert (d1 / "out.bed").read_bytes() == (d8 / "out.bed").read_bytes()
 
 
+def test_mappingqc_qcml_identical_1_vs_8_devices(tmp_path):
+    """Full MappingQC qcML (ROI mode) must match between one device and an
+    8-virtual-device mesh (NGSBITS_MESH=1 routes the ROI depth through
+    sharded_coverage_step's scatter-add + psum)."""
+    din = "/root/reference/src/tools-TEST/data_in"
+    stub = tmp_path / "hg19.fa"
+    stub.write_bytes(b"")
+    import shutil
+    shutil.copy(f"{din}/hg19.fa.fai", str(stub) + ".fai")
+    d1 = tmp_path / "one"; d1.mkdir()
+    d8 = tmp_path / "mesh"; d8.mkdir()
+    args = ["-in", f"{din}/MappingQC_in1.bam", "-roi", f"{din}/MappingQC_in2.bed",
+            "-build", "hg19", "-ref", str(stub), "-out", "out.qcML"]
+    _run_tool_subprocess("MappingQC", args, d1, 1, False)
+    _run_tool_subprocess("MappingQC", args, d8, 8, True)
+
+    def strip(p):
+        return [l for l in p.read_text().splitlines() if "creation " not in l]
+
+    assert strip(d1 / "out.qcML") == strip(d8 / "out.qcML")
+
+
+def test_seqpurge_trim_identical_1_vs_8_devices(tmp_path):
+    """SeqPurge trimmed outputs must be byte-identical between one device
+    and an 8-virtual-device mesh (NGSBITS_MESH=1 shards the insert scan
+    over read pairs via sharded_insert_scan)."""
+    din = "/root/reference/src/tools-TEST/data_in"
+    d1 = tmp_path / "one"; d1.mkdir()
+    d8 = tmp_path / "mesh"; d8.mkdir()
+    args = ["-in1", f"{din}/SeqPurge_in1.fastq.gz",
+            "-in2", f"{din}/SeqPurge_in2.fastq.gz",
+            "-out1", "o1.fastq.gz", "-out2", "o2.fastq.gz",
+            "-ncut", "0", "-qcut", "0", "-min_len", "15"]
+    _run_tool_subprocess("SeqPurge", args, d1, 1, False)
+    _run_tool_subprocess("SeqPurge", args, d8, 8, True)
+    import gzip
+    for name in ("o1.fastq.gz", "o2.fastq.gz"):
+        a = gzip.decompress((d1 / name).read_bytes())
+        b = gzip.decompress((d8 / name).read_bytes())
+        assert a == b, f"{name} differs between 1 and 8 devices"
+
+
 def test_two_process_distributed_init():
     """distributed_init (parallel/mesh.py) with 2 real CPU processes: both
     must see process_count()==2 and a global device view."""
