@@ -481,3 +481,120 @@ def test_project_folder_settings_requires_admin(ngsd_server):
         info = json.loads(resp.read())
     assert info["project_id"] == 1
     assert info["safe_to_change"] is False  # sample folder contains job.log
+
+
+# ---------------------------------------------------------------- TLS + auth
+
+
+@pytest.fixture(scope="module")
+def tls_server(tmp_path_factory):
+    """HTTPS server with a self-signed certificate (the reference
+    GSvarServer is TLS-only: cppREST/SslServer.cpp + ssl_certificate/
+    ssl_key settings written by .github/workflows/settings.sh)."""
+    import ssl
+    import subprocess
+
+    root = tmp_path_factory.mktemp("tls_root")
+    (root / "hello.txt").write_bytes(b"tls-content")
+    cert = root / "cert.pem"
+    key = root / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    srv = GSvarServer(str(root), users={"ahtest": "secret"}, ssl_context=ctx)
+    srv.start()
+    yield srv, str(cert)
+    srv.stop()
+
+
+def _tls_request(srv, cert, path, data=None, method=None):
+    import ssl
+
+    client_ctx = ssl.create_default_context(cafile=cert)
+    client_ctx.check_hostname = False  # CN=localhost but we dial 127.0.0.1
+    body = urllib.parse.urlencode(data).encode() if data is not None else None
+    req = urllib.request.Request(f"https://127.0.0.1:{srv.port}{path}",
+                                 data=body, method=method)
+    return urllib.request.urlopen(req, timeout=10, context=client_ctx)
+
+
+def test_tls_roundtrip(tls_server):
+    srv, cert = tls_server
+    with _tls_request(srv, cert, "/info") as resp:
+        info = json.loads(resp.read())
+    assert info["name"] == "GSvar server"
+    # plain HTTP against the TLS socket must fail, not be served
+    with pytest.raises(Exception):  # noqa: B017 — http on https socket
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/info", timeout=5)
+
+
+def test_tls_login_and_protected_endpoint(tls_server):
+    srv, cert = tls_server
+    with _tls_request(srv, cert, "/login",
+                      data={"name": "ahtest", "password": "secret"}) as resp:
+        token = resp.read().decode()
+    assert len(token) == 40
+    with _tls_request(srv, cert, f"/static/hello.txt?token={token}") as resp:
+        assert resp.read() == b"tls-content"
+
+
+def test_every_user_token_endpoint_rejects_missing_and_bogus_token(server):
+    """Per-endpoint AuthType enforcement: every USER_TOKEN endpoint must
+    reject requests without a token and with an unknown token
+    (EndpointManager token checks in the reference)."""
+    from ngsbits_tpu.rest.endpoints import AuthType
+
+    protected = [ep for ep in server.endpoints.endpoints()
+                 if ep.auth_type == AuthType.USER_TOKEN]
+    assert len(protected) >= 20
+    checked = 0
+    for ep in protected:
+        url = "/" + ep.url
+        for q in ("", "?token=deadbeef"):
+            try:
+                if ep.method == "GET":
+                    with _get(server, url + q):
+                        pass
+                elif ep.method == "POST":
+                    data = {"token": "deadbeef"} if q else {}
+                    with _post(server, url, data):
+                        pass
+                else:
+                    continue
+            except urllib.error.HTTPError as err:
+                assert err.code in (400, 401, 403), \
+                    f"{ep.method} {url}{q}: {err.code}"
+                checked += 1
+            else:
+                raise AssertionError(
+                    f"{ep.method} {url}{q} served without a valid token")
+    assert checked >= 40
+
+
+def test_expired_token_rejected(tmp_path):
+    """USER_TOKEN endpoints reject tokens past session_duration
+    (SessionManager.is_expired)."""
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "f.txt").write_bytes(b"x")
+    srv = GSvarServer(str(root), users={"ahtest": "secret"},
+                      session_duration=1)
+    srv.start()
+    try:
+        with _post(srv, "/login", {"name": "ahtest", "password": "secret"}) as resp:
+            token = resp.read().decode()
+        # valid right now
+        with _get(srv, f"/session?token={token}") as resp:
+            assert resp.status == 200
+        import time
+        time.sleep(1.2)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _get(srv, f"/static/f.txt?token={token}")
+        assert err.value.code in (401, 403)
+    finally:
+        srv.stop()
