@@ -46,9 +46,21 @@ class GSvarServer:
         self._register_endpoints()
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
+        if ssl_context is None:
+            # reference GSvarServer is TLS-only (cppREST/SslServer.cpp);
+            # mirror its settings keys: when ssl_certificate/ssl_key are
+            # configured (settings.ini or NGSBITS_SSL_* env), serve HTTPS
+            from ..core import settings as _settings
+            cert = _settings.string("ssl_certificate", optional=True)
+            key = _settings.string("ssl_key", optional=True)
+            if cert and key:
+                import ssl as _ssl
+                ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+                ssl_context.load_cert_chain(cert, key)
         if ssl_context is not None:
             self._httpd.socket = ssl_context.wrap_socket(
                 self._httpd.socket, server_side=True)
+        self.uses_tls = ssl_context is not None
         self._thread: threading.Thread | None = None
 
     # ---- lifecycle ----

@@ -598,3 +598,29 @@ def test_expired_token_rejected(tmp_path):
         assert err.value.code in (401, 403)
     finally:
         srv.stop()
+
+
+def test_tls_from_settings(tmp_path, monkeypatch):
+    """Like the reference: ssl_certificate/ssl_key settings make the server
+    TLS without an explicit ssl_context (settings.sh writes these keys)."""
+    import subprocess
+
+    cert = tmp_path / "c.pem"
+    key = tmp_path / "k.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True)
+    monkeypatch.setenv("NGSBITS_SSL_CERTIFICATE", str(cert))
+    monkeypatch.setenv("NGSBITS_SSL_KEY", str(key))
+    root = tmp_path / "root"
+    root.mkdir()
+    srv = GSvarServer(str(root), users={"ahtest": "secret"})
+    assert srv.uses_tls
+    srv.start()
+    try:
+        with _tls_request(srv, str(cert), "/info") as resp:
+            assert json.loads(resp.read())["name"] == "GSvar server"
+    finally:
+        srv.stop()
