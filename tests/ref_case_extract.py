@@ -42,6 +42,9 @@ _DB_READONLY = {
     "getProcessedSampleData", "geneInfo", "variantId", "synonymousSymbols",
     "previousSymbols", "pubmedIds", "geneToApprovedID", "genesOverlapping",
     "transcripts", "transcriptId", "geneId",
+    # DBTable db.createTable(name, query) materializes a SELECT in memory —
+    # a read, despite the name (used by S_EQUAL row checks)
+    "createTable",
 }
 # db.getQuery() alone is a handle; db.getQuery().exec("...") is a mutation
 # the replay reproduces as a raw SQL statement
@@ -50,16 +53,25 @@ _DB_SETUP = {"init", "executeQueriesFromFile", "importGeneExpressionData",
              "importExonExpressionData"}
 
 
-def _resolve_expr(expr: str) -> str:
+def _resolve_expr(expr: str, variables: dict | None = None) -> str:
     """Resolve a C++ string-concatenation expression into one flat string.
 
-    Handles ``"literal" + TESTDATA("path") + "more"`` and the cppTFW
-    convention that ``%20`` escapes a space inside a single argument.
+    Handles ``"literal" + TESTDATA("path") + "more"``, known local QString
+    variables (tempFileName paths), and the cppTFW convention that ``%20``
+    escapes a space inside a single argument.
     """
     expr = expr.strip()
     # TESTDATA("x") -> absolute reference path
     expr = re.sub(r'TESTDATA\(\s*"([^"]*)"\s*\)',
                   lambda m: '"' + str(REF_TEST_DIR / m.group(1)) + '"', expr)
+    if variables:
+        # substitute only outside string literals
+        parts = re.split(r'("(?:[^"\\]|\\.)*")', expr)
+        for i in range(0, len(parts), 2):
+            for var, val in variables.items():
+                parts[i] = re.sub(rf'\b{re.escape(var)}\b',
+                                  '"' + val + '"', parts[i])
+        expr = "".join(parts)
     if "lastLogFile()" in expr:
         return "<LASTLOG>"
     # now it should be "a" + "b" + ... — join string literals
@@ -280,15 +292,31 @@ def extract_cases(test_cpp: Path) -> list[dict]:
             gate_reason = "reference gates on env (GenLab/QSKIP) absent here"
         needs_ngsd = bool(_TEST_NGSD_RX.search(body)
                           or _NGSD_DECL_RX.search(body))
+        # local QString variables from Helper::tempFileName — replay maps
+        # them to sandbox-relative paths so later references resolve
+        mvars = {var: f"out/tmp_{var}{suffix}"
+                 for var, suffix in re.findall(
+                     r'QString\s+(\w+)\s*=\s*Helper::tempFileName\('
+                     r'"([^"]*)"\);', body)}
         prev_end = 0
         unsupported_so_far: list[str] = []
         for em in _EXECUTE_RX.finditer(body):
             kind, tool, argexpr = em.groups()
-            flat = _resolve_expr(argexpr)
+            flat = _resolve_expr(argexpr, mvars)
             window = body[prev_end:em.start()]
             ngsd_ops, unsup = _ngsd_ops(window)
             mkdirs = [d for d in re.findall(
                 r'QDir\([^)]*\)\.(?:mkdir|mkpath)\("([^"]+)"\)', window)]
+            # Helper::storeTextFile(target, QStringList() << a << b ...)
+            write_files = []
+            for wm in re.finditer(
+                    r'Helper::storeTextFile\(\s*(\w+|\bTESTDATA\([^)]*\)|"[^"]*")'
+                    r'\s*,\s*QStringList\(\)((?:\s*<<\s*[^;<]+)+)\);', window):
+                target = _resolve_expr(wm.group(1), mvars)
+                items = [_resolve_expr(p, mvars)
+                         for p in wm.group(2).split("<<")[1:]]
+                if target and all(x is not None for x in items):
+                    write_files.append((target, items))
             unsupported_so_far.extend(unsup)
             # cppTFW logs each EXECUTE's console output to
             # out/<TestClass>_line<N>.log (N = source line of the macro)
@@ -310,6 +338,7 @@ def extract_cases(test_cpp: Path) -> list[dict]:
                 "needs_ngsd": needs_ngsd,
                 "ngsd_ops": ngsd_ops,
                 "mkdirs": mkdirs,
+                "write_files": write_files,
                 "log_path": f"out/{test_cpp.stem}_line{exec_line}.log",
                 "compares": [],
                 "strips": {},
@@ -324,12 +353,12 @@ def extract_cases(test_cpp: Path) -> list[dict]:
             for bm in _BAM2TXT_RX.finditer(scope):
                 ops = _split_top_level(bm.group(1))
                 if len(ops) == 2:
-                    src_f = _resolve_expr(ops[0])
-                    dst_f = _resolve_expr(ops[1])
+                    src_f = _resolve_expr(ops[0], mvars)
+                    dst_f = _resolve_expr(ops[1], mvars)
                     if src_f and dst_f:
                         case["bam_to_text"].append((src_f, dst_f))
             for rm in _REMOVE_RX.finditer(scope):
-                target = _resolve_expr(rm.group(1))
+                target = _resolve_expr(rm.group(1), mvars)
                 if target == "<LASTLOG>":
                     case["uses_lastlog"] = True
                 if target:
@@ -338,8 +367,8 @@ def extract_cases(test_cpp: Path) -> list[dict]:
                 ops = _split_top_level(cm.group(2))
                 if len(ops) < 2:
                     continue
-                a = _resolve_expr(ops[0])
-                b = _resolve_expr(ops[1])
+                a = _resolve_expr(ops[0], mvars)
+                b = _resolve_expr(ops[1], mvars)
                 delta = None
                 if cm.group(1) == "COMPARE_FILES_DELTA" and len(ops) >= 3:
                     try:

@@ -58,6 +58,11 @@ def _env_gate(c) -> str | None:
         # e.g. MappingQC_Test.cpp debug_mapping_qc_runtime: EXECUTEs against
         # C:\Marc\... — a developer-machine-only method, never runnable in CI
         return "gated: references developer-local Windows data paths"
+    if c["tool"] == "BamToFastq" and c["method"] == "test_fix":
+        # the method builds its input BAM with a C++ BamReader/BamWriter
+        # duplication loop in the test body (BamToFastq_Test.cpp:20-29) —
+        # not a macro the replay reproduces
+        return "gated: input BAM constructed via C++ BamWriter loop in test body"
     if c["tool"] == "NGSDExportIgvGeneTrack":
         # golden names carry ', NM_...' matches from
         # hg38_ensembl_transcript_matches.tsv — listed in cppNGS.qrc but not
@@ -265,6 +270,10 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                 _apply_ngsd_ops(c.get("ngsd_ops") or [])
                 for d in c.get("mkdirs") or []:
                     os.makedirs(d, exist_ok=True)
+                for target, lines in c.get("write_files") or []:
+                    # Helper::storeTextFile appends a '\n' per line
+                    with open(target, "w") as wf:
+                        wf.write("".join(line + "\n" for line in lines))
                 merged = _MergedLog()
                 with contextlib.redirect_stdout(merged.out), \
                         contextlib.redirect_stderr(merged.err):
