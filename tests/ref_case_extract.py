@@ -198,7 +198,7 @@ _SUFFIX_KIND = (
 )
 
 
-def _parse_getvalue(line: str, start: int):
+def _parse_getvalue(line: str, start: int, variables: dict | None = None):
     """Parse ``db.getValue(<query>)<suffix>`` at ``line[start:]``; returns
     (flat_query | None, kind, end_index) or None."""
     open_idx = line.find("(", start)
@@ -213,7 +213,7 @@ def _parse_getvalue(line: str, start: int):
             kind = k
             end += len(suffix)
             break
-    return _resolve_expr(q), kind, end
+    return _resolve_expr(q, variables), kind, end
 
 
 def _parse_expected(kind: str, text: str):
@@ -229,19 +229,56 @@ def _parse_expected(kind: str, text: str):
         except ValueError:
             return None
     m = re.fullmatch(r'"((?:[^"\\]|\\.)*)"', text)
-    return m.group(1) if m else None
+    return _cpp_unescape(m.group(1)) if m else None
 
 
-def _db_checks(scope: str) -> list[tuple]:
+def _cpp_unescape(s: str) -> str:
+    return (s.replace(r"\"", '"').replace(r"\t", "\t")
+             .replace(r"\n", "\n").replace("\\\\", "\\"))
+
+
+_TABLE_ASSIGN_RX = re.compile(
+    r"^\s*DBTable\s+(\w+)\s*=\s*db\.createTable\(")
+_TABLE_ROWCOUNT_RX = re.compile(r"I_EQUAL\((\w+)\.rowCount\(\),\s*(\d+)\)")
+_TABLE_ROW_RX = re.compile(
+    r"S_EQUAL\((\w+)\.row\((\d+)\)\.asString\('(.)'\),\s*\"((?:[^\"\\]|\\.)*)\"\)")
+
+
+def _db_checks(scope: str, variables: dict | None = None) -> list[tuple]:
     """Extract `(kind, flat_query, expected)` assertions over db.getValue
     from an EXECUTE's scope: both direct ``I_EQUAL(db.getValue(q).toInt(), n)``
-    and the two-step ``int c = db.getValue(q).toInt(); I_EQUAL(c, n)``."""
+    and the two-step ``int c = db.getValue(q).toInt(); I_EQUAL(c, n)``, plus
+    DBTable materializations (``DBTable t = db.createTable(n, q)`` with
+    rowCount/row(i).asString checks)."""
     checks = []
     pending: dict[str, tuple] = {}   # var -> (kind, flat_query)
+    tables: dict[str, str] = {}      # var -> flat query
     for line in scope.splitlines():
+        tm = _TABLE_ASSIGN_RX.match(line)
+        if tm:
+            ops = _split_top_level(
+                _balanced_args(line, line.index("db.createTable(")
+                               + len("db.createTable")))
+            q = _resolve_expr(ops[1], variables) if len(ops) > 1 else None
+            if q:
+                tables[tm.group(1)] = q
+            else:
+                tables.pop(tm.group(1), None)
+            continue
+        rm = _TABLE_ROWCOUNT_RX.search(line)
+        if rm and rm.group(1) in tables:
+            checks.append(("table_rows", tables[rm.group(1)],
+                           int(rm.group(2))))
+            continue
+        rm = _TABLE_ROW_RX.search(line)
+        if rm and rm.group(1) in tables:
+            checks.append(("table_row", tables[rm.group(1)],
+                           (int(rm.group(2)), rm.group(3),
+                            _cpp_unescape(rm.group(4)))))
+            continue
         am = _VAR_ASSIGN_RX.match(line)
         if am and "db.getValue(" in line:
-            parsed = _parse_getvalue(line, line.index("db.getValue(") + len("db.getValue"))
+            parsed = _parse_getvalue(line, line.index("db.getValue(") + len("db.getValue"), variables)
             if parsed and parsed[0] is not None:
                 pending[am.group(1)] = (parsed[1], parsed[0])
             else:
@@ -256,7 +293,7 @@ def _db_checks(scope: str) -> list[tuple]:
             continue
         lhs, rhs = ops
         if lhs.startswith("db.getValue("):
-            parsed = _parse_getvalue(lhs, len("db.getValue"))
+            parsed = _parse_getvalue(lhs, len("db.getValue"), variables)
             if not parsed or parsed[0] is None:
                 continue
             kind = "int" if cm.group(1) == "I_EQUAL" else parsed[1]
@@ -298,6 +335,12 @@ def extract_cases(test_cpp: Path) -> list[dict]:
                  for var, suffix in re.findall(
                      r'QString\s+(\w+)\s*=\s*Helper::tempFileName\('
                      r'"([^"]*)"\);', body)}
+        # id-lookup variables (ps_id etc.): value only known at replay time —
+        # resolve queries to {var} placeholders and record the recipe
+        db_check_vars = {var: (fn, arg) for var, fn, arg in re.findall(
+            r'QString\s+(\w+)\s*=\s*db\.(processedSampleId|sampleId)\('
+            r'"([^"]+)"\);', body)}
+        check_vars = {var: "{" + var + "}" for var in db_check_vars}
         prev_end = 0
         unsupported_so_far: list[str] = []
         for em in _EXECUTE_RX.finditer(body):
@@ -348,7 +391,8 @@ def extract_cases(test_cpp: Path) -> list[dict]:
             rest = body[em.end():]
             nxt = _EXECUTE_RX.search(rest)
             scope = rest[: nxt.start()] if nxt else rest
-            case["db_checks"] = _db_checks(scope) if needs_ngsd else []
+            case["db_checks"] = _db_checks(scope, check_vars) if needs_ngsd else []
+            case["db_check_vars"] = db_check_vars
             case["bam_to_text"] = []
             for bm in _BAM2TXT_RX.finditer(scope):
                 ops = _split_top_level(bm.group(1))

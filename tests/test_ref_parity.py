@@ -204,13 +204,44 @@ def _apply_ngsd_ops(ops):
             assert rc in (0, None), f"expression import setup failed: {op}"
 
 
-def _run_db_checks(checks):
+def _run_db_checks(checks, check_vars=None):
     """Replay the reference method's S_EQUAL/I_EQUAL(db.getValue(...))
-    assertions against the SQLite NGSD."""
+    assertions against the SQLite NGSD. ``check_vars`` maps {var}
+    placeholders in queries to id-lookup recipes (ps_id etc.), resolved
+    against the live test NGSD here."""
     from ngsbits_tpu.ngsd import NGSD
+    def fmt(v):
+        # QVariant::toString semantics: NULL -> "", doubles shortest repr
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            s = repr(v)
+            return s[:-2] if s.endswith(".0") else s
+        return str(v)
+
     db = NGSD(test_db=True)
     try:
+        subs = {}
+        for var, (fn, arg) in (check_vars or {}).items():
+            if fn == "processedSampleId":
+                subs["{" + var + "}"] = str(db.processed_sample_id(arg))
+            elif fn == "sampleId":
+                subs["{" + var + "}"] = str(db.sample_id(arg))
         for kind, q, expected in checks:
+            for ph, val in subs.items():
+                q = q.replace(ph, val)
+            if kind == "table_rows":
+                got = len(db.get_rows(q))
+                assert got == expected, \
+                    f"db table [{q}]: {got} rows != {expected}"
+                continue
+            if kind == "table_row":
+                i, sep, expected_s = expected
+                rows = db.get_rows(q)
+                got = sep.join(fmt(v) for v in rows[i])
+                assert got == expected_s, \
+                    f"db table [{q}] row {i}: {got!r} != {expected_s!r}"
+                continue
             val = db.get_value(q)
             if kind == "int":
                 got = 0 if val is None else int(val)
@@ -309,7 +340,7 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                     else:
                         helpers.compare_files(a, b, strip_patterns=strips)
                 if c.get("db_checks"):
-                    _run_db_checks(c["db_checks"])
+                    _run_db_checks(c["db_checks"], c.get("db_check_vars"))
                 results[seq] = ("pass", "")
             except AssertionError as e:
                 results[seq] = ("fail", str(e).splitlines()[0][:300])
