@@ -15,8 +15,10 @@ import sys
 def _is_tpu_lane(config) -> bool:
     """True when the run selects the on-chip lane (pytest -m tpu): those
     tests need the real TPU backend, so the CPU re-exec must not happen."""
+    import re
     markexpr = config.getoption("-m", default="") or ""
-    return "tpu" in markexpr and "not tpu" not in markexpr
+    return (re.search(r"\btpu\b", markexpr) is not None
+            and "not tpu" not in markexpr)
 
 
 def pytest_configure(config):

@@ -467,34 +467,48 @@ struct FastqReaderC {
 };
 
 #ifdef HAVE_LIBDEFLATE
-// Decode the next gzip member of r->comp into r->buf (append); returns
-// bytes appended, 0 at EOF, -1 on error (r->error set).
+// Decode the next non-empty gzip member of r->comp into r->buf (append);
+// returns bytes appended, 0 at clean EOF, -1 on error (r->error set).
+// Empty members are skipped (zlib's gzread does the same); a corrupt
+// member — bytes at the cursor that carry the gzip magic but fail to
+// decode — is an ERROR, not EOF (no silent truncation).
 static int64_t whole_gz_next_member(FastqReaderC* r) {
-    if (r->comp_off + 18 > r->comp.size()) return 0;
-    size_t remaining = r->comp.size() - r->comp_off;
-    size_t cap = r->out_hint ? r->out_hint
-                             : std::max<size_t>(remaining * 4, 8 << 20);
     for (;;) {
-        size_t old = r->buf.size();
-        r->buf.resize(old + cap);
-        size_t a_in = 0, a_out = 0;
-        libdeflate_result res = libdeflate_gzip_decompress_ex(
-            r->whole_d, r->comp.data() + r->comp_off, remaining,
-            r->buf.data() + old, cap, &a_in, &a_out);
-        if (res == LIBDEFLATE_SUCCESS) {
-            r->buf.resize(old + a_out);
-            r->comp_off += a_in;
-            r->out_hint = std::max<size_t>(a_out, 1 << 20);
-            return (int64_t)a_out;
+        if (r->comp_off + 18 > r->comp.size()) return 0;
+        size_t remaining = r->comp.size() - r->comp_off;
+        // bounded first guess: ISIZE hint when present, else 4x remaining
+        // capped at 256 MB per growth step (resize value-initializes, so
+        // uncapped guesses would commit huge zero pages for nothing)
+        size_t cap = r->out_hint ? r->out_hint
+                                 : std::min<size_t>(
+                                       std::max<size_t>(remaining * 4, 8 << 20),
+                                       256u << 20);
+        for (;;) {
+            size_t old = r->buf.size();
+            r->buf.resize(old + cap);
+            size_t a_in = 0, a_out = 0;
+            libdeflate_result res = libdeflate_gzip_decompress_ex(
+                r->whole_d, r->comp.data() + r->comp_off, remaining,
+                r->buf.data() + old, cap, &a_in, &a_out);
+            if (res == LIBDEFLATE_SUCCESS) {
+                r->buf.resize(old + a_out);
+                r->comp_off += a_in;
+                r->out_hint = std::max<size_t>(a_out, 1 << 20);
+                if (a_out == 0) break;   // empty member: skip to the next
+                return (int64_t)a_out;
+            }
+            r->buf.resize(old);
+            if (res == LIBDEFLATE_INSUFFICIENT_SPACE) {
+                cap = cap * 2 + (64 << 20);
+                continue;
+            }
+            bool looks_like_member = r->comp[r->comp_off] == 0x1f
+                                     && r->comp[r->comp_off + 1] == 0x8b;
+            if (r->comp_off > 0 && !looks_like_member)
+                return 0;   // non-gzip trailing bytes: clean EOF (zlib too)
+            r->error = "gzip decode failed";
+            return -1;
         }
-        r->buf.resize(old);
-        if (res == LIBDEFLATE_INSUFFICIENT_SPACE) {
-            cap = cap * 2 + (64 << 20);
-            continue;
-        }
-        if (r->comp_off > 0) return 0;  // trailing garbage after members
-        r->error = "gzip decode failed";
-        return -1;
     }
 }
 #endif
@@ -540,7 +554,7 @@ void* ngs_fastq_open(const char* path, int buffer_kb) {
 #ifdef HAVE_LIBDEFLATE
     {
         const char* lim_env = getenv("NGSBITS_WHOLE_GZ_MB");
-        long lim_mb = lim_env ? atol(lim_env) : 2048;
+        long lim_mb = lim_env ? atol(lim_env) : 1024;
         FILE* f = (lim_mb > 0) ? fopen(path, "rb") : nullptr;
         if (f) {
             uint8_t magic[2];
@@ -644,7 +658,12 @@ int64_t ngs_fastq_read_batch(
         if (r->use_whole) {
             int64_t got = whole_gz_next_member(r);
             if (got < 0) return -2;
-            if (got == 0) r->eof = true;
+            if (got == 0) {
+                r->eof = true;
+                // the compressed copy is no longer needed
+                r->comp.clear();
+                r->comp.shrink_to_fit();
+            }
             return shift;
         }
 #endif

@@ -36,10 +36,10 @@ PILEUP_DEVICE_MIN_SNPS = 1 << 14
 
 
 def _force() -> bool | None:
-    v = os.environ.get("NGSBITS_DEVICE_ENGINES", "")
+    v = os.environ.get("NGSBITS_DEVICE_ENGINES", "").strip().lower()
     if v == "":
         return None
-    return v not in ("0", "false", "no")
+    return v not in ("0", "false", "no", "off")
 
 
 def use_device(n_items: int, min_items: int) -> bool:

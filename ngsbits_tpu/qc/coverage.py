@@ -50,7 +50,7 @@ class _ChrCoverage:
         # lo/hi are 1-based inclusive bounds of the ROI on this chromosome
         self.lo = lo
         self.hi = hi
-        self.diff = np.zeros(hi - lo + 3, dtype=np.int64)
+        self.diff = None    # host diff array, allocated on first host use
         self.counts = None  # per-base path (min_baseq) fills this lazily
         self._cov = None
         self._ps = None
@@ -79,6 +79,8 @@ class _ChrCoverage:
                 self._mesh_spans = []
             self._mesh_spans.append((s.astype(np.int32), (e + 1).astype(np.int32)))
             return
+        if self.diff is None:
+            self.diff = np.zeros(self.hi - self.lo + 3, dtype=np.int64)
         np.add.at(self.diff, s, 1)
         np.add.at(self.diff, e + 1, -1)
 
@@ -111,6 +113,8 @@ class _ChrCoverage:
                 e = np.concatenate([e, np.zeros(pad, np.int32)])
             cov = np.asarray(sharded_coverage_step(make_mesh(), s, e, span),
                              dtype=np.int64)
+        elif self.diff is None:   # no spans ever added on the host path
+            cov = np.zeros(span, dtype=np.int64)
         elif span > _DEVICE_SPAN_THRESHOLD:
             import jax.numpy as jnp
             cov = np.asarray(jnp.cumsum(jnp.asarray(self.diff[:span + 1]))[:span])
@@ -148,7 +152,7 @@ class _ChrCoverageSparse:
         self.me = np.asarray(me, dtype=np.int64)
         self.off = np.concatenate(([0], np.cumsum(self.me - self.ms + 1)))
         self.total = int(self.off[-1])
-        self.diff = np.zeros(self.total + 1, dtype=np.int64)
+        self.diff = None   # host diff array, allocated on first host use
         self.counts = None
         self._cov = None
         self._ps = None
@@ -184,6 +188,8 @@ class _ChrCoverageSparse:
             j = ii[act]
             s = np.maximum(starts[act], self.ms[j]) - self.ms[j] + self.off[j]
             e = np.minimum(ends[act], self.me[j]) - self.ms[j] + self.off[j]
+            if self.diff is None:
+                self.diff = np.zeros(self.total + 1, dtype=np.int64)
             np.add.at(self.diff, s, 1)
             np.add.at(self.diff, e + 1, -1)
             i = i + more
@@ -209,6 +215,8 @@ class _ChrCoverageSparse:
                         + np.repeat(self.ms - self.off[:-1], lens))
             cov = self._dev.coverage_at(flat_pos.astype(np.int32))
             self._dev = None
+        elif self.diff is None:    # no spans ever added on the host path
+            cov = np.zeros(self.total, dtype=np.int64)
         else:
             cov = np.cumsum(self.diff[: self.total + 1])[: self.total]
         if self.counts is not None:

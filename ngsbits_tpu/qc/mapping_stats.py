@@ -159,13 +159,13 @@ class MappingScan:
         self.max_length = 0
         self.paired_end = False
         self.reads_per_ref: np.ndarray | None = None
-        self.roi_cov_diff = (np.zeros(int(roi.flat_off[-1]) + 1, dtype=np.int64)
-                             if roi is not None else None)
         # TPU route: scatter-add the ROI depth diff into a device-resident
         # buffer instead (one small transfer per batch, cumsum at finalize);
-        # mesh mode defers to the sharded scatter-add + psum step instead
+        # mesh mode defers to the sharded scatter-add + psum step instead;
+        # the host diff array is only allocated when neither route runs
         self._roi_dev = None
         self._roi_mesh: list | None = None
+        self.roi_cov_diff = None
         import os as _os
         if roi is not None and _os.environ.get("NGSBITS_MESH", "") not in ("", "0"):
             self._roi_mesh = []
@@ -173,6 +173,9 @@ class MappingScan:
             from ..ops import device_reduce as dr
             if dr.use_device(int(roi.flat_off[-1]), dr.COVERAGE_DEVICE_MIN_SPAN):
                 self._roi_dev = dr.DeviceCoverage(int(roi.flat_off[-1]))
+            else:
+                self.roi_cov_diff = np.zeros(int(roi.flat_off[-1]) + 1,
+                                             dtype=np.int64)
         self.gc_chunk_weights = (np.zeros(dropout.n, dtype=np.float64)
                                  if dropout is not None else None)
         self._chr_num_cache: np.ndarray | None = None

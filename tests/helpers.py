@@ -20,9 +20,14 @@ def read_lines(path) -> list[str]:
     data = path.read_bytes()
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    # some reference goldens carry Windows \r\n (even \r\r\n) endings;
-    # cppTFW compares text modulo \r, so drop them before splitting
-    return data.replace(b"\r", b"").decode("utf-8", errors="replace").splitlines()
+    # some reference goldens carry Windows \r\n (even \r\r\n) LINE ENDINGS;
+    # normalize only \r runs adjacent to \n so a stray mid-line \r in tool
+    # output still fails the comparison, then split on \n alone
+    text = re.sub(rb"\r+\n", b"\n", data).decode("utf-8", errors="replace")
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
 
 
 def remove_lines(lines: list[str], pattern: str) -> list[str]:

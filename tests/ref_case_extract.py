@@ -217,7 +217,10 @@ def _parse_getvalue(line: str, start: int, variables: dict | None = None):
 
 
 def _parse_expected(kind: str, text: str):
-    text = text.strip().rstrip(");").strip()
+    # the macro arg splitter already excluded the closing paren/semicolon,
+    # so only whitespace needs trimming (an rstrip of ')'/';'/'"' would
+    # corrupt quoted values ending in those characters)
+    text = text.strip()
     if kind == "int":
         try:
             return int(text)

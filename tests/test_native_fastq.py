@@ -159,3 +159,41 @@ def test_bgzf_fastq_routing(tmp_path):
     c = read_all(p_bgzf)
     assert len(a) == len(c) == 5000
     assert a == c
+
+
+def test_whole_gz_skips_empty_members(tmp_path):
+    """Concatenated gzip with an EMPTY member in the middle: every record
+    after it must still be read (zlib's gzread semantics)."""
+    import gzip as _gz
+    rec_a = b"@r1\nACGT\n+\nIIII\n"
+    rec_b = b"@r2\nTTTT\n+\nIIII\n"
+    p = tmp_path / "multi.fastq.gz"
+    p.write_bytes(_gz.compress(rec_a) + _gz.compress(b"") + _gz.compress(rec_b))
+    from ngsbits_tpu.io.fastq import FastqReader
+    batches = list(FastqReader(str(p), keep_headers=True))
+    n = sum(len(b) for b in batches)
+    assert n == 2, f"read {n} records, expected 2 (empty member dropped the tail?)"
+
+
+def test_whole_gz_corrupt_second_member_errors(tmp_path):
+    """Corruption inside a later member must ERROR, not truncate silently."""
+    import gzip as _gz
+    rec = b"@r1\nACGT\n+\nIIII\n"
+    m1 = _gz.compress(rec)
+    m2 = bytearray(_gz.compress(b"@r2\nGGGG\n+\nIIII\n"))
+    m2[len(m2) // 2] ^= 0xFF  # flip a payload bit
+    p = tmp_path / "corrupt.fastq.gz"
+    p.write_bytes(m1 + bytes(m2))
+    from ngsbits_tpu.io.fastq import FastqReader
+    with pytest.raises(Exception):
+        list(FastqReader(str(p)))
+
+
+def test_whole_gz_trailing_garbage_is_eof(tmp_path):
+    """Non-gzip trailing bytes after the last member: clean EOF."""
+    import gzip as _gz
+    p = tmp_path / "trail.fastq.gz"
+    p.write_bytes(_gz.compress(b"@r1\nACGT\n+\nIIII\n") + b"JUNKJUNKJUNKJUNK\x00\x01\x02")
+    from ngsbits_tpu.io.fastq import FastqReader
+    batches = list(FastqReader(str(p)))
+    assert sum(len(b) for b in batches) == 1
