@@ -603,7 +603,10 @@ def mapping_roi(bed: BedFile, bam_file: str, ref_file: str, min_mapq: int = 1,
     scan = MappingScan(roi=roi, cfdna=is_cfdna, min_mapq=min_mapq,
                        dropout=dropout, gc_bin_of_chunk=gc_bins)
     reader = BamReader(bam_file)
-    for batch in reader:
+    # decode-ahead thread: BAM inflation overlaps the numpy analysis pass
+    # (SURVEY §2.5 P1 — the reference's read/analyze thread split)
+    from ..utils.prefetch import prefetch
+    for batch in prefetch(reader, depth=2):
         scan.process(batch, reader)
     reader.close()
 
@@ -734,7 +737,8 @@ def mapping_no_roi(bam_file: str, ref_file: str, min_mapq: int = 1) -> QCCollect
     """No-ROI mode for RNA/non-human (Statistics.cpp:805-989)."""
     scan = MappingScan(roi=None, min_mapq=min_mapq, nonspecial_ontarget=True)
     reader = BamReader(bam_file)
-    for batch in reader:
+    from ..utils.prefetch import prefetch
+    for batch in prefetch(reader, depth=2):
         scan.process(batch, reader)
     scan.bases_usable -= int(scan.bases_clipped)
 
@@ -784,7 +788,8 @@ def mapping_wgs(bam_file: str, qc_bed: BedFile | None, min_mapq: int, ref_file: 
 
     scan = MappingScan(roi=None, min_mapq=min_mapq, nonspecial_ontarget=True)
     reader = BamReader(bam_file)
-    for batch in reader:
+    from ..utils.prefetch import prefetch
+    for batch in prefetch(reader, depth=2):
         scan.process(batch, reader)
     scan.bases_usable -= int(scan.bases_clipped)
 
