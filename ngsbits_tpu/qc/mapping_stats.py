@@ -972,7 +972,8 @@ def somatic_custom_depth(bed: BedFile, bam_file: str, ref_file: str,
 
     reader = BamReader(bam_file)
     ref_nums = np.array([Chromosome(n).num for n in reader.ref_names], dtype=np.int64)
-    for batch in reader:
+    from ..utils.prefetch import prefetch
+    for batch in prefetch(reader, depth=2):
         flag = batch.flag
         sel = ((flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_UNMAPPED)) == 0)
         idx = np.flatnonzero(sel & (batch.ref_id >= 0))
