@@ -29,6 +29,9 @@ import numpy as np
 
 from ..utils.backend import is_tpu_backend, is_tunneled_backend
 
+# int32 device moments stay exact while 4n < 2^31 (values are 0/1/2)
+INT32_MOMENT_LIMIT = 2**31
+
 # measured on the v5e tunnel (BASELINE.md round 4)
 COVERAGE_DEVICE_MIN_SPAN = 1 << 22      # 4M-base chromosome window
 CORR_DEVICE_MIN_N = 1 << 16
@@ -188,7 +191,7 @@ def pearson_from_genotypes(x: np.ndarray, y: np.ndarray) -> float:
     n = len(x)
     x2 = np.rint(np.asarray(x, dtype=np.float64) * 2).astype(np.int32)
     y2 = np.rint(np.asarray(y, dtype=np.float64) * 2).astype(np.int32)
-    if 4 * n >= 2**31:
+    if 4 * n >= INT32_MOMENT_LIMIT:
         # int32 device accumulators would overflow: exact int64 on host
         sx, sy = int(x2.sum()), int(y2.sum())
         sxx = int((x2.astype(np.int64) ** 2).sum())
