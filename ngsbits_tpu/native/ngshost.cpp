@@ -781,13 +781,6 @@ struct BaseIdxTable {
         t['A'] = 0; t['C'] = 1; t['G'] = 2; t['T'] = 3; t['N'] = 4;
     }
 };
-struct ValidBaseTable {
-    bool t[256];
-    ValidBaseTable() {
-        memset(t, 0, sizeof(t));
-        t['A'] = t['C'] = t['G'] = t['T'] = t['N'] = true;
-    }
-};
 }  // namespace
 
 void ngs_readqc_batch(const uint8_t* bases, const uint8_t* quals,
@@ -836,23 +829,43 @@ int32_t ngs_validate_batch(const uint8_t* bases, const uint8_t* quals,
                            const int32_t* lens, const int32_t* qlens,
                            int64_t B, int64_t L, int32_t qmax,
                            int64_t* bad_info) {
-    static const ValidBaseTable table;
-    const bool* valid_base = table.t;
+    // fast path: branch-free any-invalid scans the compiler can vectorize
+    // (the table-lookup loop was ~1.2 GB/s; these run at memory speed);
+    // only on a hit does the slow path relocate the offending byte
+    const uint8_t qlo = 33, qhi = (uint8_t)qmax;
     for (int64_t b = 0; b < B; ++b) {
         const uint8_t* row = bases + b * L;
         const int32_t n = lens[b];
+        uint8_t bad = 0;
         for (int32_t j = 0; j < n; ++j) {
-            if (!valid_base[row[j]]) {
-                bad_info[0] = b; bad_info[1] = j; bad_info[2] = row[j];
-                return 1;
+            uint8_t c = row[j];
+            bad |= (uint8_t)!((c == 'A') | (c == 'C') | (c == 'G')
+                              | (c == 'T') | (c == 'N'));
+        }
+        if (bad) {
+            for (int32_t j = 0; j < n; ++j) {
+                uint8_t c = row[j];
+                if (!((c == 'A') | (c == 'C') | (c == 'G') | (c == 'T')
+                      | (c == 'N'))) {
+                    bad_info[0] = b; bad_info[1] = j; bad_info[2] = c;
+                    return 1;
+                }
             }
         }
         const uint8_t* qrow = quals + b * L;
         const int32_t qn = qlens[b];
+        bad = 0;
         for (int32_t j = 0; j < qn; ++j) {
-            if (qrow[j] < 33 || qrow[j] > qmax) {
-                bad_info[0] = b; bad_info[1] = j; bad_info[2] = qrow[j];
-                return 2;
+            uint8_t q = qrow[j];
+            bad |= (uint8_t)((q < qlo) | (q > qhi));
+        }
+        if (bad) {
+            for (int32_t j = 0; j < qn; ++j) {
+                uint8_t q = qrow[j];
+                if (q < qlo || q > qhi) {
+                    bad_info[0] = b; bad_info[1] = j; bad_info[2] = q;
+                    return 2;
+                }
             }
         }
     }
