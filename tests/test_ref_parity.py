@@ -284,9 +284,21 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
     try:
         for seq, c in enumerate(CASES_BY_FILE[fname]):
             if not _replayable(c):
-                reason = (c.get("gate_reason")
-                          or ("unresolved C++ arg expression" if c["unresolved"]
-                              else "platform-specific RNG lastlog golden"))
+                if c.get("gate_reason"):
+                    reason = c["gate_reason"]
+                elif c["unresolved"] and c["method"].endswith(
+                        ("multithread", "multiple_threads")):
+                    # foreach-loop thread sweeps with runtime-built args;
+                    # cross-thread-count determinism is pinned by our own
+                    # suite (test_seqpurge.py::test_native_threads_
+                    # deterministic, BedCoverage -threads goldens)
+                    reason = ("loop-driven thread-count sweep (runtime-built "
+                              "args); -threads determinism pinned by the "
+                              "native test suite")
+                elif c["unresolved"]:
+                    reason = "unresolved C++ arg expression"
+                else:
+                    reason = "platform-specific RNG lastlog golden"
                 results[seq] = ("skip", f"gated: {reason}")
                 continue
             missing = _missing_fixtures(c)
