@@ -111,3 +111,90 @@ def test_seqpurge_output_block_size_invariance(tmp_path, seed):
         outs.append((gzip.decompress(o1.read_bytes()),
                      gzip.decompress(o2.read_bytes())))
     assert outs[0] == outs[1] == outs[2]
+
+
+def _random_vcf_text(rng, n_samples=2, n_vars=120) -> bytes:
+    # canonical store order (contigs directly after fileformat, like the
+    # reference's VcfFile writer emits them)
+    lines = [b"##fileformat=VCFv4.2",
+             b"##contig=<ID=chr1,length=248956422>",
+             b"##contig=<ID=chr2,length=242193529>",
+             b'##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+             b'##INFO=<ID=AF,Number=A,Type=Float,Description="AF">',
+             b'##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">',
+             b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+             b'##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">']
+    hdr = b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    if n_samples:
+        hdr += b"\tFORMAT" + b"".join(b"\tS%d" % i for i in range(n_samples))
+    lines.append(hdr)
+    bases = b"ACGT"
+    pos_by_chr = {b"chr1": 100, b"chr2": 100}
+    for i in range(n_vars):
+        chrom = b"chr1" if rng.random() < 0.6 else b"chr2"
+        pos_by_chr[chrom] += int(rng.integers(1, 5000))
+        ref = bytes([bases[rng.integers(0, 4)]])
+        if rng.random() < 0.25:  # indel
+            ref += bytes(bases[j] for j in rng.integers(0, 4, size=rng.integers(1, 5)))
+        alt = bytes([bases[rng.integers(0, 4)]])
+        if alt == ref:
+            alt = b"T" if ref != b"T" else b"A"
+        if rng.random() < 0.15:  # multiallelic
+            alt += b"," + (b"G" if alt[:1] != b"G" else b"C")
+        info_parts = [b"DP=%d" % rng.integers(1, 500)]
+        if rng.random() < 0.5:
+            info_parts.append(b"AF=%.4g" % rng.random())
+        if rng.random() < 0.3:
+            info_parts.append(b"DB")
+        # integer or missing QUAL (the writer prints whole-number quals
+        # without a decimal point, like the reference)
+        qual = b"." if rng.random() < 0.2 else b"%d" % rng.integers(0, 900)
+        row = [chrom, b"%d" % pos_by_chr[chrom], b"rs%d" % i if rng.random() < 0.4 else b".",
+               ref, alt, qual, b"PASS" if rng.random() < 0.8 else b"q10",
+               b";".join(info_parts)]
+        if n_samples:
+            row.append(b"GT:DP")
+            for _s in range(n_samples):
+                gt = [b"0/0", b"0/1", b"1/1", b"./."][rng.integers(0, 4)]
+                row.append(gt + b":%d" % rng.integers(0, 99))
+        lines.append(b"\t".join(row))
+    return b"\n".join(lines) + b"\n"
+
+
+@pytest.mark.parametrize("seed,n_samples", [(10, 0), (11, 1), (12, 3)])
+def test_vcf_load_store_roundtrip(tmp_path, seed, n_samples):
+    """VcfFile load -> store must be byte-identical for well-formed VCFs
+    (single/multi-sample, multiallelic, flags, missing values)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+    rng = np.random.default_rng(seed)
+    text = _random_vcf_text(rng, n_samples=n_samples)
+    p = tmp_path / "r.vcf"
+    p.write_bytes(text)
+    out = tmp_path / "o.vcf"
+    vcf_store(VcfFile.from_file(str(p)), str(out))
+    assert out.read_bytes() == text
+
+
+@pytest.mark.parametrize("seed", [13, 14])
+def test_vcf_sort_is_stable_and_ordered(tmp_path, seed):
+    """VcfSort on a shuffled VCF: positions ordered per chromosome and the
+    record multiset preserved."""
+    from helpers import execute
+    rng = np.random.default_rng(seed)
+    text = _random_vcf_text(rng, n_samples=1)
+    lines = text.splitlines()
+    hdr = [l for l in lines if l.startswith(b"#")]
+    body = [l for l in lines if not l.startswith(b"#")]
+    rng.shuffle(body)
+    p = tmp_path / "shuf.vcf"
+    p.write_bytes(b"\n".join(hdr + body) + b"\n")
+    out = tmp_path / "sorted.vcf"
+    assert execute("VcfSort", ["-in", p, "-out", out]) == 0
+    got = [l for l in out.read_bytes().splitlines() if not l.startswith(b"#")]
+    assert sorted(got) == sorted(body)
+    by_chr = {}
+    for l in got:
+        c, pos = l.split(b"\t", 2)[:2]
+        by_chr.setdefault(c, []).append(int(pos))
+    for positions in by_chr.values():
+        assert positions == sorted(positions)
