@@ -169,7 +169,7 @@ def synth_bam(path: str, n_reads: int = 1_000_000, read_len: int = 100):
 
 # ------------------------------------------------------------ measurements
 
-def run_tool(tool: str, args: list[str]) -> float:
+def run_tool(tool: str, args: list[str], attempts: int = 2) -> float:
     """Wall time of one CLI tool run in a CPU-backend subprocess.
 
     End-to-end tool benches measure the HOST pipeline (decode, host compute
@@ -197,7 +197,7 @@ def run_tool(tool: str, args: list[str]) -> float:
     # clocks ~2-3x slower than sustained throughput (same reasoning as the
     # kernel metric's best-of-3)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(attempts):
         t0 = time.perf_counter()
         with open(log, "wb") as fh:
             r = subprocess.run([sys.executable, "-m", "ngsbits_tpu", tool] + args,
@@ -269,7 +269,7 @@ print((t_inflate + t_analyze))
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         out = subprocess.run([sys.executable, "-c", code, fq_path,
                               str(n_reads), str(read_len)],
                              capture_output=True, text=True, env=env)
@@ -344,7 +344,10 @@ def main():
     n_reads = 5_000_000
     fq = f"{CACHE}/readqc_5m.fastq.gz"
     synth_fastq(fq, n_reads)
-    dt = run_tool("ReadQC", ["-in1", fq, "-out", f"{CACHE}/readqc.qcML"])
+    # best-of-3: the headline and the proxy form vs_baseline, so both get
+    # an extra attempt against this VM's 2-3x idle-deboost variance
+    dt = run_tool("ReadQC", ["-in1", fq, "-out", f"{CACHE}/readqc.qcML"],
+                  attempts=3)
     extra["readqc_e2e_reads_per_sec"] = round(n_reads / dt, 1)
 
     # (a2) same data bgzip-blocked: decode rides the parallel inflate pool
