@@ -91,6 +91,9 @@ class BedFile:
         if filename in ("", "-", None):
             data = stdin_binary().read()
         else:
+            from ..io.versatile import is_remote, local_path
+            if is_remote(str(filename)):
+                filename = local_path(filename)
             with open(filename, "rb") as fh:
                 data = fh.read()
         chr_cache: dict[bytes, Chromosome] = {}

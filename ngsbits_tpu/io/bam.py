@@ -145,6 +145,11 @@ class BamReader:
 
     def __init__(self, filename: str, n_threads: int = 4,
                  batch_records: int = 1 << 16, ref: str | None = None):
+        from .versatile import is_remote, local_path
+        if is_remote(str(filename)):
+            # VersatileFile parity: remote BAM/CRAM inputs fetch once and
+            # open locally (BAI sibling too, so random access works)
+            filename = local_path(filename)
         self.filename = filename
         self.batch_records = batch_records
         self._lib = native.get_lib()

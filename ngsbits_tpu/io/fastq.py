@@ -202,6 +202,11 @@ class FastqReader:
                  keep_headers: bool = False, validate: bool = True,
                  long_read: bool = False, chunk_bytes: int = 8 << 20,
                  flat_headers: bool = False):
+        from .versatile import is_remote, local_path
+        if is_remote(str(filename)):
+            # VersatileFile parity: remote FASTQ fetches once, then the
+            # native decoder handles it like any local file
+            filename = local_path(filename)
         self.filename = filename
         self.batch_reads = batch_reads
         self.keep_headers = keep_headers

@@ -356,6 +356,10 @@ class VcfFile:
     @staticmethod
     def from_file(filename: str) -> "VcfFile":
         out = VcfFile()
+        if filename not in ("", "-", None):
+            from .versatile import is_remote, local_path
+            if is_remote(str(filename)):
+                filename = local_path(filename)
         if filename in ("", "-", None):
             data = stdin_binary().read()
         else:

@@ -123,3 +123,51 @@ class VersatileFile:
 
     def __exit__(self, *exc):
         self.close()
+
+
+_FETCH_CACHE: dict = {}
+
+
+def local_path(path) -> str:
+    """Return a local filesystem path for `path`.
+
+    Local paths pass through; http(s) URLs are fetched once per process
+    into a temp file (the reference's htslib streams ranges instead; for
+    batch CLI tools a one-shot fetch has the same semantics — the
+    random-access BAI/tabix paths then work against the local copy).
+    """
+    p = str(path)
+    if not is_remote(p):
+        return p
+    cached = _FETCH_CACHE.get(p)
+    if cached is not None:
+        return cached
+    import tempfile
+    suffix = os.path.splitext(p.split("?", 1)[0])[1] or ".bin"
+    fd, tmp = tempfile.mkstemp(prefix="ngsbits_remote_", suffix=suffix)
+    try:
+        with os.fdopen(fd, "wb") as out, \
+                urllib.request.urlopen(p, timeout=60.0) as resp:
+            while True:
+                chunk = resp.read(4 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+    except Exception:
+        os.unlink(tmp)
+        raise
+    _FETCH_CACHE[p] = tmp
+    import atexit
+    atexit.register(lambda: os.path.exists(tmp) and os.unlink(tmp))
+    # fetch the index sibling too when the server offers one (BAI/TBI
+    # random access against the local copy)
+    for ext in (".bai", ".tbi"):
+        try:
+            with urllib.request.urlopen(p + ext, timeout=30.0) as resp:
+                data = resp.read()
+            with open(tmp + ext, "wb") as fh:
+                fh.write(data)
+            atexit.register(lambda t=tmp + ext: os.path.exists(t) and os.unlink(t))
+        except Exception:  # noqa: BLE001 — index is optional
+            pass
+    return tmp

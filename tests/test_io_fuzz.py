@@ -198,3 +198,52 @@ def test_vcf_sort_is_stable_and_ordered(tmp_path, seed):
         by_chr.setdefault(c, []).append(int(pos))
     for positions in by_chr.values():
         assert positions == sorted(positions)
+
+
+def test_remote_inputs_over_http(tmp_path):
+    """BAM/VCF/BED/FASTQ readers accept http:// URLs (VersatileFile parity:
+    cppCORE VersatileFile + htslib remote access in the reference); the BAI
+    sibling is fetched too so random access works."""
+    import functools
+    import http.server
+    import shutil
+    import threading
+
+    din = "/root/reference/src/tools-TEST/data_in"
+    web = tmp_path / "web"
+    web.mkdir()
+    for f in ("BamDownsample_in1.bam", "VcfSort_in1.vcf",
+              "VariantFilterRegions_in.bed", "ReadQC_in1.fastq.gz"):
+        shutil.copy(f"{din}/{f}", web / f)
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(web))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from ngsbits_tpu.core.intervals import BedFile
+        from ngsbits_tpu.io.bam import BamReader
+        from ngsbits_tpu.io.fastq import FastqReader
+        from ngsbits_tpu.io.vcf import VcfFile
+
+        r = BamReader(f"{base}/BamDownsample_in1.bam")
+        n = sum(len(b) for b in r)
+        r.close()
+        local = BamReader(f"{din}/BamDownsample_in1.bam")
+        n_local = sum(len(b) for b in local)
+        local.close()
+        assert n == n_local > 0
+
+        vcf = VcfFile.from_file(f"{base}/VcfSort_in1.vcf")
+        assert len(vcf) == len(VcfFile.from_file(f"{din}/VcfSort_in1.vcf")) > 0
+
+        bed = BedFile.from_file(f"{base}/VariantFilterRegions_in.bed")
+        assert len(bed.lines) == len(
+            BedFile.from_file(f"{din}/VariantFilterRegions_in.bed").lines) > 0
+
+        n_fq = sum(len(b) for b in FastqReader(f"{base}/ReadQC_in1.fastq.gz"))
+        n_fq_local = sum(len(b) for b in FastqReader(f"{din}/ReadQC_in1.fastq.gz"))
+        assert n_fq == n_fq_local > 0
+    finally:
+        srv.shutdown()
