@@ -133,14 +133,18 @@ class BamReader:
                 batch_records: int = 1 << 16, ref: str | None = None):
         # CRAM files are handled by the CRAM 3.0 decoder (io/cram.py), which
         # exposes the same batch interface (BamReader.h handles both formats
-        # transparently through htslib in the reference)
-        if str(filename).endswith(".cram"):
+        # transparently through htslib in the reference); remote CRAM
+        # fetches here, before the dispatch (__init__ handles remote BAM)
+        name = str(filename)
+        if name.split("?", 1)[0].endswith(".cram"):
             from .cram import CramReader
+            from .versatile import is_remote, local_path
+            if is_remote(name):
+                name = local_path(name)
             if ref is None:
                 from ..core import settings
                 ref = settings.reference_genome() or None
-            return CramReader(str(filename), ref=ref,
-                              batch_records=batch_records)
+            return CramReader(name, ref=ref, batch_records=batch_records)
         return super().__new__(cls)
 
     def __init__(self, filename: str, n_threads: int = 4,

@@ -143,27 +143,44 @@ def local_path(path) -> str:
     if cached is not None:
         return cached
     import tempfile
-    suffix = os.path.splitext(p.split("?", 1)[0])[1] or ".bin"
+    base_url, sep, query = p.partition("?")
+    suffix = os.path.splitext(base_url)[1] or ".bin"
     fd, tmp = tempfile.mkstemp(prefix="ngsbits_remote_", suffix=suffix)
     try:
         with os.fdopen(fd, "wb") as out, \
                 urllib.request.urlopen(p, timeout=60.0) as resp:
+            expected = resp.headers.get("Content-Length")
+            got = 0
             while True:
                 chunk = resp.read(4 << 20)
                 if not chunk:
                     break
+                got += len(chunk)
                 out.write(chunk)
+        # an early connection close surfaces as a short read, not an
+        # exception — never cache a truncated download
+        if expected is not None and got != int(expected):
+            raise IOError(
+                f"truncated download of '{p}': {got} of {expected} bytes")
     except Exception:
         os.unlink(tmp)
         raise
     _FETCH_CACHE[p] = tmp
     import atexit
     atexit.register(lambda: os.path.exists(tmp) and os.unlink(tmp))
-    # fetch the index sibling too when the server offers one (BAI/TBI
-    # random access against the local copy)
-    for ext in (".bai", ".tbi"):
+    # fetch the matching index sibling when the file type has one (BAI /
+    # tabix random access against the local copy); query strings keep
+    # their position: f.bam?tok -> f.bam.bai?tok
+    if base_url.endswith(".bam"):
+        exts = (".bai",)
+    elif base_url.endswith(".gz"):
+        exts = (".tbi",)
+    else:
+        exts = ()
+    for ext in exts:
+        sib = base_url + ext + (sep + query if query else "")
         try:
-            with urllib.request.urlopen(p + ext, timeout=30.0) as resp:
+            with urllib.request.urlopen(sib, timeout=30.0) as resp:
                 data = resp.read()
             with open(tmp + ext, "wb") as fh:
                 fh.write(data)

@@ -245,5 +245,14 @@ def test_remote_inputs_over_http(tmp_path):
         n_fq = sum(len(b) for b in FastqReader(f"{base}/ReadQC_in1.fastq.gz"))
         n_fq_local = sum(len(b) for b in FastqReader(f"{din}/ReadQC_in1.fastq.gz"))
         assert n_fq == n_fq_local > 0
+
+        # remote CRAM goes through the __new__ dispatch (query string kept)
+        shutil.copy("/root/reference/src/cppNGS-TEST/data_in/cramTest.cram",
+                    web / "cramTest.cram")
+        r = BamReader(f"{base}/cramTest.cram?x=1")
+        n_cram = sum(len(b) for b in iter(r.read_batch, None))
+        local = BamReader("/root/reference/src/cppNGS-TEST/data_in/cramTest.cram")
+        n_cram_local = sum(len(b) for b in iter(local.read_batch, None))
+        assert n_cram == n_cram_local > 0
     finally:
         srv.shutdown()

@@ -186,18 +186,15 @@ def test_cram_roundtrip_random_records(seed, tmp_path):
     w.close()
 
     rd = CramReader(str(path))
-    got = []
+    batches = []
     while True:
         batch = rd.read_batch()
         if batch is None or len(batch) == 0:
             break
-        for i in range(len(batch)):
-            got.append(batch)
-            break  # batch-level below
-        break
-    # simpler: one batch holds everything (<= container size)
-    batch = got[0] if got else None
-    assert batch is not None and len(batch) == n
+        batches.append(batch)
+    # the record count fits one container, so exactly one batch comes back
+    assert len(batches) == 1 and len(batches[0]) == n
+    batch = batches[0]
     from ngsbits_tpu.io.bam import SEQ_NIBBLE_ASCII
     for i, r in enumerate(recs):
         assert batch.name(i) == r["name"]
