@@ -59,6 +59,9 @@ class _Node:
 
 class BigWigReader:
     def __init__(self, path: str):
+        from .versatile import is_remote, local_path
+        if is_remote(str(path)):
+            path = local_path(path)
         self.path = str(path)
         self.fp = open(self.path, "rb")
         self.default_value = 0.0

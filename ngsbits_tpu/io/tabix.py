@@ -80,6 +80,11 @@ class TabixIndexedFile:
         return fh
 
     def load(self, filename: str):
+        from .versatile import is_remote, local_path
+        if is_remote(str(filename)):
+            # VersatileFile parity: remote tabix sources fetch once (the
+            # .tbi sibling comes along for the index)
+            filename = local_path(filename)
         self.filename = str(filename)
         import os
         idx = self.filename + ".csi"

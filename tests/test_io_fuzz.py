@@ -256,3 +256,45 @@ def test_remote_inputs_over_http(tmp_path):
         assert n_cram == n_cram_local > 0
     finally:
         srv.shutdown()
+
+
+def test_remote_tabix_and_bigwig(tmp_path):
+    """Tabix-indexed and BigWig annotation sources accept http:// URLs."""
+    import functools
+    import http.server
+    import shutil
+    import threading
+
+    din = "/root/reference/src/tools-TEST/data_in"
+    web = tmp_path / "web"
+    web.mkdir()
+    for f in ("VcfAnnotateFromVcf_an1_ClinVar.vcf.gz",
+              "VcfAnnotateFromVcf_an1_ClinVar.vcf.gz.tbi"):
+        shutil.copy(f"{din}/{f}", web / f)
+    bw_src = "/root/reference/src/cppNGS-TEST/data_in/BigWigReader.bw"
+    shutil.copy(bw_src, web / "BigWigReader.bw")
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(web))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from ngsbits_tpu.io.bigwig import BigWigReader
+        from ngsbits_tpu.io.tabix import TabixIndexedFile
+        remote = TabixIndexedFile(f"{base}/VcfAnnotateFromVcf_an1_ClinVar.vcf.gz")
+        local = TabixIndexedFile(f"{din}/VcfAnnotateFromVcf_an1_ClinVar.vcf.gz")
+        # any chromosome present in the local index must fetch identically
+        import gzip as _gz
+        with _gz.open(f"{din}/VcfAnnotateFromVcf_an1_ClinVar.vcf.gz", "rb") as fh:
+            for raw in fh:
+                if not raw.startswith(b"#"):
+                    chrom = raw.split(b"\t", 1)[0].decode()
+                    break
+        assert list(remote.get_matching_lines(chrom, 1, 10_000_000)) == \
+            list(local.get_matching_lines(chrom, 1, 10_000_000))
+
+        bw_remote = BigWigReader(f"{base}/BigWigReader.bw")
+        bw_local = BigWigReader(bw_src)
+        assert bw_remote.chromosomes == bw_local.chromosomes
+    finally:
+        srv.shutdown()
