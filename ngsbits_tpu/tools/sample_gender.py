@@ -29,9 +29,10 @@ def _fmt(v: float, p: int) -> str:
 
 
 def gender_xy(bam: str, max_female: float, min_male: float):
+    from ..utils.prefetch import prefetch
     reader = BamReader(bam)
     counts = np.zeros(len(reader.ref_names), dtype=np.int64)
-    for batch in reader:
+    for batch in prefetch(reader, depth=2):
         primary = (batch.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
         rid = batch.ref_id[primary]
         ok = rid >= 0
