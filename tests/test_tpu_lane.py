@@ -151,6 +151,25 @@ def test_mappingqc_device_engine_parity(tpu, ref_data_in, tmp_path, stub_ref,
     compare_files(out_dev, out_host, QCML_STRIP)
 
 
+def test_low_high_coverage_device_engine_parity(tpu, ref_data_in, tmp_path,
+                                                monkeypatch):
+    """BedLowCoverage/BedHighCoverage threshold-run extraction over the
+    device coverage engine must match the host engine byte-for-byte."""
+    bam = ref_data_in / "MappingQC_in1.bam"
+    bed = ref_data_in / "MappingQC_in2.bed"
+    for tool, extra in (("BedLowCoverage", ["-cutoff", "20"]),
+                        ("BedHighCoverage", ["-cutoff", "10"])):
+        out_host = tmp_path / f"{tool}_h.bed"
+        monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+        assert execute(tool, ["-in", bed, "-bam", bam, "-out", out_host]
+                       + extra) == 0
+        out_dev = tmp_path / f"{tool}_d.bed"
+        monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+        assert execute(tool, ["-in", bed, "-bam", bam, "-out", out_dev]
+                       + extra) == 0
+        assert out_dev.read_bytes() == out_host.read_bytes(), tool
+
+
 def test_pileup_device_engine_parity(tpu, ref_data_in, monkeypatch):
     """pileup_at_positions base counts via DeviceBincount must equal the
     host np.add.at accumulation."""
