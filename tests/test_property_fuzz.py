@@ -206,3 +206,51 @@ def test_cram_roundtrip_random_records(seed, tmp_path):
         np.testing.assert_array_equal(seq_ascii, r["seq"])
         np.testing.assert_array_equal(batch.qual_of(i), r["qual"])
         assert batch.tags[batch.tags_off[i]:batch.tags_off[i + 1]].tobytes() == r["tags"]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_roh_raw_runs_match_brute_force(seed):
+    """RohHunter's raw ROH scan (RohHunter/main.cpp:119-161) must find
+    exactly the maximal runs of consecutive hom markers per chromosome
+    (no exclude regions, Q threshold off), with the correct Q score."""
+    import math
+
+    from ngsbits_tpu.tools.roh_hunter import _Var, _calculate_raw_rohs
+
+    rng = np.random.default_rng(500 + seed)
+    var_info = []
+    for c in (CHRS[0], CHRS[1]):
+        pos = 0
+        for _ in range(rng.integers(0, 80)):
+            pos += int(rng.integers(1, 10000))
+            var_info.append(_Var(c, pos, bool(rng.random() < 0.6),
+                                 float(np.float32(rng.uniform(0.01, 0.5)))))
+    rohs = _calculate_raw_rohs(var_info, 0.0, None)
+
+    # brute force: maximal hom runs per chromosome
+    expected = []
+    i = 0
+    n = len(var_info)
+    while i < n:
+        if not var_info[i].hom:
+            i += 1
+            continue
+        j = i
+        while (j + 1 < n and var_info[j + 1].hom
+               and var_info[j + 1].chr == var_info[i].chr):
+            j += 1
+        expected.append((var_info[i].chr.num, var_info[i].pos,
+                         var_info[j].pos, i, j))
+        i = j + 1
+
+    got = [(r.chr.num, r.start_pos, r.end_pos, r.start_index, r.end_index)
+           for r in rohs]
+    assert got == expected
+
+    # Q score: -10*log10(prod af^2), capped at 10000
+    for r in rohs:
+        p = 1.0
+        for k in range(r.start_index, r.end_index + 1):
+            p *= float(var_info[k].af) ** 2
+        want = 10000.0 if p <= 0 else min(-10.0 * math.log10(p), 10000.0)
+        assert abs(r.q_score(var_info) - want) < 1e-9
