@@ -169,22 +169,38 @@ def synth_bam(path: str, n_reads: int = 1_000_000, read_len: int = 100):
 
 # ------------------------------------------------------------ measurements
 
-def run_tool(tool: str, args: list[str], attempts: int = 2) -> float:
-    """Wall time of one CLI tool run in a CPU-backend subprocess.
+def run_tool(tool: str, args: list[str], attempts: int = 2,
+             onchip: bool = False) -> float:
+    """Wall time of one CLI tool run in a subprocess.
 
-    End-to-end tool benches measure the HOST pipeline (decode, host compute
-    paths, writers). In this environment the TPU is reached through a
-    tunnel whose transfer bandwidth (not the chip) dominates per-batch
-    device dispatch, so forcing the CPU backend measures what production
-    hosts would see from the host side; the chip-side rate is the headline
-    kernel metric."""
+    Default: CPU backend — end-to-end tool benches measure the HOST
+    pipeline (decode, host compute paths, writers); in this environment
+    the TPU is reached through a tunnel whose transfer bandwidth (not the
+    chip) dominates per-batch device dispatch. With ``onchip=True`` the
+    axon env is preserved and the TPU backend is verified with a probe
+    first (so the metric can never silently record a CPU run)."""
     import subprocess
 
     env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.abspath(__file__))
-    env["PYTHONPATH"] = repo
+    # APPEND to PYTHONPATH: the axon TPU plugin is delivered through the
+    # ambient PYTHONPATH (/root/.axon_site sitecustomize) — overwriting it
+    # would silently drop the TPU backend from subprocesses
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    if onchip:
+        env.pop("JAX_PLATFORMS", None)
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() == 'tpu', "
+             "jax.default_backend()"],
+            env=env, capture_output=True, text=True, timeout=300)
+        if probe.returncode != 0:
+            raise RuntimeError(
+                f"TPU backend unavailable for on-chip run: {probe.stderr[-200:]}")
+    else:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
     log = os.path.join(CACHE, "tool_run.log")
     # warm the page cache for input files — measure compute, not the shared
     # VM's cold-read variance (the reference's nightly harness also runs warm)
@@ -201,7 +217,8 @@ def run_tool(tool: str, args: list[str], attempts: int = 2) -> float:
         t0 = time.perf_counter()
         with open(log, "wb") as fh:
             r = subprocess.run([sys.executable, "-m", "ngsbits_tpu", tool] + args,
-                               stdout=fh, stderr=fh, cwd=repo, env=env)
+                               stdout=fh, stderr=fh, cwd=repo, env=env,
+                               timeout=600)
         dt = time.perf_counter() - t0
         if r.returncode != 0:
             tail = open(log, "rb").read()[-300:].decode(errors="replace")
@@ -316,29 +333,6 @@ print(repr(out))
         return {"error": out.stderr[-200:]}
     import ast
     return ast.literal_eval(out.stdout.strip().splitlines()[-1])
-
-
-def run_tool_onchip(tool: str, args: list[str]) -> float:
-    """One CLI run with the real TPU backend (axon env preserved)."""
-    import subprocess
-
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["PYTHONPATH"] = repo
-    log = os.path.join(CACHE, "tool_run_chip.log")
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        with open(log, "wb") as fh:
-            r = subprocess.run([sys.executable, "-m", "ngsbits_tpu", tool] + args,
-                               stdout=fh, stderr=fh, cwd=repo, env=env,
-                               timeout=600)
-        if r.returncode != 0:
-            tail = open(log, "rb").read()[-300:].decode(errors="replace")
-            raise RuntimeError(f"{tool} (chip) exited {r.returncode}: {tail}")
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def tpu_lane_result() -> dict:
@@ -458,8 +452,9 @@ def main():
     # not as the headline.
     try:
         extra["readqc_e2e_onchip_reads_per_sec"] = round(
-            n_reads / run_tool_onchip(
-                "ReadQC", ["-in1", fq, "-out", f"{CACHE}/readqc_chip.qcML"]), 1)
+            n_reads / run_tool(
+                "ReadQC", ["-in1", fq, "-out", f"{CACHE}/readqc_chip.qcML"],
+                onchip=True), 1)
     except Exception as e:  # noqa: BLE001 — chip path must not kill bench
         extra["readqc_e2e_onchip_reads_per_sec"] = f"error: {str(e)[:120]}"
 

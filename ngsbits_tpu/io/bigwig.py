@@ -59,11 +59,15 @@ class _Node:
 
 class BigWigReader:
     def __init__(self, path: str):
-        from .versatile import is_remote, local_path
-        if is_remote(str(path)):
-            path = local_path(path)
+        from .versatile import VersatileFile, is_remote
         self.path = str(path)
-        self.fp = open(self.path, "rb")
+        if is_remote(self.path):
+            # BigWig is a sparse random-access format: ranged HTTP reads
+            # via VersatileFile instead of a whole-file download (matches
+            # the reference's htslib-style remote BigWig streaming)
+            self.fp = VersatileFile(self.path)
+        else:
+            self.fp = open(self.path, "rb")
         self.default_value = 0.0
         self.default_value_is_set = False
         self.chromosomes: dict[str, tuple[int, int]] = {}  # name -> (id, size)

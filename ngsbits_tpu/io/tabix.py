@@ -80,10 +80,11 @@ class TabixIndexedFile:
         return fh
 
     def load(self, filename: str):
+        display = str(filename)
         from .versatile import is_remote, local_path
-        if is_remote(str(filename)):
+        if is_remote(display):
             # VersatileFile parity: remote tabix sources fetch once (the
-            # .tbi sibling comes along for the index)
+            # .tbi/.csi sibling comes along for the index)
             filename = local_path(filename)
         self.filename = str(filename)
         import os
@@ -91,7 +92,7 @@ class TabixIndexedFile:
         if not os.path.exists(idx):
             idx = self.filename + ".tbi"
         if not os.path.exists(idx):
-            raise TabixError(f"Could not determine tabix index of file {self.filename}")
+            raise TabixError(f"Could not determine tabix index of file {display}")
         self.filename_index = idx
         with open(idx, "rb") as fh:
             raw = b""

@@ -173,8 +173,8 @@ def local_path(path) -> str:
     # their position: f.bam?tok -> f.bam.bai?tok
     if base_url.endswith(".bam"):
         exts = (".bai",)
-    elif base_url.endswith(".gz"):
-        exts = (".tbi",)
+    elif base_url.endswith((".gz", ".bgz")):
+        exts = (".tbi", ".csi")
     else:
         exts = ()
     for ext in exts:
