@@ -472,10 +472,12 @@ def main():
                      "unbuildable reference's single-core rate; no Qt dev toolchain "
                      "or cppCORE source in this image)"),
         "tpu_lane": "pytest -m tpu tests/test_tpu_lane.py on the real chip",
-        "e2e_onchip": ("same ReadQC run with the axon TPU backend — every "
-                       "batch dispatches to the device; through this "
-                       "environment's tunnel the per-batch transfer "
-                       "dominates (production PCIe hosts do not pay it)"),
+        "e2e_onchip": ("same ReadQC run with the axon TPU backend live and "
+                       "verified (probe asserts default_backend=='tpu'); "
+                       "auto dispatch is tunnel-aware, so per-batch stats "
+                       "stay on the host here — forcing the device route "
+                       "through the tunnel measures 39k reads/s "
+                       "(transfer-bound, BASELINE.md round 4)"),
     }
 
     headline = extra.pop("readqc_e2e_reads_per_sec")

@@ -24,6 +24,16 @@ from ..core.qcml import QCCollection, QCValue
 from ..io.fastq import FastqBatch
 from ..ops import readqc as readqc_ops
 
+
+def _use_device_batches() -> bool:
+    """Same tunnel-aware dispatch policy as the other device engines
+    (ops/device_reduce.use_device): per-batch device stats engage on a
+    directly-attached TPU; through the axon tunnel the ~20 MB/batch upload
+    dominates (measured 39k reads/s e2e vs ~1M on the host path —
+    BASELINE.md round 4). NGSBITS_DEVICE_ENGINES=1/0 forces it."""
+    from ..ops.device_reduce import use_device
+    return use_device(1, 0)
+
 FORWARD = 0
 REVERSE = 1
 
@@ -88,7 +98,7 @@ class ReadStatistics:
             counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
                 sharded_readqc_step(make_mesh(), pb, pq, pl))
             read_qsum = read_qsum[:B]
-        elif is_tpu_backend():
+        elif is_tpu_backend() and _use_device_batches():
             import jax
             pb, pq, pl = self._bucket(batch)
             counts5, qsum_cycle, qhist, read_qsum = jax.device_get(

@@ -58,8 +58,11 @@ def cmp_gz(out, golden):
     assert a == b, f"{out} differs from {golden}"
 
 
-def test_readqc_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path):
-    """ReadQC_Test.cpp base case with the device batch-stats path."""
+def test_readqc_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path,
+                               monkeypatch):
+    """ReadQC_Test.cpp base case with the device batch-stats path (forced:
+    the auto policy keeps per-batch stats on the host through the tunnel)."""
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
     out = tmp_path / "r1.qcML"
     assert execute("ReadQC", ["-in1", ref_data_in / "ReadQC_in1.fastq.gz",
                               "-in2", ref_data_in / "ReadQC_in2.fastq.gz",
