@@ -20,10 +20,19 @@ from ..utils.backend import is_tpu_backend
 N_CODE = ord("N")
 
 
+def _use_device() -> bool:
+    """Tunnel-aware device dispatch for the scan formulations (same policy
+    as ops/device_reduce.use_device; NGSBITS_DEVICE_ENGINES forces)."""
+    if not is_tpu_backend():
+        return False
+    from .device_reduce import use_device
+    return use_device(1, 0)
+
+
 def adapter_evidence_auto(read1, read2, len1, len2, a1, a2, overlap=10):
     """Backend dispatch: XLA on TPU, shifted-slice numpy on CPU (same
     counts; avoids the [B, L, overlap] gather and per-shape recompiles)."""
-    if is_tpu_backend():
+    if _use_device():
         import jax
         return jax.device_get(adapter_evidence(read1, read2, len1, len2,
                                                a1, a2, overlap))
@@ -34,7 +43,7 @@ def adapter_evidence_auto(read1, read2, len1, len2, a1, a2, overlap=10):
 
 def adapter_scan_auto(read, length, adapter, a_size):
     """Backend dispatch for the adapter-prefix scan."""
-    if is_tpu_backend():
+    if _use_device():
         import jax
         return jax.device_get(adapter_scan(read, length, adapter, a_size))
     return adapter_scan_host(np.asarray(read), np.asarray(length),
@@ -49,7 +58,7 @@ def insert_scan_auto(seq1, seq2rc, min_len):
     on CPU the shifted-slice numpy formulation replaces the XLA gather
     (~4.6x, bit-identical).
     """
-    if is_tpu_backend():
+    if _use_device():
         from .pallas_kernels import insert_scan_pallas
         return insert_scan_pallas(seq1, seq2rc, min_len)
     # CPU: shifted-slice numpy formulation — O(L) SIMD passes over [B, L-o]

@@ -252,7 +252,7 @@ class SeqPurgeEngine:
             m, mm = jax.device_get(
                 sharded_insert_scan(make_mesh(), ps1, ps2, pml))
             m, mm = m[:B], mm[:B]
-        elif is_tpu_backend():
+        elif ops._use_device():
             import jax
             m, mm = jax.device_get(ops.insert_scan_auto(seq1, seq2rc, min_len))
         else:

@@ -73,8 +73,10 @@ def test_readqc_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path,
 def test_seqpurge_golden_on_chip(tpu, ref_data_in, ref_data_out, tmp_path,
                                  monkeypatch):
     """SeqPurge_Test.cpp base case forced through the device formulation
-    (Pallas insert scan + XLA adapter scans) instead of the C++ kernel."""
+    (Pallas insert scan + XLA adapter scans) instead of the C++ kernel;
+    the device route is forced because auto dispatch is tunnel-aware."""
     monkeypatch.setenv("NGSBITS_SEQPURGE_NO_NATIVE", "1")
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
     o1 = tmp_path / "o1.fastq.gz"
     o2 = tmp_path / "o2.fastq.gz"
     qc = tmp_path / "o1.qcML"
