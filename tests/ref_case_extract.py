@@ -49,8 +49,6 @@ _DB_READONLY = {
 # db.getQuery() alone is a handle; db.getQuery().exec("...") is a mutation
 # the replay reproduces as a raw SQL statement
 _GETQUERY_EXEC_RX = re.compile(r"\.exec\s*\(")
-_DB_SETUP = {"init", "executeQueriesFromFile", "importGeneExpressionData",
-             "importExonExpressionData"}
 
 
 def _resolve_expr(expr: str, variables: dict | None = None) -> str:
