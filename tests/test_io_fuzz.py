@@ -298,3 +298,29 @@ def test_remote_tabix_and_bigwig(tmp_path):
         assert bw_remote.chromosomes == bw_local.chromosomes
     finally:
         srv.shutdown()
+
+
+def test_gsvar_load_store_roundtrip(tmp_path):
+    """GSvarFile load -> store byte identity on a fixture and a synthetic
+    list (comments, headers, annotations preserved verbatim)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    text = (b"##ANALYSISTYPE=GERMLINE_SINGLESAMPLE\n"
+            b"##SAMPLE=<ID=NA12878,Gender=female>\n"
+            b"##DESCRIPTION=filter=Annotations for filtering\n"
+            b"#chr\tstart\tend\tref\tobs\tNA12878\tfilter\tquality\tgene\tcoding_and_splicing\n"
+            b"chr1\t100\t100\tA\tC\thet\t\tQUAL=30\tG1\tG1:HIGH:x\n"
+            b"chr2\t500\t502\tCCT\t-\thom\toff-target\tQUAL=12;DP=9\tG2\tG2:MODERATE:y\n")
+    p = tmp_path / "a.GSvar"
+    p.write_bytes(text)
+    out = tmp_path / "b.GSvar"
+    GSvarFile.from_file(str(p)).store(str(out))
+    assert out.read_bytes() == text
+
+    # reference fixture too (if present): full annotation surface
+    import os
+    fx = "/root/reference/src/tools-TEST/data_in/NGSDAddVariantsGermline_in1.GSvar"
+    if os.path.exists(fx):
+        out2 = tmp_path / "c.GSvar"
+        GSvarFile.from_file(fx).store(str(out2))
+        assert out2.read_bytes() == open(fx, "rb").read()
