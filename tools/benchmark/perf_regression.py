@@ -48,7 +48,10 @@ def record(history: str, bench_json: str | None = None) -> dict[str, float]:
     data = json.loads(bench_json)
     metrics = {data["metric"]: float(data["value"])}
     for k, v in (data.get("extra") or {}).items():
-        metrics[k] = float(v)
+        # extras also carry structured entries (method block, scaling
+        # curves, lane outcome) — only scalar rates are tracked
+        if isinstance(v, (int, float)):
+            metrics[k] = float(v)
     ts = time.strftime("%Y-%m-%dT%H:%M:%S")
     new_file = not os.path.exists(history)
     os.makedirs(os.path.dirname(history), exist_ok=True)
