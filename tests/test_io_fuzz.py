@@ -324,3 +324,23 @@ def test_gsvar_load_store_roundtrip(tmp_path):
         out2 = tmp_path / "c.GSvar"
         GSvarFile.from_file(fx).store(str(out2))
         assert out2.read_bytes() == open(fx, "rb").read()
+
+
+def test_bedpe_load_store_roundtrip(tmp_path):
+    """BedpeFile load -> store byte identity on reference SV fixtures."""
+    import glob
+
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    checked = 0
+    for fx in sorted(glob.glob(
+            "/root/reference/src/tools-TEST/data_in/BedpeSort_in*.bedpe"))[:3]:
+        out = tmp_path / ("rt_" + fx.rsplit("/", 1)[1])
+        BedpeFile.from_file(fx).store(str(out))
+        # fixtures may lack a final newline; the writer (like the
+        # reference's) terminates the last line
+        got = out.read_bytes().rstrip(b"\n")
+        want = open(fx, "rb").read().rstrip(b"\n")
+        assert got == want, fx
+        checked += 1
+    assert checked > 0
