@@ -55,3 +55,43 @@ def test_match_probability_large_count_reduction():
                          ((120, 469), (30, 117))]:
         assert math.isclose(bs.match_probability(p, *big),
                             bs.match_probability(p, *reduced), rel_tol=1e-15)
+
+
+def test_histogram_bin_semantics_randomized():
+    """Histogram(min,max,bin_size) semantics pinned against a brute-force
+    model over random configurations (cppCORE Histogram: inclusive bounds,
+    values binned by floor((x-min)/bin_size) clamped to the last bin;
+    out-of-bounds raises unless ignore_bounds)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ngsbits_tpu.core.histogram import Histogram
+
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        lo = float(rng.integers(-5, 5))
+        # dyadic bin sizes: exactly representable, so ceil((max-min)/
+        # bin_size) has no float-rounding ambiguity (the 0.05-style
+        # production bins are pinned by the qcML goldens instead)
+        bin_size = float(rng.choice([0.25, 0.5, 1.0, 4.0]))
+        nbins = int(rng.integers(1, 30))
+        hi = lo + bin_size * nbins
+        h = Histogram(lo, hi, bin_size)
+        assert h.bin_count() == nbins
+        xs = rng.uniform(lo, hi, size=200)
+        expected = np.zeros(nbins)
+        for x in xs:
+            h.inc(float(x))
+            expected[min(int((x - lo) / bin_size), nbins - 1)] += 1
+        got = np.array([h.bin_value(i) for i in range(nbins)])
+        np.testing.assert_array_equal(got, expected)
+        assert h.count() == 200
+        # inclusive upper bound lands in the last bin
+        h.inc(hi)
+        assert h.bin_value(nbins - 1) == expected[-1] + 1
+        # out-of-bounds: error unless ignored
+        with _pytest.raises(Exception):
+            h.inc(hi + bin_size)
+        before = h.count()
+        h.inc(hi + bin_size, ignore_bounds=True)
+        assert h.count() == before
