@@ -345,3 +345,33 @@ def test_bedpe_load_store_roundtrip(tmp_path):
         assert got == want, fx
         checked += 1
     assert checked > 0
+
+
+def test_pipeline_chain_seqpurge_readqc_bamfilter(tmp_path):
+    """Mini-pipeline interop: SeqPurge-trimmed output feeds ReadQC; a BAM
+    flows BamFilter -> BamToFastq -> ReadQC — outputs of one tool are
+    valid inputs of the next (the megSAP-style chaining the reference's
+    tools are built for)."""
+    din = "/root/reference/src/tools-TEST/data_in"
+    o1 = tmp_path / "t1.fastq.gz"
+    o2 = tmp_path / "t2.fastq.gz"
+    assert execute("SeqPurge", ["-in1", f"{din}/SeqPurge_in1.fastq.gz",
+                                "-in2", f"{din}/SeqPurge_in2.fastq.gz",
+                                "-out1", o1, "-out2", o2,
+                                "-ncut", "0", "-qcut", "0", "-min_len", "15"]) == 0
+    qc = tmp_path / "trimmed.qcML"
+    assert execute("ReadQC", ["-in1", o1, "-in2", o2, "-out", qc]) == 0
+    text = qc.read_text()
+    assert 'accession="QC:2000005"' in text  # read count present
+    assert "qcML" in text
+
+    bam_f = tmp_path / "filtered.bam"
+    assert execute("BamFilter", ["-in", f"{din}/BamFilter_in1.bam",
+                                 "-out", bam_f]) == 0
+    fq1 = tmp_path / "from_bam_R1.fastq.gz"
+    fq2 = tmp_path / "from_bam_R2.fastq.gz"
+    assert execute("BamToFastq", ["-in", bam_f, "-out1", fq1,
+                                  "-out2", fq2]) == 0
+    qc2 = tmp_path / "from_bam.qcML"
+    assert execute("ReadQC", ["-in1", fq1, "-in2", fq2, "-out", qc2]) == 0
+    assert 'accession="QC:2000005"' in qc2.read_text()
