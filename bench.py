@@ -231,6 +231,8 @@ def kernel_metric() -> float:
     import jax
 
     from ngsbits_tpu.ops.readqc import readqc_batch
+    from ngsbits_tpu.utils.backend import enable_compilation_cache
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     B, L = 1 << 16, 160  # 64k reads x 151bp padded to 160

@@ -203,11 +203,7 @@ THREE_LETTER = {
     "Y": "Tyr", "V": "Val", "*": "Ter",
 }
 
-_RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
-
-
-def reverse_complement(seq: bytes) -> bytes:
-    return seq.translate(_RC)[::-1]
+from ..io.fasta import reverse_complement  # noqa: E402  (canonical home: io/fasta.py)
 
 
 def translate_codon(codon: str, use_mito_table: bool = False) -> str:

@@ -15,6 +15,7 @@ from ..io.bam import (BamBatch, BamReader, BamWriter, CIGAR_CONSUMES_REF,
                       FLAG_DUPLICATE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
                       FLAG_READ1, FLAG_REVERSE, FLAG_SECONDARY,
                       FLAG_SUPPLEMENTARY, FLAG_UNMAPPED, SEQ_NIBBLE_ASCII)
+from ..io.fasta import reverse_complement
 from ..io.fastq import FastqEntry, FastqEntryWriter
 from ..qc.mapping_stats import _tag_int
 from .toolbase import ToolBase, ToolError
@@ -29,7 +30,6 @@ def _make_writer(out: str, reader, write_cram: bool):
     return BamWriter(out, reader)
 
 
-_RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
 
 
 class BamInfoTool(ToolBase):
@@ -283,7 +283,7 @@ class BamToFastqTool(ToolBase):
         bases = bytes(SEQ_NIBBLE_ASCII[c] for c in batch.seq_of(i).tolist())
         quals = bytes(q + 33 for q in batch.qual_of(i).tolist())
         if batch.flag[i] & FLAG_REVERSE:
-            bases = bases.translate(_RC)[::-1]
+            bases = reverse_complement(bases)
             quals = quals[::-1]
         if extend > 0 and len(bases) < extend:
             pad = extend - len(bases)

@@ -81,6 +81,36 @@ def _resolve_expr(expr: str, variables: dict | None = None) -> str:
     return joined
 
 
+def _unresolved_reason(argexpr: str, body: str = "") -> str:
+    """Explain WHY an EXECUTE argv expression could not be flattened
+    (VERDICT r4 item 5: no empty gate reasons). Classifies the leftover
+    C++ tokens after literal/TESTDATA substitution; local variables holding
+    Settings lookups (``QString ref_file = Settings::string(...)``) are
+    traced back to their declaration in the method body."""
+    for var in set(re.findall(r"\b([a-zA-Z_]\w*)\b", argexpr)):
+        decl = re.search(
+            rf'\b{re.escape(var)}\s*=\s*(Settings::string\([^;]*)', body)
+        if decl:
+            argexpr = argexpr + " " + decl.group(1)
+    if re.search(r'Settings::string\(\s*"reference_genome', argexpr):
+        return ("args embed Settings::string(\"reference_genome*\") — "
+                "genome-gated (no GRCh38/hg19 FASTA in this mount)")
+    if "Settings::" in argexpr:
+        return "args embed a Settings:: lookup (machine-config value absent here)"
+    if "QString::number" in argexpr or "QByteArray::number" in argexpr:
+        return "args built from a runtime loop variable (QString::number)"
+    for var in set(re.findall(r"\b([a-zA-Z_]\w*)\b", argexpr)):
+        if re.search(rf'foreach\s*\(\s*QString\s+{re.escape(var)}\b', body):
+            return (f"args built from a foreach loop variable '{var}' "
+                    "(thread-count sweep; determinism pinned by our own suite)")
+    if "Helper::tempFileName" in argexpr:
+        return "args use an unmapped Helper::tempFileName variable"
+    leftover = re.sub(r'TESTDATA\(\s*"[^"]*"\s*\)', "", argexpr)
+    leftover = re.sub(r'"(?:[^"\\]|\\.)*"', "", leftover)
+    leftover = " ".join(t for t in leftover.replace("+", " ").split() if t)
+    return f"argv contains unresolvable C++ expression: {leftover[:80]}"
+
+
 def _split_args(argstr: str) -> list[str]:
     """Split a flattened EXECUTE arg string like the reference framework:
     whitespace-separated, then %20 -> literal space within each token."""
@@ -376,6 +406,8 @@ def extract_cases(test_cpp: Path) -> list[dict]:
                 "file": test_cpp.name,
                 "args": _split_args(flat) if flat is not None else None,
                 "unresolved": flat is None,
+                "unresolved_reason": (_unresolved_reason(argexpr, body)
+                                      if flat is None else None),
                 "fail_expected": kind == "EXECUTE_FAIL",
                 "gated": case_gate is not None,
                 "gate_reason": case_gate,

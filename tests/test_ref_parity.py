@@ -296,7 +296,8 @@ def _run_file(fname: str) -> dict[int, tuple[str, str]]:
                               "args); -threads determinism pinned by the "
                               "native test suite")
                 elif c["unresolved"]:
-                    reason = "unresolved C++ arg expression"
+                    reason = (c.get("unresolved_reason")
+                              or "unresolved C++ arg expression")
                 else:
                     reason = "platform-specific RNG lastlog golden"
                 results[seq] = ("skip", f"gated: {reason}")

@@ -38,8 +38,11 @@ def tpu():
     jax = pytest.importorskip("jax")
     if jax.default_backend() != "tpu":
         pytest.skip("needs the real TPU backend (run: python -m pytest -m tpu tests/)")
-    from ngsbits_tpu.utils.backend import is_tpu_backend
+    from ngsbits_tpu.utils.backend import enable_compilation_cache, is_tpu_backend
     assert is_tpu_backend()
+    # persistent compile cache: keeps lane wall time stable across runs
+    # (first run pays 20-160 s/shape through the tunnel; reruns hit disk)
+    enable_compilation_cache()
     return jax
 
 
