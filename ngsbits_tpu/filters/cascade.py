@@ -122,6 +122,27 @@ class FilterCascade:
             out.add(create_filter(parts[0], parts[1:]))
         return out
 
+    def to_text(self) -> list[str]:
+        """FilterCascade::toText (FilterCascade.cpp:757-773)."""
+        lines = []
+        for f in self.filters:
+            params = []
+            for name, t, _d in f.PARAMS:
+                v = f.values[name]
+                if t == BOOL:
+                    s = "yes" if v else "no"
+                elif t == STRINGLIST:
+                    s = ",".join(v)
+                elif t == DOUBLE:
+                    s = f"{v:.6g}"
+                else:
+                    s = str(v)
+                params.append(f"{name}={s}")
+            if not f.enabled:
+                params.append("disabled")
+            lines.append(f.NAME + "\t" + "\t".join(params))
+        return lines
+
     def apply(self, target, subject: str, throw_errors: bool = True) -> FilterResult:
         n = len(target.variants) if hasattr(target, "variants") else len(target)
         result = FilterResult(n)

@@ -17,6 +17,52 @@ from ..core.chromosome import Chromosome
 
 
 @dataclass
+class VariantTranscript:
+    """One coding_and_splicing transcript entry
+    (VariantList.h:15-33, parse: VariantList.cpp:1386-1416)."""
+    gene: bytes = b""
+    id: bytes = b""
+    type: bytes = b""
+    impact: str = ""
+    exon: bytes = b""
+    hgvs_c: bytes = b""
+    hgvs_p: bytes = b""
+    domain: bytes = b""
+
+    def id_without_version(self) -> bytes:
+        return self.id.split(b".")[0]
+
+    def to_string(self, sep: bytes = b":") -> bytes:
+        return sep.join([self.gene, self.id, self.type, self.impact.encode(),
+                         self.exon, self.hgvs_c, self.hgvs_p, self.domain])
+
+
+def parse_transcript_string(text: bytes,
+                            allow_old_format_with_7_columns: bool = False
+                            ) -> list[VariantTranscript]:
+    """Variant::parseTranscriptString (VariantList.cpp:1386-1416)."""
+    out = []
+    for entry in text.split(b","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        parts = entry.split(b":")
+        if allow_old_format_with_7_columns:
+            parts.append(b"")
+        if len(parts) < 8:
+            raise ValueError(
+                "Could not split transcript information from "
+                f"'coding_and_splicing' column to 8 parts. {len(parts)} parts "
+                f"found in: {entry.decode(errors='replace')}")
+        out.append(VariantTranscript(
+            gene=parts[0].strip(), id=parts[1].strip(), type=parts[2].strip(),
+            impact=parts[3].strip().decode(), exon=parts[4].strip(),
+            hgvs_c=parts[5].strip(), hgvs_p=parts[6].strip(),
+            domain=parts[7].strip()))
+    return out
+
+
+@dataclass
 class GSvarVariant:
     chr: Chromosome
     start: int
@@ -103,6 +149,19 @@ class GSvarFile:
             if c == name:
                 return i
         raise KeyError(f"Could not find annotation column '{name}'")
+
+    def pipeline(self) -> str:
+        """VariantList::getPipeline — the ##PIPELINE= comment ('n/a' if absent)."""
+        for c in self.comments:
+            if c.startswith(b"##PIPELINE="):
+                return c[len(b"##PIPELINE="):].decode().strip()
+        return "n/a"
+
+    def transcript_annotations(self, variant, column_index: int) -> list[VariantTranscript]:
+        """Variant::transcriptAnnotations (VariantList.h:221-224)."""
+        if column_index < 0:
+            return []
+        return parse_transcript_string(variant.annotations[column_index])
 
     def affected_sample_columns(self) -> list[int]:
         out = []

@@ -1915,3 +1915,223 @@ def _ngsd_user_role_ext(cls):
 
 
 _ngsd_user_role_ext(NGSD)
+
+
+def _ngsd_reports_ext(cls):
+    """Report-generator support (NGSD::geneHgncId, variantId/addVariant,
+    somaticCnvId/somaticSvId, getQCData as typed collection,
+    bestTranscript with variant-transcript tie-break, getSomaticGeneRole,
+    getSomaticViccId; cppNGSD/NGSD.cpp:1529-1718, 1973-1995, 3053-3158,
+    4697-4735, 5029-5070, 7660-7764)."""
+
+    def gene_id(self, symbol) -> int:
+        """NGSD::geneId — approved-gene row id, -1 if not approvable."""
+        if isinstance(symbol, bytes):
+            symbol = symbol.decode()
+        return self.gene_to_approved_id(symbol)
+
+    def gene_hgnc_id(self, gene_row_id: int) -> str:
+        """NGSD::geneHgncId — 'HGNC:<id>' for a gene table row id."""
+        v = self.get_value("SELECT hgnc_id FROM gene WHERE id=?", params=(gene_row_id,))
+        return "" if v is None else f"HGNC:{v}"
+
+    def variant_id(self, variant, throw_if_fails: bool = True) -> str:
+        """NGSD::variantId (NGSD.cpp:1693-1717)."""
+        v = self.get_value(
+            "SELECT id FROM variant WHERE chr=? AND start=? AND end=? AND ref=? AND obs=?",
+            params=(variant.chr.str_normalized(True), variant.start, variant.end,
+                    variant.ref.decode(), variant.obs.decode()))
+        if v is None:
+            if throw_if_fails:
+                raise NgsdError(f"Variant {variant.to_string()} not found in NGSD!")
+            return ""
+        return str(v)
+
+    def add_variant(self, variant, variant_list) -> str:
+        """NGSD::addVariant(variant, list) (NGSD.cpp:1544-1569)."""
+        i_gnomad = variant_list.annotation_index("gnomAD")
+        gnomad = variant.annotations[i_gnomad].strip()
+        gnomad_val = None if (not gnomad or gnomad == b"n/a") else gnomad.decode()
+        i_co_sp = variant_list.annotation_index("coding_and_splicing")
+        self.execute(
+            "INSERT INTO variant (chr, start, end, ref, obs, gnomad, coding) "
+            "VALUES (?,?,?,?,?,?,?)",
+            (variant.chr.str_normalized(True), variant.start, variant.end,
+             variant.ref.decode(), variant.obs.decode(), gnomad_val,
+             variant.annotations[i_co_sp].decode()))
+        self.commit()
+        return str(self.last_insert_id())
+
+    def somatic_cnv_id(self, cnv, callset_id: int, throw_if_fails: bool = True) -> str:
+        """NGSD::somaticCnvId (NGSD.cpp:1973-1995)."""
+        v = self.get_value(
+            "SELECT id FROM somatic_cnv WHERE somatic_cnv_callset_id=? AND chr=? "
+            "AND start=? AND end=?",
+            params=(callset_id, cnv.chr.str_normalized(True), cnv.start, cnv.end))
+        if v is None:
+            if throw_if_fails:
+                raise NgsdError(f"Somatic CNV {cnv.to_string()} with somatic callset id "
+                                f"'{callset_id}' not found in NGSD!")
+            return ""
+        return str(v)
+
+    def somatic_sv_id(self, sv, callset_id: int, svs, throw_if_fails: bool = True) -> str:
+        """NGSD::somaticSvId (NGSD.cpp:3053-3158)."""
+        type_str = sv.type.decode() if isinstance(sv.type, bytes) else str(sv.type)
+        table = {"DEL": "somatic_sv_deletion", "DUP": "somatic_sv_duplication",
+                 "INV": "somatic_sv_inversion", "INS": "somatic_sv_insertion",
+                 "BND": "somatic_sv_translocation"}[type_str]
+        if type_str in ("DEL", "DUP", "INV"):
+            rows = self.get_values(
+                f"SELECT id FROM `{table}` WHERE somatic_sv_callset_id=? AND chr=? "
+                "AND start_min=? AND start_max=? AND end_min=? AND end_max=?",
+                params=(callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1,
+                        sv.start2, sv.end2))
+        elif type_str == "INS":
+            inserted, known_left, known_right = b"", b"", b""
+            alt_seq = sv.annotations[svs.annotation_index(b"ALT_A")]
+            if alt_seq != b"<INS>":
+                inserted = alt_seq
+            else:
+                for kv in sv.annotations[svs.annotation_index(b"INFO_A")].split(b";"):
+                    if kv.startswith(b"LEFT_SVINSSEQ="):
+                        known_left = kv.split(b"=")[1].strip()
+                    if kv.startswith(b"RIGHT_SVINSSEQ="):
+                        known_right = kv.split(b"=")[1].strip()
+            pos = min(sv.start1, sv.start2, sv.end1, sv.end2)
+            ci_upper = max(sv.start1, sv.start2, sv.end1, sv.end2) - pos
+            conds, params = [], [callset_id, sv.chr1.str_normalized(True), pos, ci_upper]
+            for col, val in (("inserted_sequence", inserted), ("known_left", known_left),
+                             ("known_right", known_right)):
+                if val == b"":
+                    conds.append(f"AND `{col}` IS NULL")
+                else:
+                    conds.append(f"AND `{col}`=?")
+                    params.append(val.decode())
+            rows = self.get_values(
+                f"SELECT id FROM `{table}` WHERE somatic_sv_callset_id=? AND chr=? "
+                "AND (pos - ci_lower)=? AND ci_upper=? " + " ".join(conds),
+                params=tuple(params))
+        else:  # BND
+            rows = self.get_values(
+                f"SELECT id FROM `{table}` WHERE somatic_sv_callset_id=? AND chr1=? "
+                "AND start1=? AND end1=? AND chr2=? AND start2=? AND end2=?",
+                params=(callset_id, sv.chr1.str_normalized(True), sv.start1, sv.end1,
+                        sv.chr2.str_normalized(True), sv.start2, sv.end2))
+        if len(rows) > 1:
+            raise NgsdError("Multiple matching SVs found in NGSD!\t(" +
+                            ",".join(str(r) for r in rows) + ")")
+        if not rows:
+            if not throw_if_fails:
+                return ""
+            raise NgsdError(f"SV {type_str} for callset with id '{callset_id}' "
+                            "not found in NGSD!")
+        return str(rows[0])
+
+    def get_qc_collection(self, ps_id):
+        """NGSD::getQCData as a typed QCCollection (NGSD.cpp:4697-4735)."""
+        from ..core.qcml import QCCollection, QCValue
+        out = QCCollection()
+        for name, value, desc, qcml_id, type_ in self.get_rows(
+                "SELECT n.name, nm.value, n.description, n.qcml_id, n.type "
+                "FROM processed_sample_qc nm, qc_terms n "
+                "WHERE nm.processed_sample_id=? AND nm.qc_terms_id=n.id AND n.obsolete=0 "
+                "ORDER BY n.qcml_id", params=(ps_id,)):
+            name, value, desc, qcml_id = str(name), str(value), str(desc or ""), str(qcml_id)
+            if type_ == "int":
+                out.insert(QCValue.from_int(name, int(value), desc, qcml_id))
+            elif type_ == "float":
+                out.insert(QCValue.from_double(name, float(value), desc, qcml_id))
+            else:
+                out.insert(QCValue.from_string(name, value, desc, qcml_id))
+        return out
+
+    def get_somatic_gene_role(self, gene, throw_on_fail: bool = False) -> dict | None:
+        """NGSD::getSomaticGeneRole (NGSD.cpp:5029-5053) — dict or None."""
+        if isinstance(gene, bytes):
+            gene = gene.decode()
+        approved = self.gene_to_approved(gene, True)
+        row = self.get_rows("SELECT symbol, gene_role, high_evidence, comment "
+                            "FROM somatic_gene_role WHERE symbol=?", params=(approved,))
+        if not row:
+            if throw_on_fail:
+                raise NgsdError(f"There is no somatic gene role for gene symbol '{gene}' "
+                                f"(used approved symbol {approved}) in the NGSD.")
+            return None
+        symbol, role, high_evidence, comment = row[0]
+        return {"gene": symbol, "role": str(role), "high_evidence": bool(high_evidence),
+                "comment": comment or ""}
+
+    def get_somatic_vicc_id(self, variant) -> int:
+        """NGSD::getSomaticViccId — -1 when the variant has no VICC entry."""
+        vid = self.variant_id(variant, throw_if_fails=False)
+        if vid == "":
+            return -1
+        v = self.get_value("SELECT id FROM somatic_vicc_interpretation WHERE variant_id=?",
+                           params=(vid,))
+        return -1 if v is None else int(v)
+
+    def best_transcript_for_variant(self, gene_row_id: int, var_transcripts):
+        """NGSD::bestTranscript(gene_id, var_transcripts, &quality)
+        (NGSD.cpp:7660-7731) — returns (Transcript|None, quality)."""
+        gene_transcripts = self.transcripts(gene_row_id, "ensembl", False)
+
+        def highest_impact(candidates):
+            # NGSD::highestImpactTranscript (NGSD.cpp:7733-7764)
+            if not candidates:
+                return None
+            if not var_transcripts or len(candidates) == 1:
+                return candidates[0]
+            order = ["MODIFIER", "LOW", "MODERATE", "HIGH"]
+            by_name = {t.name: t for t in candidates}
+            current, current_impact = None, "MODIFIER"
+            for vt in var_transcripts:
+                t = by_name.get(vt.id_without_version().decode())
+                if t is not None and (current is None
+                                      or order.index(current_impact) < order.index(vt.impact or "MODIFIER")):
+                    current_impact = vt.impact or "MODIFIER"
+                    current = t
+            return current if current is not None else candidates[0]
+
+        for quality, pred in ((6, lambda t: t.is_preferred),
+                              (5, lambda t: t.is_mane_select),
+                              (4, lambda t: t.is_mane_plus_clinical),
+                              (3, lambda t: t.is_ensembl_canonical)):
+            tmp = [t for t in gene_transcripts if pred(t)]
+            if tmp:
+                return highest_impact(tmp), quality
+        by_coding = sorted(gene_transcripts, key=lambda t: -t.coding_regions().base_count())
+        tmp = [t for t in by_coding if t.is_coding()]
+        if tmp:
+            return highest_impact(tmp), 2
+        by_bases = sorted(gene_transcripts, key=lambda t: -t.regions.base_count())
+        if by_bases:
+            return by_bases[0], 1
+        return None, -1
+
+    def relevant_transcripts_map(self) -> dict:
+        """NGSD::relevantTranscripts() — {gene symbol: {transcript names}} of
+        preferred/MANE/canonical transcripts for all genes that have any."""
+        out: dict[bytes, set] = {}
+        for symbol, name in self.get_rows(
+                "SELECT g.symbol, t.name FROM gene g, gene_transcript t "
+                "WHERE t.gene_id=g.id AND (t.is_preferred_transcript=1 OR t.is_mane_select=1 "
+                "OR t.is_mane_plus_clinical=1 OR t.is_ensembl_canonical=1)"):
+            out.setdefault(str(symbol).encode(), set()).add(str(name).encode())
+        return out
+
+    cls.gene_id = gene_id
+    cls.gene_hgnc_id = gene_hgnc_id
+    cls.variant_id = variant_id
+    cls.add_variant = add_variant
+    cls.somatic_cnv_id = somatic_cnv_id
+    cls.somatic_sv_id = somatic_sv_id
+    cls.get_qc_collection = get_qc_collection
+    cls.get_somatic_gene_role = get_somatic_gene_role
+    cls.get_somatic_vicc_id = get_somatic_vicc_id
+    cls.best_transcript_for_variant = best_transcript_for_variant
+    cls.relevant_transcripts_map = relevant_transcripts_map
+    return cls
+
+
+_ngsd_reports_ext(NGSD)

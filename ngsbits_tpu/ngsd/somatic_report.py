@@ -73,6 +73,30 @@ class SomaticReportSettings:
         self.viral_file = ""
         self.report_config: SomaticReportConfiguration | None = None
         self.target_region_regions = None  # BedFile or None
+        self.target_region_name = ""
+        self.target_region_genes = []      # GeneSet-like list of symbols
+        self.relevant_transcripts = {}     # {gene bytes: {transcript-name bytes}}
+        self.sbs_signature = ""
+        self.dbs_signature = ""
+        self.id_signature = ""
+        self.cnv_signature = ""
+        self.obo_terms_coding_splicing = None
+
+    @property
+    def target_region_filter(self):
+        """TargetRegionInfo analogue as a dict; None when not set."""
+        if self.target_region_regions is None and not self.target_region_name:
+            return None
+        return {"name": self.target_region_name,
+                "regions": self.target_region_regions,
+                "genes": self.target_region_genes}
+
+    def msi_value(self, db: NGSD) -> float:
+        """SomaticReportSettings::get_msi_value (SomaticReportSettings.cpp:10-23)."""
+        qc = db.get_qc_collection(db.processed_sample_id(self.tumor_ps))
+        if qc.contains("QC:2000141", True):
+            return qc.value("QC:2000141", True).as_double()
+        return float("nan")
 
 
 def _row_dicts(db: NGSD, query: str, params=()):
@@ -244,7 +268,7 @@ def filter_variants(snvs, sett: SomaticReportSettings, throw_errors: bool = Fals
         from ..core.intervals import ChromosomalIndex
         idx = ChromosomalIndex(sett.target_region_regions)
         for i, v in enumerate(snvs.variants):
-            if filter_res.flags[i] and not idx.matching_indices(v.chr, v.start, v.end):
+            if filter_res.flags[i] and len(idx.matching_indices(v.chr, v.start, v.end)) == 0:
                 filter_res.flags[i] = False
 
     for index in variant_indices:
@@ -271,6 +295,258 @@ def filter_variants(snvs, sett: SomaticReportSettings, throw_errors: bool = Fals
             new_v.annotations.extend([b"", b""])
         result.variants.append(new_v)
     return result
+
+
+def filter_germline_variants(germl_snvs, sett: SomaticReportSettings):
+    """SomaticReportSettings::filterGermlineVariants (SomaticReportSettings.cpp:73-95)."""
+    import copy
+
+    rc = sett.report_config
+    by_index = {c["variant_index"]: c for c in rc.germline_configs}
+
+    result = copy.copy(germl_snvs)
+    result.variants = []
+    result.columns = germl_snvs.columns + ["freq_in_tum", "depth_in_tum"]
+    result.descriptions = list(germl_snvs.descriptions)
+    result.add_description("freq_in_tum", "Frequency of variant which was found in normal "
+                           "tissue within the tumor sample.")
+    result.add_description("depth_in_tum", "Depth of variant which was found in normal "
+                           "tissue within the tumor sample.")
+    for i, v in enumerate(germl_snvs.variants):
+        if i not in by_index:
+            continue
+        new_v = copy.copy(v)
+        new_v.annotations = list(v.annotations)
+        new_v.annotations.append(_qbytearray_number(by_index[i]["tum_freq"]))
+        new_v.annotations.append(_qbytearray_number(by_index[i]["tum_depth"]))
+        result.variants.append(new_v)
+    return result
+
+
+def _qbytearray_number(v) -> bytes:
+    """QByteArray::number(double) — 'g' format with 6 significant digits."""
+    if v is None:
+        return b"0"
+    s = f"{float(v):.6g}"
+    return s.encode()
+
+
+def set_somatic_report_config(db: NGSD, t_ps_id, n_ps_id, config: SomaticReportConfiguration,
+                              snvs, cnvs, svs, germl_snvs, user_name: str) -> int:
+    """NGSD::setSomaticReportConfig (NGSD.cpp:9335-9657)."""
+    import os
+
+    config_id = db.somatic_report_config_id(t_ps_id, n_ps_id)
+    target_file = ""
+    if config.meta.get("target_region_name"):
+        target_file = os.path.basename(config.meta["target_region_name"])
+
+    m = config.meta
+    hrd = m.get("hrd_statement") or ""
+    if hrd not in (db.get_enum("somatic_report_configuration", "hrd_statement") or []):
+        hrd = None
+    quality = ",".join(m["quality"]) if m.get("quality") else None
+    cin = ",".join(m["cin_chr"]) if m.get("cin_chr") else None
+    filters_text = ("\n".join(config.filters.to_text())
+                    if len(config.filters.filters) > 0 else None)
+    common = (int(bool(m.get("tum_content_max_af"))), int(bool(m.get("tum_content_max_clonality"))),
+              int(bool(m.get("tum_content_hist"))), int(bool(m.get("msi_status"))),
+              int(bool(m.get("cnv_burden"))), hrd,
+              int(m.get("cnv_loh_count") or 0), int(m.get("cnv_tai_count") or 0),
+              int(m.get("cnv_lst_count") or 0), m.get("tmb_ref_text") or "",
+              quality, int(bool(m.get("fusions_detected"))), cin,
+              m.get("limitations") or None, m.get("filter_base_name") or None,
+              int(bool(m.get("tum_content_estimated"))),
+              int(m.get("tum_content_estimated_value") or 0) if m.get("tum_content_estimated") else None,
+              int(bool(m.get("include_mutation_burden"))), filters_text)
+
+    if config_id != -1:
+        for table in ("somatic_report_configuration_variant", "somatic_report_configuration_cnv",
+                      "somatic_report_configuration_germl_var", "somatic_report_configuration_sv"):
+            db.execute(f"DELETE FROM `{table}` WHERE somatic_report_configuration_id={config_id}")
+        db.execute(
+            "UPDATE somatic_report_configuration SET last_edit_by=?, "
+            "last_edit_date=CURRENT_TIMESTAMP, target_file=?, tum_content_max_af=?, "
+            "tum_content_max_clonality=?, tum_content_hist=?, msi_status=?, cnv_burden=?, "
+            "hrd_statement=?, cnv_loh_count=?, cnv_tai_count=?, cnv_lst_count=?, "
+            "tmb_ref_text=?, quality=?, fusions_detected=?, cin_chr=?, limitations=?, "
+            "filter_base_name=?, tum_content_estimated=?, tum_content_estimated_value=?, "
+            "include_mutation_burden=?, filters=? WHERE id=?",
+            (db.user_id(user_name), target_file or None) + common + (config_id,))
+    else:
+        db.execute(
+            "INSERT INTO somatic_report_configuration (ps_tumor_id, ps_normal_id, created_by, "
+            "created_date, last_edit_by, last_edit_date, target_file, tum_content_max_af, "
+            "tum_content_max_clonality, tum_content_hist, msi_status, cnv_burden, hrd_statement, "
+            "cnv_loh_count, cnv_tai_count, cnv_lst_count, tmb_ref_text, quality, fusions_detected, "
+            "cin_chr, limitations, filter_base_name, tum_content_estimated, "
+            "tum_content_estimated_value, include_mutation_burden, filters) VALUES "
+            "(?,?,?,?,?,CURRENT_TIMESTAMP,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
+            (t_ps_id, n_ps_id, db.user_id(m.get("created_by") or user_name),
+             # created_at_ defaults to now (SomaticReportConfiguration.cpp:82)
+             m.get("created_date") or __import__("datetime").datetime.now()
+             .strftime("%Y-%m-%d %H:%M:%S"),
+             db.user_id(user_name), target_file or None) + common)
+        config_id = db.last_insert_id()
+
+    for conf in config.variant_configs:
+        vtype = conf["variant_type"]
+        if vtype == "SNVS_INDELS":
+            idx = conf["variant_index"]
+            if idx < 0 or idx >= len(snvs.variants):
+                raise NgsdError(f"Variant list does not contain variant with index '{idx}' "
+                                "in NGSD::setSomaticReportConfig!")
+            variant = snvs.variants[idx]
+            variant_id = db.variant_id(variant, throw_if_fails=False)
+            if variant_id == "":
+                variant_id = db.add_variant(variant, snvs)
+            db.execute(
+                "INSERT INTO somatic_report_configuration_variant "
+                "(somatic_report_configuration_id, variant_id, exclude_artefact, "
+                "exclude_low_tumor_content, exclude_low_copy_number, exclude_high_baf_deviation, "
+                "exclude_other_reason, include_variant_alteration, include_variant_description, "
+                "comment) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                (config_id, variant_id, int(bool(conf.get("exclude_artefact"))),
+                 int(bool(conf.get("exclude_low_tumor_content"))),
+                 int(bool(conf.get("exclude_low_copy_number"))),
+                 int(bool(conf.get("exclude_high_baf_deviation"))),
+                 int(bool(conf.get("exclude_other_reason"))),
+                 (conf.get("include_variant_alteration") or "").strip() and conf["include_variant_alteration"] or "",
+                 (conf.get("include_variant_description") or "").strip() and conf["include_variant_description"] or "",
+                 (conf.get("comment") or "").strip() and conf["comment"] or ""))
+        elif vtype == "CNVS":
+            idx = conf["variant_index"]
+            if idx < 0 or idx > len(cnvs):
+                raise NgsdError(f"Somatic CNV list does not contain CNV with index '{idx}' "
+                                "in NGSD::setSomaticReportConfig!")
+            callset_id = db.get_value("SELECT id FROM somatic_cnv_callset WHERE ps_tumor_id=? "
+                                      "AND ps_normal_id=?", params=(t_ps_id, n_ps_id))
+            if callset_id is None:
+                raise NgsdError("No somatic CNV callset defined for tumor-normal processed "
+                                f"sample ids {t_ps_id}-{n_ps_id}in NGSD::setSomaticReportConfig!")
+            cnv = cnvs[idx]
+            cnv_id = db.somatic_cnv_id(cnv, int(callset_id), throw_if_fails=False)
+            if cnv_id == "":
+                cnv_id = db.add_somatic_cnv(int(callset_id), cnv, cnvs)
+            db.execute(
+                "INSERT INTO somatic_report_configuration_cnv "
+                "(somatic_report_configuration_id, somatic_cnv_id, exclude_artefact, "
+                "exclude_low_tumor_content, exclude_low_copy_number, exclude_high_baf_deviation, "
+                "exclude_other_reason, comment) VALUES (?,?,?,?,?,?,?,?)",
+                (config_id, cnv_id, int(bool(conf.get("exclude_artefact"))),
+                 int(bool(conf.get("exclude_low_tumor_content"))),
+                 int(bool(conf.get("exclude_low_copy_number"))),
+                 int(bool(conf.get("exclude_high_baf_deviation"))),
+                 int(bool(conf.get("exclude_other_reason"))), conf.get("comment") or ""))
+        elif vtype == "SVS":
+            idx = conf["variant_index"]
+            if idx < 0 or idx >= len(svs.lines):
+                raise NgsdError(f"SV list does not contain SV with index '{idx}' "
+                                "in NGSD::setSomaticReportConfig!")
+            callset_id = db.get_value("SELECT id FROM somatic_sv_callset WHERE ps_tumor_id=? "
+                                      "AND ps_normal_id=?", params=(t_ps_id, n_ps_id))
+            if callset_id is None:
+                raise NgsdError("No SV callset defined for tumor-normal processed sample ids  "
+                                f"{t_ps_id}-{n_ps_id}in NGSD::setSomaticReportConfig!")
+            sv = svs.lines[idx]
+            sv_id = db.somatic_sv_id(sv, int(callset_id), svs, throw_if_fails=False)
+            if sv_id == "":
+                sv_id = db.add_somatic_sv(int(callset_id), sv, svs)
+            type_col = {"DEL": "somatic_sv_deletion_id", "DUP": "somatic_sv_duplication_id",
+                        "INS": "somatic_sv_insertion_id", "INV": "somatic_sv_inversion_id",
+                        "BND": "somatic_sv_translocation_id"}[
+                sv.type.decode() if isinstance(sv.type, bytes) else str(sv.type)]
+            cols = {"somatic_sv_deletion_id": None, "somatic_sv_duplication_id": None,
+                    "somatic_sv_insertion_id": None, "somatic_sv_inversion_id": None,
+                    "somatic_sv_translocation_id": None}
+            cols[type_col] = sv_id
+            db.execute(
+                "INSERT INTO somatic_report_configuration_sv "
+                "(somatic_report_configuration_id, somatic_sv_deletion_id, "
+                "somatic_sv_duplication_id, somatic_sv_insertion_id, somatic_sv_inversion_id, "
+                "somatic_sv_translocation_id, exclude_artefact, exclude_unclear_effect, "
+                "exclude_other, description, comment, rna_info, manual_start, manual_end, "
+                "manual_hgvs_type, manual_hgvs_suffix, manual_start_bnd, manual_end_bnd, "
+                "manual_hgvs_type_bnd, manual_hgvs_suffix_bnd) "
+                "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                (config_id, cols["somatic_sv_deletion_id"], cols["somatic_sv_duplication_id"],
+                 cols["somatic_sv_insertion_id"], cols["somatic_sv_inversion_id"],
+                 cols["somatic_sv_translocation_id"], int(bool(conf.get("exclude_artefact"))),
+                 int(bool(conf.get("exclude_unclear_effect"))),
+                 int(bool(conf.get("exclude_other_reason"))), conf.get("description") or "",
+                 conf.get("comment") or "", conf.get("rna_info") or "n/a",
+                 conf.get("manual_sv_start"), conf.get("manual_sv_end"),
+                 conf.get("manual_sv_hgvs_type") or "", conf.get("manual_sv_hgvs_suffix") or "",
+                 conf.get("manual_sv_start_bnd"), conf.get("manual_sv_end_bnd"),
+                 conf.get("manual_sv_hgvs_type_bnd") or "",
+                 conf.get("manual_sv_hgvs_suffix_bnd") or ""))
+        else:
+            raise NgsdError("Storing of somatic report configuration variant with type "
+                            f"'{vtype}' not implemented!")
+
+    for conf in config.germline_configs:
+        idx = conf["variant_index"]
+        if idx < 0 or idx >= len(germl_snvs.variants):
+            raise NgsdError(f"Variant list does not contain variant with index '{idx}' "
+                            "in NGSD::setSomaticReportConfig!")
+        variant = germl_snvs.variants[idx]
+        variant_id = db.variant_id(variant, throw_if_fails=False)
+        if variant_id == "":
+            variant_id = db.add_variant(variant, germl_snvs)
+        db.execute(
+            "INSERT INTO somatic_report_configuration_germl_var "
+            "(somatic_report_configuration_id, variant_id, tum_freq, tum_depth) "
+            "VALUES (?,?,?,?)",
+            (config_id, variant_id, conf.get("tum_freq"), conf.get("tum_depth")))
+
+    db.commit()
+    return config_id
+
+
+def delete_somatic_report_config(db: NGSD, config_id: int):
+    """NGSD::deleteSomaticReportConfig (NGSD.cpp:9659-9677)."""
+    exists = db.get_value("SELECT id FROM somatic_report_configuration WHERE id=?",
+                          params=(config_id,))
+    if exists is None:
+        raise NgsdError(f"Cannot delete somatic report configuration with id={config_id} "
+                        "because it does not exist!")
+    for table in ("somatic_report_configuration_cnv", "somatic_report_configuration_variant",
+                  "somatic_report_configuration_germl_var", "somatic_report_configuration_sv"):
+        db.execute(f"DELETE FROM `{table}` WHERE somatic_report_configuration_id=?", (config_id,))
+    db.execute("DELETE FROM somatic_report_configuration WHERE id=?", (config_id,))
+    db.commit()
+
+
+def somatic_report_config_data(db: NGSD, config_id: int) -> dict:
+    """NGSD::somaticReportConfigData (NGSD.cpp:9304-9326)."""
+    def _qt_datetime(v) -> str:
+        # QDateTime::toString("dd.MM.yyyy hh:mm:ss") of a SQL datetime value
+        s = str(v)[:19]
+        if len(s) < 19:
+            return ""
+        return f"{s[8:10]}.{s[5:7]}.{s[0:4]} {s[11:19]}"
+
+    row = db.get_rows(
+        "SELECT created_by, created_date, "
+        "(SELECT name FROM user WHERE id=last_edit_by) as last_edit_by, last_edit_date, "
+        "mtb_xml_upload_date, target_file FROM somatic_report_configuration WHERE id=?",
+        params=(config_id,))[0]
+    created_by, created_date, last_edit_by, last_edit_date, mtb_date, target_file = row
+    return {
+        "created_by": db.get_value("SELECT name FROM user WHERE id=?", params=(created_by,)) or "",
+        "created_date": _qt_datetime(created_date) if created_date else "",
+        "last_edit_by": last_edit_by or "",
+        "last_edit_date": _qt_datetime(last_edit_date) if last_edit_date else "",
+        "mtb_xml_upload_date": _qt_datetime(mtb_date) if mtb_date else "",
+        "target_file": target_file or "",
+    }
+
+
+def set_somatic_mtb_xml_upload(db: NGSD, config_id: int):
+    """NGSD::setSomaticMtbXmlUpload (NGSD.cpp:9909-9915)."""
+    db.execute("UPDATE somatic_report_configuration SET mtb_xml_upload_date=CURRENT_TIMESTAMP "
+               "WHERE id=?", (config_id,))
+    db.commit()
 
 
 def filter_cnvs(cnvs, sett: SomaticReportSettings):

@@ -1,0 +1,263 @@
+"""cppNGSD report-generator parity tests.
+
+Replays the somatic report portions of the reference's
+``cppNGSD-TEST/NGSD_Test.cpp`` against the same SQL + GSvar/CNV/BEDPE
+fixtures and byte-compares generated reports to the ``data_out`` goldens:
+
+- ``report_somatic`` (NGSD_Test.cpp:2132-2610): report-config set/resolve
+  round-trip + ``SomaticXmlReportGenerator`` -> ``somatic_report.xml``.
+
+The germline generator tests (``report_germline``) are HG38-genome-gated in
+the reference itself (SKIP_IF_NO_HG38_GENOME) — the genome-free subset is
+covered in this file where possible.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+NGSD_TEST_DIR = "/root/reference/src/cppNGSD-TEST"
+DIN = f"{NGSD_TEST_DIR}/data_in"
+DOUT = f"{NGSD_TEST_DIR}/data_out"
+
+
+@pytest.fixture
+def ngsd(tmp_path, monkeypatch):
+    path = str(tmp_path / "ngsd_test.sqlite")
+    monkeypatch.setenv("NGSBITS_NGSD_TEST", path)
+    from ngsbits_tpu.ngsd import NGSD
+    db = NGSD(test_db=True)
+    db.init()
+    yield db
+    db.close()
+
+
+@pytest.fixture
+def ngsd1(ngsd):
+    ngsd.run_mysql_file(f"{DIN}/NGSD_in1.sql")
+    return ngsd
+
+
+def _build_first_config():
+    """The som_rep_conf of NGSD_Test.cpp:2267-2343 (first set state)."""
+    from ngsbits_tpu.filters.cascade import FilterCascade
+    from ngsbits_tpu.ngsd.somatic_report import SomaticReportConfiguration
+
+    conf = SomaticReportConfiguration()
+    conf.meta = {
+        "created_by": "ahmustm1",
+        "target_region_name": "/path/to/somewhere.bed",
+        "tum_content_max_af": 1, "tum_content_max_clonality": 1,
+        "tum_content_hist": 1, "tum_content_estimated": 1,
+        "tum_content_estimated_value": 42,
+        "msi_status": 1, "cnv_burden": 1, "include_mutation_burden": 1,
+        "hrd_statement": "undeterminable",
+        "cnv_loh_count": 12, "cnv_tai_count": 3, "cnv_lst_count": 43,
+        "tmb_ref_text": "Median: 1.70 Var/Mbp, Maximum: 10.80 Var/Mbp, "
+                        "Probenanzahl:65 (PMID: 28420421)",
+        "quality": [""], "fusions_detected": 1,
+        "cin_chr": ["chr1", "chr5", "chr9", "chrX", "chrY"],
+        "limitations": "Due to low coverage we could not detect all variants for gene BRAF.",
+        "filter_base_name": "somatic",
+    }
+    filter_text = [
+        "Variant type\tHIGH=frameshift_variant,splice_acceptor_variant,"
+        "splice_donor_variant,start_lost,start_retained_variant,stop_gained,stop_lost\t"
+        "MODERATE=inframe_deletion,inframe_insertion,missense_variant\t"
+        "LOW=splice_region_variant\tMODIFIER=",
+        "Column match\tpattern=promoter\tcolumn=regulatory\taction=KEEP",
+        "Filter column empty",
+    ]
+    conf.filters = FilterCascade.from_text(filter_text)
+
+    conf.add_variant_configuration({
+        "variant_index": 1, "variant_type": "SNVS_INDELS",
+        "exclude_artefact": True, "exclude_high_baf_deviation": True,
+        "exclude_low_copy_number": True, "exclude_low_tumor_content": True,
+        "comment": "This variant is a test variant and shall be excluded.",
+        "include_variant_alteration": "", "include_variant_description": ""})
+    conf.add_variant_configuration({
+        "variant_index": 2, "variant_type": "SNVS_INDELS",
+        "include_variant_alteration": "c.-124A>C",
+        "include_variant_description": "Testtreiber (bekannt)",
+        "comment": "known test driver was not included in any db yet."})
+    conf.add_variant_configuration({
+        "variant_index": 2, "variant_type": "CNVS",
+        "exclude_artefact": True, "exclude_other_reason": True,
+        "comment": "This test somatic cnv shall be excluded."})
+    conf.germline_configs.append({"variant_index": 2, "tum_freq": 0.7, "tum_depth": 1210})
+    conf.germline_configs.append({"variant_index": 4, "tum_freq": 0.68, "tum_depth": 1022})
+    return conf, filter_text
+
+
+def test_somatic_report_config_roundtrip_and_xml(ngsd1, tmp_path):
+    """NGSD_Test.cpp:2243-2610 — set/resolve round-trip + XML golden."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+    from ngsbits_tpu.io.cnv import CnvList
+    from ngsbits_tpu.io.gsvar import GSvarFile
+    from ngsbits_tpu.ngsd import somatic_report as sr
+    from ngsbits_tpu.ngsd import somatic_xml_report as sxr
+
+    db = ngsd1
+    vl = GSvarFile.from_file(f"{DIN}/somatic_report_config.GSvar")
+    cnvs = CnvList.from_file(f"{DIN}/somatic_cnvs_clincnv.tsv")
+    vl_germl = GSvarFile.from_file(f"{DIN}/somatic_report_config_germline.GSvar")
+    svs = BedpeFile.from_file(f"{DIN}/somatic_svs_manta.bedpe")
+
+    # NGSD_Test.cpp:2253-2255 — resolve config ids from the SQL fixture
+    assert db.somatic_report_config_id("5", "6") == 3
+    assert db.somatic_report_config_id("5", "4000") == 51
+    assert db.somatic_report_config_id("5", "10") == -1
+
+    # NGSD_Test.cpp:2258-2264 — creation data of config 51
+    data51 = sr.somatic_report_config_data(db, 51)
+    assert data51["created_by"] == "Max Mustermann"
+    assert data51["created_date"] == "05.01.2019 14:06:12"
+    assert data51["last_edit_by"] == "Sarah Kerrigan"
+    assert data51["last_edit_date"] == "07.12.2019 17:06:10"
+    assert data51["mtb_xml_upload_date"] == "27.07.2020 09:20:10"
+    assert data51["target_file"] == "nowhere.bed"
+
+    conf, filter_text = _build_first_config()
+    # NGSD_Test.cpp:2337-2349 — variantConfig accessor checks
+    vc2 = conf.variant_config(2, "SNVS_INDELS")
+    assert vc2["include_variant_alteration"] == "c.-124A>C"
+    assert vc2["include_variant_description"] == "Testtreiber (bekannt)"
+    cc2 = conf.variant_config(2, "CNVS")
+    assert cc2["exclude_artefact"] and cc2["exclude_other_reason"]
+    assert not cc2.get("exclude_high_baf_deviation")
+
+    t_ps_id = db.processed_sample_id("NA12345_01")
+    n_ps_id = db.processed_sample_id("NA12123_04")
+    config_id = sr.set_somatic_report_config(db, t_ps_id, n_ps_id, conf, vl, cnvs,
+                                             svs, vl_germl, "ahmustm1")
+    assert config_id == 52
+
+    # change variant config 2 and set again — id stays 52 (NGSD_Test.cpp:2356-2368)
+    conf.add_variant_configuration({
+        "variant_index": 2, "variant_type": "SNVS_INDELS",
+        "include_variant_alteration": "c.-124A>C",
+        "include_variant_description": "Testtreiber (bekannt)",
+        "comment": "known test driver was not included in any db yet. "
+                   "Now published in NCBI:XYZ."})
+    assert sr.set_somatic_report_config(db, t_ps_id, n_ps_id, conf, vl, cnvs,
+                                        svs, vl_germl, "ahmustm1") == config_id
+
+    # resolve (NGSD_Test.cpp:2373-2444)
+    messages: list[str] = []
+    res_config = sr.somatic_report_config(db, t_ps_id, n_ps_id, vl, cnvs, svs,
+                                          vl_germl, messages)
+    m = res_config.meta
+    assert m["tum_content_max_af"] and m["tum_content_max_clonality"]
+    assert m["tum_content_hist"] and m["tum_content_estimated"]
+    assert int(m["tum_content_estimated_value"]) == 42
+    assert m["msi_status"] and m["cnv_burden"] and m["include_mutation_burden"]
+    assert m["hrd_statement"] == "undeterminable"
+    assert (int(m["cnv_loh_count"]), int(m["cnv_tai_count"]), int(m["cnv_lst_count"])) == (12, 3, 43)
+    assert m["tmb_ref_text"] == ("Median: 1.70 Var/Mbp, Maximum: 10.80 Var/Mbp, "
+                                 "Probenanzahl:65 (PMID: 28420421)")
+    assert not (m["quality"] or "")  # QStringList("") stores "" -> resolves to none
+    assert m["fusions_detected"]
+    assert m["cin_chr"] == "chr1,chr5,chr9,chrX,chrY"
+    assert m["limitations"] == ("Due to low coverage we could not detect all variants "
+                                "for gene BRAF.")
+    assert m["filter_base_name"] == "somatic"
+    assert [line.strip() for line in res_config.filters.to_text()] == filter_text
+
+    res = res_config.variant_configs
+    snv_res = [c for c in res if c["variant_type"] == "SNVS_INDELS"]
+    assert len(res) == 3
+    assert snv_res[0]["variant_index"] == 1
+    assert all(snv_res[0][f] for f in ("exclude_artefact", "exclude_low_tumor_content",
+                                       "exclude_low_copy_number", "exclude_high_baf_deviation"))
+    assert not snv_res[0]["exclude_other_reason"]
+    assert snv_res[0]["comment"] == "This variant is a test variant and shall be excluded."
+    assert not sr.show_in_report(snv_res[0])
+    assert snv_res[1]["variant_index"] == 2
+    assert snv_res[1]["include_variant_alteration"] == "c.-124A>C"
+    assert snv_res[1]["include_variant_description"] == "Testtreiber (bekannt)"
+    assert snv_res[1]["comment"] == ("known test driver was not included in any db yet. "
+                                     "Now published in NCBI:XYZ.")
+    assert sr.show_in_report(snv_res[1])
+    cnv_res = [c for c in res if c["variant_type"] == "CNVS"]
+    assert cnv_res[0]["variant_index"] == 2
+    assert cnv_res[0]["exclude_artefact"] and cnv_res[0]["exclude_other_reason"]
+    assert cnv_res[0]["comment"] == "This test somatic cnv shall be excluded."
+
+    germl_res = res_config.germline_configs
+    assert [c["variant_index"] for c in germl_res] == [2, 4]
+    assert germl_res[0]["tum_freq"] == pytest.approx(0.7)
+    assert germl_res[0]["tum_depth"] == pytest.approx(1210)
+    assert germl_res[1]["tum_freq"] == pytest.approx(0.68)
+
+    # ---- XML generation (NGSD_Test.cpp:2571-2610) ----
+    from ngsbits_tpu.core.geneset import GeneSet
+    from ngsbits_tpu.core.intervals import BedFile
+
+    settings = sr.SomaticReportSettings()
+    settings.report_config = res_config
+    settings.tumor_ps = "DX184894_01"
+    settings.normal_ps = "DX184263_01"
+    settings.target_region_name = "SureSelect Somatic vTEST"
+    settings.target_region_genes = GeneSet.create_from_file(f"{DIN}/ssSC_test_genes.txt")
+    settings.target_region_regions = BedFile.from_file(f"{DIN}/ssSC_test.bed")
+
+    vl_filtered = sr.filter_variants(vl, settings)
+    vl_germl_filtered = sr.filter_germline_variants(vl_germl, settings)
+    cnvs_filtered = sr.filter_cnvs(cnvs, settings)
+
+    xml_data = sxr.SomaticXmlReportGeneratorData(
+        build="GRCh37", settings=settings, tumor_snvs=vl_filtered,
+        germline_snvs=vl_germl_filtered, tumor_cnvs=cnvs_filtered)
+
+    with pytest.raises(Exception):
+        xml_data.check()  # IS_THROWN(ArgumentException, xml_data.check())
+
+    xml_data.msi_unstable_percent = 12.74
+    xml_data.tumor_content_histology = 0.6
+    xml_data.tumor_mutation_burden = 17.3
+    xml_data.tumor_content_clonality = 0.8
+    xml_data.tumor_content_snvs = 0.73
+    xml_data.rtf_part_summary = b"I am the summary part of the RTF report"
+    xml_data.rtf_part_relevant_variants = b"relevant SNVs and INDELs"
+    xml_data.rtf_part_unclear_variants = b"unclear SNVs"
+    xml_data.rtf_part_cnvs = b"chromosomal aberrations"
+    xml_data.rtf_part_svs = b"Fusions"
+    xml_data.rtf_part_pharmacogenetics = b"RTF pharmacogenomics table"
+    xml_data.rtf_part_general_info = b"general meta data"
+    xml_data.rtf_part_igv_screenshot = (
+        b"89504E470D0A1A0A0000000D4948445200000002000000020802000000FDD49A7300000009"
+        b"7048597300002E2300002E230178A53F76000000164944415408D763606060686E6E66F8FF"
+        b"FFFF7F0606001FCD0586CC377DEC0000000049454E44AE426082")
+    xml_data.rtf_part_mtb_summary = b"MTB summary"
+    xml_data.rtf_part_hla_summary = b"HLA summary"
+
+    out = str(tmp_path / "somatic_report.xml")
+    sxr.generate_xml(xml_data, out, db, test=True)
+
+    got = open(out, "rb").read()
+    want = open(f"{DOUT}/somatic_report.xml", "rb").read()
+    assert got == want
+
+    # ---- post-XML DB assertions (NGSD_Test.cpp:2612-2616) ----
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+    from ngsbits_tpu.core.chromosome import Chromosome
+
+    def var(chrom, start, end, ref, obs):
+        return GSvarVariant(Chromosome(chrom), start, end, ref, obs, [])
+
+    assert db.get_somatic_vicc_id(var("chr13", 32929387, 32929387, b"T", b"C")) == 1
+    assert db.get_somatic_vicc_id(var("chr15", 43707808, 43707808, b"A", b"T")) == 2
+    assert db.get_somatic_vicc_id(var("chr17", 43707815, 43707815, b"A", b"T")) == -1
+
+    # ---- delete round-trip (NGSD_Test.cpp:2527-2536) ----
+    sr.set_somatic_mtb_xml_upload(db, config_id)
+    assert sr.somatic_report_config_data(db, config_id)["mtb_xml_upload_date"] != ""
+    assert db.get_value("SELECT count(*) FROM somatic_report_configuration") == 3
+    sr.delete_somatic_report_config(db, config_id)
+    assert db.get_value("SELECT count(*) FROM somatic_report_configuration") == 2
+    assert db.get_value("SELECT count(*) FROM somatic_report_configuration_variant") == 0
+    assert db.get_value("SELECT count(*) FROM somatic_report_configuration_germl_var") == 0
