@@ -275,6 +275,13 @@ class RtfTableRow:
             cell.set_background_color(color)
         return self
 
+    def set_header(self) -> "RtfTableRow":
+        """RtfTableRow::setHeader (RtfDocument.h:450-456) — repeat row on
+        every page via the 'trhdr' control word."""
+        for cell in self.cells:
+            cell.control_word = b"trhdr"
+        return self
+
     def set_padding(self, padding: int) -> "RtfTableRow":
         self.padding = padding
         return self
@@ -333,6 +340,13 @@ class RtfTable:
     def add_row(self, row: RtfTableRow) -> "RtfTable":
         self.rows.append(row)
         return self
+
+    def prepend_row(self, row: RtfTableRow) -> "RtfTable":
+        self.rows.insert(0, row)
+        return self
+
+    def first(self) -> RtfTableRow:
+        return self.rows[0]
 
     def __getitem__(self, i: int) -> RtfTableRow:
         return self.rows[i]

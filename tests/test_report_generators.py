@@ -261,3 +261,57 @@ def test_somatic_report_config_roundtrip_and_xml(ngsd1, tmp_path):
     assert db.get_value("SELECT count(*) FROM somatic_report_configuration") == 2
     assert db.get_value("SELECT count(*) FROM somatic_report_configuration_variant") == 0
     assert db.get_value("SELECT count(*) FROM somatic_report_configuration_germl_var") == 0
+
+
+def test_tumor_only_report(ngsd, tmp_path):
+    """NGSD_Test.cpp report_tumor_only (:3004-3066) — RTF + XML goldens.
+
+    The reference gates this on a configured HG38 genome, but the genome is
+    only touched by Statistics::avgCoverage's CRAM support — the BAM fixture
+    needs no FASTA, so the full method replays here."""
+    import datetime
+
+    from ngsbits_tpu.filters.cascade import FilterCascade, create_filter
+    from ngsbits_tpu.io.gsvar import GSvarFile
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.ngsd.tumor_only_report import (TumorOnlyReportWorker,
+                                                    TumorOnlyReportWorkerConfig)
+
+    ngsd.run_mysql_file(f"{DIN}/NGSD_in2.sql")
+    vl = GSvarFile.from_file(f"{DIN}/tumor_only.GSvar")
+
+    filters = FilterCascade()
+    filters.add(create_filter("Filter column empty"))
+    filters.add(create_filter("Classification NGSD", ["action=KEEP", "classes=4,5"]))
+
+    config = TumorOnlyReportWorkerConfig()
+    config.filter_result = filters.apply(vl, "snv")
+    config.low_coverage_file = f"{DIN}/tumor_only_stat_lowcov.bed"
+    config.relevant_transcripts = {b"MITF": [b"ENST00000314589"]}
+    config.sys = {"name": "tumor only test panel", "type": "Panel"}
+    config.ps_data = {"name": "DX000001_01", "comments": "MHH_STUFF_IN_COMMENT"}
+    config.roi_name = "tum_only_target_filter"
+    config.roi_genes = [b"MITF", b"SYNPR"]
+    config.roi_regions = BedFile.from_file(f"{DIN}/tumor_only_target_region.bed")
+    config.bam_file = f"{DIN}/tumor_only.bam"
+    config.include_coverage_per_gap = True
+    config.include_exon_number_per_gap = True
+    config.use_test_db = True
+    config.build = "GRCh37"
+
+    worker = TumorOnlyReportWorker(vl, config, db=ngsd)
+    TumorOnlyReportWorker.check_annotation(vl)
+
+    rtf_out = str(tmp_path / "tumor_only_report.rtf")
+    worker.write_rtf(rtf_out)
+
+    # REMOVE_LINES: today's date + application-name lines (NGSD_Test.cpp:3056-3058)
+    today = datetime.date.today().strftime("%d.%m.%Y").encode()
+    got = [l for l in open(rtf_out, "rb").read().split(b"\n")
+           if today not in l and b"cppNGSD-TEST-CASE" not in l]
+    want = open(f"{DOUT}/tumor_only_report.rtf", "rb").read().split(b"\n")
+    assert got == want
+
+    xml_out = str(tmp_path / "tumor_only_report.xml")
+    worker.write_xml(xml_out, test=True)
+    assert open(xml_out, "rb").read() == open(f"{DOUT}/tumor_only_report.xml", "rb").read()
