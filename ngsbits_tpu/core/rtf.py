@@ -275,6 +275,9 @@ class RtfTableRow:
             cell.set_background_color(color)
         return self
 
+    def last(self) -> RtfTableCell:
+        return self.cells[-1]
+
     def set_header(self) -> "RtfTableRow":
         """RtfTableRow::setHeader (RtfDocument.h:450-456) — repeat row on
         every page via the 'trhdr' control word."""
@@ -348,6 +351,30 @@ class RtfTable:
     def first(self) -> RtfTableRow:
         return self.rows[0]
 
+    def last(self) -> RtfTableRow:
+        return self.rows[-1]
+
+    def remove_row(self, i: int):
+        del self.rows[i]
+
+    def add_titel_row(self, headers, widths, fontsize: int = 18) -> "RtfTable":
+        """RtfTable::addTitelRow (RtfDocument.h:539-542)."""
+        self.rows.append(RtfTableRow(headers, widths, RtfParagraph()
+                         .set_font_size(fontsize).set_bold(True)
+                         .set_horizontal_alignment(b"c")).set_background_color(4))
+        return self
+
+    def add_header_row(self, headers, widths, fontsize: int = 16) -> "RtfTable":
+        self.rows.append(RtfTableRow(headers, widths, RtfParagraph()
+                         .set_font_size(fontsize).set_bold(True)
+                         .set_horizontal_alignment(b"c")))
+        return self
+
+    def add_data_row(self, headers, widths, fontsize: int = 16) -> "RtfTable":
+        self.rows.append(RtfTableRow(headers, widths,
+                                     RtfParagraph().set_font_size(fontsize)))
+        return self
+
     def __getitem__(self, i: int) -> RtfTableRow:
         return self.rows[i]
 
@@ -397,6 +424,14 @@ class RtfDocument:
         self.default_font_size = 18
         self.colors: list[RtfColor] = []
         self.body_parts: list[bytes] = []
+
+    def max_width(self) -> int:
+        """RtfDocument::maxWidth (RtfDocument.h:311-314)."""
+        return self.width - self.margin_left - self.margin_right
+
+    def new_page(self):
+        """RtfDocument::newPage (RtfDocument.h:305-308)."""
+        self.body_parts.append(b"\n\\page\n")
 
     def set_margins(self, left: int, top: int, right: int, bottom: int):
         self.margin_left, self.margin_top = left, top

@@ -2135,3 +2135,55 @@ def _ngsd_reports_ext(cls):
 
 
 _ngsd_reports_ext(NGSD)
+
+
+def _ngsd_somatic_pathways_ext(cls):
+    """NGSD somatic-pathway + processing-system lookups used by the somatic
+    report helper (NGSD.cpp:1182-1207, 4986-5027)."""
+
+    def processing_system_id_from_processed_sample(self, ps_name: str) -> int:
+        ps_id = self.processed_sample_id(ps_name, True)
+        return int(self.get_value(
+            "SELECT processing_system_id FROM processed_sample WHERE id=?", params=(ps_id,)))
+
+    def get_processing_system_data(self, sys_id: int) -> dict:
+        row = self.get_rows(
+            "SELECT sys.name_manufacturer, sys.name_short, sys.platform, sys.type, "
+            "sys.adapter1_p5, sys.adapter2_p7, sys.shotgun, sys.umi_type, g.build "
+            "FROM processing_system sys, genome g WHERE sys.genome_id=g.id AND sys.id=?",
+            params=(sys_id,))[0]
+        return {"name": row[0], "name_short": row[1], "platform": row[2], "type": row[3],
+                "adapter1_p5": row[4], "adapter2_p7": row[5],
+                "shotgun": str(row[6]) == "1", "umi_type": row[7], "genome": row[8]}
+
+    def get_somatic_pathways(self, gene_symbol=None) -> list[bytes]:
+        if gene_symbol is None:
+            return [str(n).encode() for n in self.get_values(
+                "SELECT name FROM somatic_pathway sp ORDER BY name ASC")]
+        if isinstance(gene_symbol, bytes):
+            gene_symbol = gene_symbol.decode()
+        gene_symbol = self.gene_to_approved(gene_symbol, True)
+        return [str(n).encode() for n in self.get_values(
+            "SELECT sp.name FROM somatic_pathway_gene sgp, somatic_pathway sp "
+            "WHERE sgp.pathway_id=sp.id AND sgp.symbol=? ORDER BY sgp.symbol ASC",
+            params=(gene_symbol,))]
+
+    def get_somatic_pathway_genes(self, pathway_name):
+        from ..core.geneset import GeneSet
+        if isinstance(pathway_name, bytes):
+            pathway_name = pathway_name.decode()
+        out = GeneSet()
+        for gene in self.get_values(
+                "SELECT sgp.symbol FROM somatic_pathway_gene sgp, somatic_pathway sp "
+                "WHERE sgp.pathway_id=sp.id AND sp.name=?", params=(pathway_name,)):
+            out.insert(str(gene))
+        return out
+
+    cls.processing_system_id_from_processed_sample = processing_system_id_from_processed_sample
+    cls.get_processing_system_data = get_processing_system_data
+    cls.get_somatic_pathways = get_somatic_pathways
+    cls.get_somatic_pathway_genes = get_somatic_pathway_genes
+    return cls
+
+
+_ngsd_somatic_pathways_ext(NGSD)

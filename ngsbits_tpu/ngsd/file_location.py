@@ -129,6 +129,13 @@ class FileLocationProviderLocal:
             f = self.ps_folder + self.ps + "_cnvs_clincnv.tsv"
         return self._loc(self.ps, "COPY_NUMBER_CALLS", f)
 
+    def somatic_msi_file(self) -> FileLocation:
+        """FileLocationProviderLocal::getSomaticMsiFile (:410-417)."""
+        if self.analysis_type not in ("SOMATIC_SINGLESAMPLE", "SOMATIC_PAIR"):
+            raise ValueError("Invalid call of somatic_msi_file() on variant list type "
+                             f"{self.analysis_type}!")
+        return self._loc(self.ps, "MSI", self.ps_folder + self.ps + "_msi.tsv")
+
     def analysis_mosaic_cnv_file(self) -> FileLocation:
         return self._loc(self.ps, "COPY_NUMBER_CALLS_MOSAIC",
                          self.ps_folder + self.ps + "_mosaic_cnvs.tsv")

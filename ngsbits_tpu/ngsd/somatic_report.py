@@ -503,6 +503,48 @@ def set_somatic_report_config(db: NGSD, t_ps_id, n_ps_id, config: SomaticReportC
     return config_id
 
 
+def filter_svs(db: NGSD, svs, sett: SomaticReportSettings):
+    """SomaticReportSettings::filterSvs (SomaticReportSettings.cpp:117-147)."""
+    import copy
+
+    from ..core.geneset import GeneSet
+
+    result = copy.copy(svs)
+    result.annotation_headers = list(svs.annotation_headers) + [
+        b"DESCRIPTION", b"GENES_BREAKPOINT_A", b"GENES_BREAKPOINT_B",
+        b"START_POS_REPORT", b"END_POS_REPORT"]
+    result.lines = []
+
+    rc = sett.report_config
+    sv_indices = {c["variant_index"] for c in rc.variant_configs
+                  if c["variant_type"] == "SVS" and show_in_report(c)}
+    if not sv_indices:
+        return result
+    for idx in sv_indices:
+        sv = copy.copy(svs.lines[idx])
+        sv.annotations = list(sv.annotations)
+        genes_a, genes_b = GeneSet(), GeneSet()
+        for g in db.genes_overlapping(sv.chr1, sv.start1, sv.end1, 5000):
+            genes_a.insert(g)
+        for g in db.genes_overlapping(sv.chr2, sv.start2, sv.end2, 5000):
+            genes_b.insert(g)
+        conf = rc.variant_config(idx, "SVS")
+        sv.annotations.append((conf.get("description") or "").encode())
+        sv.annotations.append(genes_a.join(", ").encode())
+        sv.annotations.append(genes_b.join(", ").encode())
+        manual_start = conf.get("manual_start")
+        manual_end = conf.get("manual_end")
+        sv.annotations.append(
+            (sv.chr1.str_normalized(True) + ": "
+             + (str(manual_start) if manual_start not in (None, "") else str(sv.start1))).encode())
+        sv.annotations.append(
+            (sv.chr2.str_normalized(True) + ": "
+             + (str(manual_end) if manual_end not in (None, "") else str(sv.start2))).encode())
+        result.lines.append(sv)
+    result.sort()
+    return result
+
+
 def delete_somatic_report_config(db: NGSD, config_id: int):
     """NGSD::deleteSomaticReportConfig (NGSD.cpp:9659-9677)."""
     exists = db.get_value("SELECT id FROM somatic_report_configuration WHERE id=?",
