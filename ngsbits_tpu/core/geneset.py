@@ -36,7 +36,9 @@ class GeneSet:
             self._list.remove(tmp)
             self._set.remove(tmp)
 
-    def contains(self, gene: str) -> bool:
+    def contains(self, gene: str | bytes) -> bool:
+        if isinstance(gene, bytes):
+            gene = gene.decode()
         return gene.strip().upper() in self._set
 
     __contains__ = contains

@@ -111,6 +111,24 @@ class FilterCascade:
         return out
 
     @staticmethod
+    def load_from_file(filename: str, filter_name: str) -> "FilterCascade":
+        """FilterCascadeFile::load (FilterCascade.cpp:832-852) — extract the
+        named '#<filter>' section of a GSvar filter ini and parse it.
+        Transparently handles gzipped ini resources."""
+        import gzip
+        opener = gzip.open if str(filename).endswith(".gz") else open
+        with opener(filename, "rt") as fh:
+            file_lines = [l.rstrip("\r\n") for l in fh]
+        filter_text = []
+        in_filter = False
+        for line in file_lines:
+            if line.startswith("#"):
+                in_filter = (line == "#" + filter_name)
+            elif in_filter:
+                filter_text.append(line)
+        return FilterCascade.from_text(filter_text)
+
+    @staticmethod
     def from_text(lines) -> "FilterCascade":
         """FilterCascade::fromText (FilterCascade.cpp:775-790)."""
         out = FilterCascade()

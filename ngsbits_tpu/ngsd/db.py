@@ -379,6 +379,8 @@ class NGSD:
                 if annotate_transcript_names:
                     annos = [(trans.gene + " " + trans.name_with_version()).encode()]
                 if mode == "gene":
+                    if trans.start() == 0 and trans.end() == 0:
+                        continue  # transcript without exon rows (incomplete fixture DB)
                     output.append(BedLine(trans.chr, trans.start(), trans.end(), list(annos)))
                 else:
                     regs = trans.coding_regions() if trans.is_coding() else trans.regions
@@ -2115,8 +2117,12 @@ def _ngsd_reports_ext(cls):
         out: dict[bytes, set] = {}
         for symbol, name in self.get_rows(
                 "SELECT g.symbol, t.name FROM gene g, gene_transcript t "
-                "WHERE t.gene_id=g.id AND (t.is_preferred_transcript=1 OR t.is_mane_select=1 "
+                "WHERE t.gene_id=g.id AND (t.is_mane_select=1 "
                 "OR t.is_mane_plus_clinical=1 OR t.is_ensembl_canonical=1)"):
+            out.setdefault(str(symbol).encode(), set()).add(str(name).encode())
+        for symbol, name in self.get_rows(
+                "SELECT g.symbol, t.name FROM gene g, gene_transcript t, "
+                "preferred_transcripts pt WHERE t.gene_id=g.id AND pt.name=t.name"):
             out.setdefault(str(symbol).encode(), set()).add(str(name).encode())
         return out
 
@@ -2179,6 +2185,29 @@ def _ngsd_somatic_pathways_ext(cls):
             out.insert(str(gene))
         return out
 
+    def subpanel_regions(self, name: str):
+        """NGSD::subpanelRegions (NGSD.cpp:4498-4503)."""
+        from ..core.chromosome import Chromosome
+        from ..core.intervals import BedFile, BedLine
+        roi = self.get_value("SELECT roi FROM subpanels WHERE name=?", params=(name,))
+        out = BedFile()
+        for line in str(roi or "").replace("\r", "").split("\n"):
+            line = line.strip()
+            if not line or line.startswith("#") or line.startswith("track "):
+                continue
+            parts = line.split("\t")
+            out.append(BedLine(Chromosome(parts[0]), int(parts[1]) + 1, int(parts[2]),
+                               [p.encode() for p in parts[3:]]))
+        return out
+
+    def subpanel_genes(self, name: str):
+        """NGSD::subpanelGenes (NGSD.cpp:4505-4510)."""
+        from ..core.geneset import GeneSet
+        genes = self.get_value("SELECT genes FROM subpanels WHERE name=?", params=(name,))
+        return GeneSet.create_from_text(str(genes or ""))
+
+    cls.subpanel_regions = subpanel_regions
+    cls.subpanel_genes = subpanel_genes
     cls.processing_system_id_from_processed_sample = processing_system_id_from_processed_sample
     cls.get_processing_system_data = get_processing_system_data
     cls.get_somatic_pathways = get_somatic_pathways

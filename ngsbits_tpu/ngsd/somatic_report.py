@@ -81,6 +81,11 @@ class SomaticReportSettings:
         self.id_signature = ""
         self.cnv_signature = ""
         self.obo_terms_coding_splicing = None
+        self.icd10 = ""
+        self.phenotype = ""
+        self.igv_snapshot_png_hex_image = b""
+        self.igv_snapshot_width = 0
+        self.igv_snapshot_height = 0
 
     @property
     def target_region_filter(self):
@@ -165,6 +170,12 @@ def somatic_report_config(db: NGSD, t_ps_id, n_ps_id, snvs, cnvs, svs, germline_
     output.meta = meta
     if meta.get("filters"):
         output.filters = FilterCascade.from_text(str(meta["filters"]).split("\n"))
+    elif meta.get("filter_base_name"):
+        # NGSD.cpp somaticReportConfig: filters empty -> load the named cascade
+        # from GSvar_filters.ini next to the application (shipped as resource)
+        from ..core.resources import RESOURCE_DIR
+        output.filters = FilterCascade.load_from_file(
+            str(RESOURCE_DIR / "GSvar_filters.ini.gz"), str(meta["filter_base_name"]))
 
     # SNVs
     for row in _row_dicts(db, "SELECT * FROM somatic_report_configuration_variant "
