@@ -169,6 +169,37 @@ class BedFile:
         keys = [l.sort_key() for l in self.lines]
         return all(keys[i] <= keys[i + 1] for i in range(len(keys) - 1))
 
+    def is_merged(self) -> bool:
+        """BedFile::isMerged — no overlapping fragments, order irrelevant
+        (BedFile.cpp semantics: checked on a sorted copy)."""
+        lines = sorted(self.lines, key=lambda l: l.sort_key())
+        for i in range(1, len(lines)):
+            if lines[i - 1].overlaps(lines[i].chr, lines[i].start, lines[i].end):
+                return False
+        return True
+
+    @staticmethod
+    def from_text(text: str | bytes) -> "BedFile":
+        """BedFile::fromText — parse BED text ('#'/track lines -> headers)."""
+        if isinstance(text, bytes):
+            text = text.decode()
+        out = BedFile()
+        for raw in text.split("\n"):
+            line = raw.rstrip("\r")
+            if not line.strip():
+                continue
+            if line.startswith("#") or line.startswith("track ") or line.startswith("browser "):
+                out.headers.append(line.encode())
+                continue
+            parts = line.split("\t")
+            out.append(BedLine(Chromosome(parts[0]), int(parts[1]) + 1, int(parts[2]),
+                               [p.encode() for p in parts[3:]]))
+        return out
+
+    def overlaps_with_file(self, other: "BedFile") -> bool:
+        """BedFile::overlapsWith(BedFile) — any pairwise region overlap."""
+        return any(self.overlaps_with(l.chr, l.start, l.end) for l in other.lines)
+
     def is_merged_and_sorted(self) -> bool:
         for i in range(1, len(self.lines)):
             a, b = self.lines[i - 1], self.lines[i]

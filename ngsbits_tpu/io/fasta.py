@@ -124,3 +124,13 @@ _COMPLEMENT = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
 
 def reverse_complement(seq: bytes) -> bytes:
     return seq.translate(_COMPLEMENT)[::-1]
+
+
+def complement(seq: bytes) -> bytes:
+    """Sequence::complement (Sequence.cpp:46-66) — unknown bases unchanged."""
+    return seq.translate(_COMPLEMENT)
+
+
+def only_acgt(seq: bytes) -> bool:
+    """Sequence::onlyACGT (Sequence.cpp:101-110)."""
+    return all(c in b"ACGT" for c in seq)

@@ -1,0 +1,1018 @@
+"""Library-test corpus lane — cppNGS-TEST replayed at the API level.
+
+The tools-TEST corpus replay (test_ref_parity.py) covers the CLI layer; this
+file replays the reference's LIBRARY test assertions directly against the
+Python API, starting with ``cppNGS-TEST/Statistics_Test.cpp``.  Each test
+method below mirrors one reference TEST_METHOD with the same pinned values
+(S_EQUAL/I_EQUAL/F_EQUAL2 -> assert); genome-FASTA-gated methods
+(SKIP_IF_NO_HG38_GENOME) are omitted because no genome exists in this mount.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+NGS_TEST = "/root/reference/src/cppNGS-TEST"
+DIN = f"{NGS_TEST}/data_in"
+TOOLS_DIN = "/root/reference/src/tools-TEST/data_in"
+
+
+def _check_descriptions(stats):
+    for v in stats:
+        assert v.description != ""
+        assert v.accession != ""
+
+
+# ---- Statistics_Test.cpp ---------------------------------------------------
+
+PANEL_BAM = f"{DIN}/panel.bam"  # stripped large blob (.MISSING_LARGE_BLOBS)
+
+
+def _require(path: str):
+    import os
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {os.path.basename(path)} is a stripped large blob "
+                    "in this mount (/root/reference/.MISSING_LARGE_BLOBS)")
+
+
+
+def test_statistics_somatic():
+    """Statistics_Test.cpp:12-52 (somatic)."""
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.somatic import somatic
+
+    target = BedFile.from_file(f"{DIN}/Statistics_somatic_tmb_target.bed")
+    stats = somatic("hg19", f"{DIN}/tumor.bam", f"{DIN}/normal.bam",
+                    f"{DIN}/Statistics_somatic_tmb.vcf", "", target, True)
+    vals = list(stats)
+    assert (vals[0].name, vals[0].accession) == ("sample correlation", "QC:2000040")
+    assert vals[0].to_string() == "n/a (too few variants)"
+    assert (vals[1].name, vals[1].accession) == ("variant count", "QC:2000013")
+    assert vals[1].to_string() == "77"
+    assert (vals[2].name, vals[2].accession) == ("somatic variant count", "QC:2000041")
+    assert vals[2].to_string() == "64"
+    assert (vals[3].name, vals[3].accession) == ("known somatic variants percentage",
+                                                 "QC:2000045")
+    assert vals[3].to_string() == "n/a (no gnomADg_AF annotation info field)"
+    assert (vals[4].name, vals[4].accession) == ("somatic indel variants percentage",
+                                                 "QC:2000042")
+    assert vals[4].to_string() == "0.00"
+    assert (vals[5].name, vals[5].accession) == ("somatic transition/transversion ratio",
+                                                 "QC:2000043")
+    assert vals[5].to_string() == "6.11"
+    assert vals[6].accession == "QC:2000054"
+    assert vals[6].to_string() == "n/a (too few variants)"
+    assert len(vals) == 7
+    _check_descriptions(stats)
+
+
+def test_statistics_somatic_mutation_burden():
+    """Statistics_Test.cpp:54-93 (somatic_mutation_burden)."""
+    from ngsbits_tpu.qc.somatic import mutation_burden, mutation_burden_normalized
+
+    somatic_vcf = f"{TOOLS_DIN}/SomaticQC_in7.vcf"
+    exons = f"{TOOLS_DIN}/SomaticQC_tmb_exons.bed"
+    target = f"{TOOLS_DIN}/SomaticQC_in8.bed"
+    tsg = f"{TOOLS_DIN}/SomaticQC_tmb_tsg.bed"
+    blacklist = f"{TOOLS_DIN}/SomaticQC_tmb_blacklist.bed"
+
+    tmb = mutation_burden(somatic_vcf, target, blacklist)
+    assert (tmb.name, tmb.accession) == ("raw somatic variant rate", "QC:2000089")
+    assert tmb.to_string() == "0.12"
+
+    tmb = mutation_burden_normalized(somatic_vcf, exons, target, tsg, blacklist)
+    assert (tmb.name, tmb.accession) == ("somatic variant rate", "QC:2000053")
+    assert tmb.to_string() == "4.41"
+
+    tsg = f"{DIN}/Statistics_somatic_tmb_tsg.bed"
+    tmb = mutation_burden_normalized(somatic_vcf, exons, target, tsg, blacklist)
+    assert tmb.to_string() == "2.23"
+
+    blacklist = f"{DIN}/Statistics_somatic_tmb_blacklist.bed"  # empty file
+    tmb = mutation_burden_normalized(somatic_vcf, exons, target, tsg, blacklist)
+    assert tmb.to_string() == "n/a"
+
+
+def test_statistics_variant_list_panel_filter():
+    """Statistics_Test.cpp:95-115 (variantList_panel_filter)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+    from ngsbits_tpu.qc.variant_stats import variant_list
+
+    vl = VcfFile.from_file(f"{DIN}/panel_vep.vcf")
+    stats = variant_list(vl, True)
+    vals = list(stats)
+    assert (vals[0].name, vals[0].accession) == ("variant count", "QC:2000013")
+    assert vals[0].to_string() == "152"
+    assert (vals[1].name, vals[1].accession) == ("known variants percentage", "QC:2000014")
+    assert vals[1].to_string() == "100.00"
+    assert len(vals) == 7
+    _check_descriptions(stats)
+
+
+def test_statistics_variant_list_panel_nofilter():
+    """Statistics_Test.cpp:117-148 (variantList_panel_nofilter)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+    from ngsbits_tpu.qc.variant_stats import variant_list
+
+    vl = VcfFile.from_file(f"{DIN}/panel_vep.vcf")
+    stats = variant_list(vl, False)
+    vals = list(stats)
+    assert vals[0].to_string() == "326"
+    assert vals[1].to_string() == "99.69"
+    assert (vals[2].name, vals[2].accession) == ("high-impact variants percentage",
+                                                 "QC:2000015")
+    assert vals[2].to_string() == "0.61"
+    assert vals[3].name == "homozygous variants percentage"
+    assert vals[3].to_string() == "34.05"
+    assert vals[4].name == "indel variants percentage"
+    assert vals[4].to_string() == "13.80"
+    assert vals[5].name == "transition/transversion ratio"
+    assert vals[5].to_string() == "2.16"
+    assert vals[6].name == "mosaic variant count"
+    assert vals[6].to_string() == "0"
+    assert len(vals) == 7
+    _check_descriptions(stats)
+
+
+def test_statistics_variant_list_empty():
+    """Statistics_Test.cpp:150-177 (variantList_empty)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+    from ngsbits_tpu.qc.variant_stats import variant_list
+
+    stats = variant_list(VcfFile(), True)
+    vals = list(stats)
+    assert vals[0].name == "variant count"
+    assert vals[0].to_string() == "0"
+    for i, name in ((1, "known variants percentage"), (2, "high-impact variants percentage"),
+                    (3, "homozygous variants percentage"), (4, "indel variants percentage"),
+                    (5, "transition/transversion ratio")):
+        assert vals[i].name == name
+        assert vals[i].to_string().startswith("n/a ")
+    assert vals[6].name == "mosaic variant count"
+    assert vals[6].to_string() == "0"
+    assert len(vals) == 7
+    _check_descriptions(stats)
+
+
+def test_statistics_contamination():
+    """Statistics_Test.cpp:285-299 (contamination)."""
+    from ngsbits_tpu.qc.mapping_stats import contamination
+
+    _require(PANEL_BAM)
+    stats = contamination("hg38", f"{DIN}/panel.bam")
+    vals = list(stats)
+    assert len(vals) == 1
+    assert vals[0].name == "SNV allele frequency deviation"
+    assert vals[0].to_string() == "4.76"
+
+    stats = contamination("hg38", f"{DIN}/panel.bam", roi_file=f"{DIN}/panel.bed")
+    vals = list(stats)
+    assert len(vals) == 1
+    assert vals[0].to_string() == "5.77"
+
+
+@pytest.mark.parametrize("merge,bases,fragments,sorted_,merged,fmax,fmean,fstdev", [
+    (True, "92168", "590", "yes", "yes", "1000", "156.22", "106.31"),   # region1 (:568)
+    (False, "92369", "592", "no", "no", "965", "156.03", "102.36"),     # region2 (:600)
+])
+def test_statistics_region_demo(merge, bases, fragments, sorted_, merged, fmax,
+                                fmean, fstdev):
+    """Statistics_Test.cpp:568-632 (region1/region2)."""
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.statistics import region
+
+    bed = BedFile.from_file(f"{DIN}/demo_unmerged.bed")
+    stats = region(bed, merge)
+    vals = list(stats)
+    assert vals[0].name == "roi_bases"
+    assert vals[0].to_string(0) == bases
+    assert vals[1].name == "roi_fragments"
+    assert vals[1].to_string() == fragments
+    assert vals[2].name == "roi_chromosomes"
+    assert vals[2].to_string() == "13 (1, 2, 3, 4, 6, 7, 8, 10, 12, 16, 17, 18, 22)"
+    assert vals[3].name == "roi_is_sorted"
+    assert vals[3].to_string() == sorted_
+    assert vals[4].name == "roi_is_merged"
+    assert vals[4].to_string() == merged
+    assert vals[5].name == "roi_fragment_min"
+    assert vals[5].to_string() == "21"
+    assert vals[6].name == "roi_fragment_max"
+    assert vals[6].to_string() == fmax
+    assert vals[7].name == "roi_fragment_mean"
+    assert vals[7].to_string() == fmean
+    assert vals[8].name == "roi_fragment_stdev"
+    assert vals[8].to_string() == fstdev
+    assert len(vals) == 9
+    for v in vals:
+        assert v.description != ""
+
+
+def test_statistics_region3_wgs():
+    """Statistics_Test.cpp:633-663 (region3)."""
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.statistics import region
+
+    bed = BedFile.from_file(f"{DIN}/WGS_hg19.bed")
+    stats = region(bed, False)
+    vals = list(stats)
+    assert vals[1].to_string() == "25"
+    assert vals[0].to_string(0) == "3095693958"
+    assert vals[3].to_string() == "yes"
+    assert vals[4].to_string() == "yes"
+    assert vals[5].to_string() == "16570"
+    assert vals[6].to_string() == "249250620"
+    assert vals[7].to_string(2) == "123827758.32"
+    assert vals[8].to_string(2) == "61027437.29"
+    assert len(vals) == 9
+
+
+@pytest.mark.parametrize("threads", [1, 2, 4, 8])
+def test_statistics_low_coverage_roi_mapq20(threads):
+    """Statistics_Test.cpp:664-689 (lowCoverage_roi_mapq20 + _multiple_threads)."""
+    _require(PANEL_BAM)
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.coverage import low_or_high_coverage
+
+    bed = BedFile.from_file(f"{DIN}/panel.bed")
+    bed.merge()
+    assert bed.base_count() == 271536
+    low = low_or_high_coverage(bed, f"{DIN}/panel.bam", 20, 20, 0, threads, False)
+    assert len(low.lines) == 450
+    assert low.base_count() == 16129
+
+
+def test_statistics_low_coverage_close_exons_and_bug_cases():
+    """Statistics_Test.cpp:691-712 (lowCoverage closeExons/bug_case1/bug_case2)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.qc.coverage import low_or_high_coverage
+
+    bed = BedFile.from_file(f"{DIN}/close_exons.bed")
+    bed.merge()
+    assert bed.base_count() == 154
+    low = low_or_high_coverage(bed, f"{DIN}/close_exons.bam", 20, 1, 0, 1, False)
+    assert low.base_count() == 0
+
+    for case in ("lowcov_bug_case1", "lowcov_bug_case2"):
+        roi = BedFile()
+        roi.append(BedLine(Chromosome("chr13"), 32931869, 32931970))
+        low = low_or_high_coverage(roi, f"{DIN}/{case}.bam", 20, 1, 0, 1, False)
+        assert low.base_count() == 0
+
+
+@pytest.mark.parametrize("threads", [1, 2, 4, 8])
+def test_statistics_high_coverage_roi_mapq20(threads):
+    """Statistics_Test.cpp:714-739 (highCoverage_roi_mapq20 + _multiple_threads)."""
+    _require(PANEL_BAM)
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.coverage import low_or_high_coverage
+
+    bed = BedFile.from_file(f"{DIN}/panel.bed")
+    bed.merge()
+    assert bed.base_count() == 271536
+    high = low_or_high_coverage(bed, f"{DIN}/panel.bam", 20, 20, 0, threads, True)
+    assert len(high.lines) == 1707
+    assert high.base_count() == 255407
+
+
+def test_statistics_avg_coverage_overlapping_regions():
+    """Statistics_Test.cpp:741-757 (avgCoverage_overlapping_regions)."""
+    _require(PANEL_BAM)
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.qc.coverage import avg_coverage
+
+    bed = BedFile()
+    bed.append(BedLine(Chromosome("chr1"), 11013718, 11013975))
+    bed.append(BedLine(Chromosome("chr1"), 11013718, 11013818))
+    bed.append(BedLine(Chromosome("chr1"), 11013818, 11013975))
+    avg_coverage(bed, f"{DIN}/panel.bam", 20, 1, 2)
+    assert len(bed.lines) == 3
+    assert bed.lines[0].chr == Chromosome("chr1")
+    assert (bed.lines[0].start, bed.lines[0].end) == (11013718, 11013975)
+    assert bed.lines[0].annotations[0] == b"106.40"
+    assert bed.lines[1].annotations[0] == b"75.07"
+    assert bed.lines[2].annotations[0] == b"126.03"
+
+
+def test_statistics_avg_coverage_1decimal():
+    """Statistics_Test.cpp:759-776 (avgCoverage_1decimal)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.coverage import avg_coverage
+
+    bed = BedFile.from_file(f"{DIN}/close_exons.bed")
+    bed.merge()
+    avg_coverage(bed, f"{DIN}/close_exons.bam", 20, 1, 1)
+    assert len(bed.lines) == 2
+    assert bed.lines[0].chr == Chromosome("chr1")
+    assert (bed.lines[0].start, bed.lines[0].end) == (45332753, 45332844)
+    assert bed.lines[0].annotations[0] == b"454.0"
+    assert (bed.lines[1].start, bed.lines[1].end) == (45332908, 45332969)
+    assert bed.lines[1].annotations[0] == b"292.1"
+
+
+@pytest.mark.parametrize("threads", [2, 4, 8])
+def test_statistics_avg_coverage_multiple_threads(threads):
+    """Statistics_Test.cpp:778-797 (avgCoverage_multiple_threads)."""
+    _require(PANEL_BAM)
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.qc.coverage import avg_coverage
+
+    bed = BedFile.from_file(f"{DIN}/panel.bed")
+    avg_coverage(bed, f"{DIN}/panel.bam", 20, threads, 2)
+    assert len(bed.lines) == 1532
+    assert bed.lines[0].chr == Chromosome("chr1")
+    assert (bed.lines[0].start, bed.lines[0].end) == (11013718, 11013975)
+    assert bed.lines[0].annotations[1] == b"106.40"
+    assert (bed.lines[1].start, bed.lines[1].end) == (11016834, 11017017)
+    assert bed.lines[1].annotations[1] == b"146.57"
+
+
+def test_statistics_gender_xy():
+    """Statistics_Test.cpp:799-822 (genderXY incl. long-read)."""
+    from ngsbits_tpu.tools.sample_gender import gender_xy
+
+    import os
+    if os.path.exists(PANEL_BAM):
+        gender, info = gender_xy(f"{DIN}/panel.bam", 0.06, 0.09)
+        assert [(k, v) for k, v in info] == [
+            ("reads_chry", "2"), ("reads_chrx", "30645"), ("ratio_chry_chrx", "0.0001")]
+        assert gender == "female"
+
+    gender, info = gender_xy(f"{DIN}/Statistics_longread.bam", 0.06, 0.09)
+    assert [(k, v) for k, v in info] == [
+        ("reads_chry", "0"), ("reads_chrx", "214"), ("ratio_chry_chrx", "0.0000")]
+    assert gender == "female"
+
+
+def test_statistics_gender_hetx():
+    """Statistics_Test.cpp:823-841 (genderHetX incl. long-read)."""
+    from ngsbits_tpu.tools.sample_gender import gender_hetx
+
+    import os
+    if os.path.exists(PANEL_BAM):
+        gender, _info = gender_hetx("hg19", f"{DIN}/panel.bam", 0.15, 0.24, False)
+        assert gender == "unknown (too few SNPs)"
+
+    gender, info = gender_hetx("hg38", f"{DIN}/Statistics_longread.bam", 0.15, 0.24, True)
+    assert [(k, v) for k, v in info] == [
+        ("snps_usable", "10 of 437"), ("hom_count", "10"),
+        ("het_count", "0"), ("het_fraction", "0.0000")]
+    assert gender == "unknown (too few SNPs)"
+
+
+def test_statistics_gender_sry():
+    """Statistics_Test.cpp:842-856 (genderSRY)."""
+    from ngsbits_tpu.tools.sample_gender import gender_sry
+
+    import os
+    if os.path.exists(PANEL_BAM):
+        gender, info = gender_sry("hg19", f"{DIN}/panel.bam", 20.0)
+        assert [(k, v) for k, v in info] == [("coverage_sry", "0.00")]
+        assert gender == "female"
+
+    gender, info = gender_sry("hg19", f"{DIN}/sry.bam", 20.0)
+    assert [(k, v) for k, v in info] == [("coverage_sry", "67.27")]
+    assert gender == "male"
+
+
+def test_statistics_ancestry():
+    """Statistics_Test.cpp:857-882 (ancestry)."""
+    from ngsbits_tpu.tools.sample_ancestry import ancestry
+
+    snps, afr, eur, sas, eas, pop = ancestry("hg19", f"{DIN}/ancestry.vcf.gz")
+    assert snps == 3096
+    assert afr == pytest.approx(0.0114, abs=0.001)
+    assert eur == pytest.approx(0.3088, abs=0.001)
+    assert sas == pytest.approx(0.1636, abs=0.001)
+    assert eas == pytest.approx(0.0572, abs=0.001)
+    assert pop == "EUR"
+
+    snps, *_rest, pop = ancestry("hg19", f"{DIN}/ancestry.vcf.gz", 10000)
+    assert snps == 3096
+    assert pop == "NOT_ENOUGH_SNPS"
+
+    snps, afr, eur, sas, eas, pop = ancestry("hg19", f"{DIN}/ancestry.vcf.gz", 1000, 0.0, 2.0)
+    assert snps == 3096
+    assert pop == "ADMIXED/UNKNOWN"
+
+
+def test_statistics_ancestry_hg38():
+    """Statistics_Test.cpp:883-905 (ancestry_hg38)."""
+    from ngsbits_tpu.tools.sample_ancestry import ancestry
+
+    snps, afr, eur, sas, eas, pop = ancestry("hg38", f"{DIN}/ancestry_hg38.vcf.gz")
+    assert snps == 2126
+    assert afr == pytest.approx(0.4984, abs=0.001)
+    assert eur == pytest.approx(0.0241, abs=0.001)
+    assert sas == pytest.approx(0.1046, abs=0.001)
+    assert eas == pytest.approx(0.0742, abs=0.001)
+    assert pop == "AFR"
+
+
+# ---- StatisticsReads_Test.cpp ---------------------------------------------
+
+def test_statistics_reads():
+    """StatisticsReads_Test.cpp:8-57 (reads)."""
+    from ngsbits_tpu.io.fastq import FastqReader
+    from ngsbits_tpu.qc.read_stats import FORWARD, REVERSE, ReadStatistics
+
+    stats = ReadStatistics(single_end=False)
+    for batch in FastqReader(f"{DIN}/example6.fastq.gz"):
+        stats.update_batch(batch, FORWARD)
+    for batch in FastqReader(f"{DIN}/example7.fastq.gz"):
+        stats.update_batch(batch, REVERSE)
+    result = list(stats.get_result())
+    expected = [("read count", "5000"), ("read length", "151"),
+                ("bases sequenced (MB)", "0.76"), ("Q20 read percentage", "99.40"),
+                ("Q20 base percentage", "96.77"), ("Q30 base percentage", "96.30"),
+                ("no base call percentage", "0.00"), ("gc content percentage", "46.26")]
+    for i, (name, value) in enumerate(expected):
+        assert result[i].name == name
+        assert result[i].to_string() == value
+    assert result[8].name == "base distribution plot"
+    assert result[9].name == "Q score plot"
+    assert result[10].name == "read Q score distribution"
+    assert len(result) == 11
+    for v in result:
+        assert v.description != ""
+
+
+# ---- Sequence_Test.cpp ----------------------------------------------------
+
+def test_sequence_ops():
+    """Sequence_Test.cpp (reverse/complement/reverseComplement/onlyACGT)."""
+    from ngsbits_tpu.io.fasta import complement, only_acgt, reverse_complement
+
+    assert b""[::-1] == b""
+    assert b"ACGTN"[::-1] == b"NTGCA"
+    assert complement(b"") == b""
+    assert complement(b"ACGTN") == b"TGCAN"
+    assert reverse_complement(b"") == b""
+    assert reverse_complement(b"ACGTA") == b"TACGT"
+    assert reverse_complement(b"ACGT") == b"ACGT"
+    assert reverse_complement(b"ACGTN") == b"NACGT"
+    assert reverse_complement(b"ACNT") == b"ANGT"
+    assert only_acgt(b"ACGTACGTACGTACGT")
+    assert only_acgt(b"A")
+    assert not only_acgt(b"ACGTN")
+    assert not only_acgt(b"N")
+    assert not only_acgt(b"ACGTB")
+    assert not only_acgt(b"B")
+
+
+# ---- SomaticVariantInterpreter_Test.cpp ------------------------------------
+
+def _vicc(**kwargs):
+    from ngsbits_tpu.ngsd.somatic_vicc import SomaticViccData
+    d = SomaticViccData()
+    d.states.update(kwargs)
+    return d
+
+
+def test_vicc_data():
+    """SomaticVariantInterpreter_Test.cpp:11-49 (SomaticViccDataTest)."""
+    d = _vicc()
+    assert d.is_valid()
+    d.states["known_oncogenic_aa"] = True
+    d.states["located_in_canerhotspot"] = False
+    assert not d.is_valid()
+    assert d.config_as_map()["known_oncogenic_aa"] == "TRUE"
+    assert d.config_as_map()["located_in_canerhotspot"] == "FALSE"
+    d.states["located_in_canerhotspot"] = None
+    assert d.is_valid()
+    assert d.config_as_map()["located_in_canerhotspot"] == "NOT_APPLICABLE"
+    d.states["other_aa_known_oncogenic"] = False
+    assert not d.is_valid()
+    assert d.config_as_map()["other_aa_known_oncogenic"] == "FALSE"
+
+    d = _vicc()
+    assert d.strong_evidence_count() == 0
+    d.states.update(known_oncogenic_aa=True, strong_cancerhotspot=True)
+    assert d.strong_evidence_count() == 2
+    assert d.moderate_evidence_count() == 0
+    d.states.update(absent_from_controls=True, protein_length_change=True,
+                    weak_cancerhotspot=True)
+    assert d.moderate_evidence_count() == 3
+    assert d.supporting_evidence_count() == 0
+    d.states.update(computational_evidence=True)
+    assert d.supporting_evidence_count() == 1
+
+
+def test_vicc_rules_oncogenic():
+    """SomaticVariantInterpreter_Test.cpp:51-117 (viccRulesOncogenic)."""
+    from ngsbits_tpu.ngsd.somatic_vicc import vicc_score_as_string as score
+
+    d = _vicc(null_mutation_in_tsg=True)
+    assert score(d) == "UNCERTAIN_SIGNIFICANCE"
+    d.states["oncogenic_functional_studies"] = True
+    assert score(d) == "ONCOGENIC"
+    assert score(_vicc(null_mutation_in_tsg=True, located_in_canerhotspot=True,
+                       absent_from_controls=True)) == "ONCOGENIC"
+    assert score(_vicc(null_mutation_in_tsg=True, protein_length_change=True,
+                       very_weak_cancerhotspot=True)) == "ONCOGENIC"
+    assert score(_vicc(null_mutation_in_tsg=True, computational_evidence=True,
+                       mutation_in_gene_with_etiology=True)) == "ONCOGENIC"
+    d = _vicc(strong_cancerhotspot=True)
+    assert score(d) == "UNCERTAIN_SIGNIFICANCE"
+    d.states["known_oncogenic_aa"] = True
+    assert score(d) == "ONCOGENIC"
+    assert score(_vicc(known_oncogenic_aa=True, protein_length_change=True,
+                       weak_cancerhotspot=True, located_in_canerhotspot=True)) == "ONCOGENIC"
+    assert score(_vicc(oncogenic_functional_studies=True, absent_from_controls=True,
+                       other_aa_known_oncogenic=True, very_weak_cancerhotspot=True,
+                       mutation_in_gene_with_etiology=True)) == "ONCOGENIC"
+    assert score(_vicc(oncogenic_functional_studies=True, protein_length_change=True,
+                       computational_evidence=True, mutation_in_gene_with_etiology=True,
+                       very_weak_cancerhotspot=True)) == "ONCOGENIC"
+
+
+def test_vicc_rules_likely_oncogenic():
+    """SomaticVariantInterpreter_Test.cpp:119-165 (viccRulesLikelyOncogenic)."""
+    from ngsbits_tpu.ngsd.somatic_vicc import vicc_score_as_string as score
+
+    assert score(_vicc(null_mutation_in_tsg=True,
+                       other_aa_known_oncogenic=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(oncogenic_functional_studies=True,
+                       weak_cancerhotspot=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(known_oncogenic_aa=True, mutation_in_gene_with_etiology=True,
+                       very_weak_cancerhotspot=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(other_aa_known_oncogenic=True, absent_from_controls=True,
+                       weak_cancerhotspot=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(other_aa_known_oncogenic=True, absent_from_controls=True,
+                       computational_evidence=True,
+                       mutation_in_gene_with_etiology=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(located_in_canerhotspot=True, computational_evidence=True,
+                       mutation_in_gene_with_etiology=True,
+                       very_weak_cancerhotspot=True)) == "LIKELY_ONCOGENIC"
+
+
+def test_vicc_rules_benign_likely_benign_uncertain():
+    """SomaticVariantInterpreter_Test.cpp:168-214 (viccRulesBenign/LikelyBenign/
+    UncertainSignificance)."""
+    from ngsbits_tpu.ngsd.somatic_vicc import vicc_score_as_string as score
+
+    assert score(_vicc(very_high_maf=True)) == "BENIGN"
+    assert score(_vicc(benign_functional_studies=True, high_maf=True)) == "BENIGN"
+    assert score(_vicc(high_maf=True, synonymous_mutation=True,
+                       benign_computational_evidence=True)) == "LIKELY_BENIGN"
+    assert score(_vicc(null_mutation_in_tsg=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(oncogenic_functional_studies=True,
+                       computational_evidence=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(absent_from_controls=True,
+                       protein_length_change=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(benign_computational_evidence=True,
+                       synonymous_mutation=True)) == "UNCERTAIN_SIGNIFICANCE"
+
+
+def test_vicc_score_combined():
+    """SomaticVariantInterpreter_Test.cpp:216-282 (viccScore)."""
+    from ngsbits_tpu.ngsd.somatic_vicc import vicc_score_as_string as score
+
+    assert score(_vicc(null_mutation_in_tsg=True,
+                       oncogenic_functional_studies=True)) == "ONCOGENIC"
+    assert score(_vicc(oncogenic_functional_studies=True,
+                       weak_cancerhotspot=True)) == "LIKELY_ONCOGENIC"
+    assert score(_vicc(null_mutation_in_tsg=True, oncogenic_functional_studies=True,
+                       very_high_maf=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(null_mutation_in_tsg=True, oncogenic_functional_studies=True,
+                       high_maf=True, synonymous_mutation=True,
+                       benign_computational_evidence=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(null_mutation_in_tsg=True, other_aa_known_oncogenic=True,
+                       very_high_maf=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(null_mutation_in_tsg=True, other_aa_known_oncogenic=True,
+                       high_maf=True, synonymous_mutation=True,
+                       benign_computational_evidence=True)) == "UNCERTAIN_SIGNIFICANCE"
+    assert score(_vicc(very_high_maf=True)) == "BENIGN"
+    assert score(_vicc(high_maf=True, synonymous_mutation=True,
+                       benign_computational_evidence=True)) == "LIKELY_BENIGN"
+
+
+def test_vicc_predict_parameters():
+    """SomaticVariantInterpreter_Test.cpp:284-331 (predictViccParameters)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+    from ngsbits_tpu.ngsd.somatic_vicc import predict_vicc_value
+
+    vl = GSvarFile.from_file(f"{DIN}/SomaticVariantInterpreter_predict.GSvar")
+    s = predict_vicc_value(vl, vl.variants[0]).states
+    assert s["null_mutation_in_tsg"] is False
+    assert s["strong_cancerhotspot"] is False
+    assert s["absent_from_controls"] is True
+    assert s["protein_length_change"] is False
+    assert s["weak_cancerhotspot"] is False
+    assert s["computational_evidence"] is False
+    assert s["very_weak_cancerhotspot"] is False
+    assert s["very_high_maf"] is False
+    assert s["benign_functional_studies"] is False
+    assert s["high_maf"] is False
+    assert s["synonymous_mutation"] is False
+
+    s = predict_vicc_value(vl, vl.variants[1]).states
+    assert s["null_mutation_in_tsg"] is True
+
+    s = predict_vicc_value(vl, vl.variants[2]).states
+    assert s["known_oncogenic_aa"] is True
+    assert s["strong_cancerhotspot"] is True
+    assert s["absent_from_controls"] is True
+    assert s["computational_evidence"] is True
+
+    s = predict_vicc_value(vl, vl.variants[3]).states
+    assert s["known_oncogenic_aa"] is False
+    assert s["strong_cancerhotspot"] is True
+    assert s["absent_from_controls"] is False
+    assert s["weak_cancerhotspot"] is False
+    assert s["computational_evidence"] is True
+    assert s["very_high_maf"] is False
+    assert s["high_maf"] is True
+
+    s = predict_vicc_value(vl, vl.variants[4]).states
+    assert s["very_high_maf"] is True
+    assert s["benign_functional_studies"] is True
+    assert s["high_maf"] is True
+    assert s["synonymous_mutation"] is True
+
+
+# ---- BedFile_Test.cpp ------------------------------------------------------
+
+def _BL(chrom, start, end, annos=()):
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+    return BedLine(Chromosome(chrom), start, end, [a.encode() for a in annos])
+
+
+def _bf(*lines):
+    from ngsbits_tpu.core.intervals import BedFile
+    f = BedFile()
+    for l in lines:
+        f.append(l)
+    return f
+
+
+def _chk(line, chrom, start, end):
+    from ngsbits_tpu.core.chromosome import Chromosome
+    assert line.chr == Chromosome(chrom)
+    assert (line.start, line.end) == (start, end)
+
+
+def test_bedfile_is_sorted():
+    """BedFile_Test.cpp:16-36 (isSorted)."""
+    f = _bf()
+    assert f.is_sorted()
+    f.append(_BL("chr2", 5, 10))
+    assert f.is_sorted()
+    f.append(_BL("chr2", 15, 20))
+    assert f.is_sorted()
+    f.append(_BL("chr21", 1, 2))
+    f.append(_BL("chr21", 15, 20))
+    assert f.is_sorted()
+    f.append(_BL("chr21", 15, 20))
+    assert f.is_sorted()
+    f.append(_BL("chr21", 6, 9))
+    assert not f.is_sorted()
+
+
+def test_bedfile_sort():
+    """BedFile_Test.cpp:38-80 (sort)."""
+    f = _bf()
+    f.sort()
+    assert len(f.lines) == 0
+    f.append(_BL("chr2", 5, 10))
+    f.sort()
+    assert len(f.lines) == 1
+    f.append(_BL("chr2", 15, 20))
+    f.append(_BL("chr2", 1, 2))
+    assert not f.is_sorted()
+    f.sort()
+    assert f.is_sorted()
+    assert [l.start for l in f.lines] == [1, 5, 15]
+    f.append(_BL("chr1", 14, 20))
+    f.append(_BL("chr1", 7, 23))
+    assert not f.is_sorted()
+    f.sort()
+    assert f.is_sorted()
+    assert len(f.lines) == 5
+    _chk(f[0], "chr1", 7, 23)
+    _chk(f[1], "chr1", 14, 20)
+    _chk(f[2], "chr2", 1, 2)
+    _chk(f[3], "chr2", 5, 10)
+    _chk(f[4], "chr2", 15, 20)
+
+
+def test_bedfile_sort_with_name():
+    """BedFile_Test.cpp:82-106 (sortWithName)."""
+    f = _bf(_BL("chr1", 14, 20, ["X"]), _BL("chr1", 14, 20),
+            _BL("chr1", 14, 20, ["Y"]), _BL("chr1", 7, 9, ["C"]),
+            _BL("chr1", 7, 9, ["B"]), _BL("chr1", 7, 9, ["A"]))
+    f.sort_with_name()
+    assert f.is_sorted()
+    assert len(f.lines) == 6
+    assert f[0].annotations == [b"A"]
+    assert f[1].annotations == [b"B"]
+    assert f[2].annotations == [b"C"]
+    assert f[3].annotations == []
+    assert f[4].annotations == [b"X"]
+    assert f[5].annotations == [b"Y"]
+
+
+def test_bedfile_remove_duplicates():
+    """BedFile_Test.cpp:108-133 (removeDuplicates)."""
+    f = _bf(_BL("chr1", 7, 23), _BL("chr1", 7, 23), _BL("chr1", 14, 20),
+            _BL("chr2", 1, 2), _BL("chr2", 1, 2), _BL("chr2", 5, 10),
+            _BL("chr2", 15, 20))
+    f.remove_duplicates()
+    assert f.is_sorted()
+    assert len(f.lines) == 5
+    _chk(f[0], "chr1", 7, 23)
+    _chk(f[1], "chr1", 14, 20)
+    _chk(f[2], "chr2", 1, 2)
+    _chk(f[3], "chr2", 5, 10)
+    _chk(f[4], "chr2", 15, 20)
+
+
+def test_bedfile_merge():
+    """BedFile_Test.cpp:135-227 (merge incl. no-back-to-back + merge_names)."""
+    f = _bf()
+    f.merge()
+    assert len(f.lines) == 0
+    f.append(_BL("chr2", 5, 10))
+    f.merge()
+    assert len(f.lines) == 1
+    f.append(_BL("chr2", 10, 20))
+    f.append(_BL("chr2", 1, 2))
+    f.merge()
+    assert len(f.lines) == 2
+    assert (f[0].start, f[0].end) == (1, 2)
+    assert (f[1].start, f[1].end) == (5, 20)
+    f.append(_BL("chr1", 14, 20))
+    f.append(_BL("chr1", 7, 23))
+    f.merge()
+    assert len(f.lines) == 3
+    _chk(f[0], "chr1", 7, 23)
+    _chk(f[1], "chr2", 1, 2)
+    _chk(f[2], "chr2", 5, 20)
+
+    # no back-to-back
+    f.append(_BL("chr1", 1, 6))
+    f.append(_BL("chr1", 24, 30))
+    f.merge(False)
+    assert len(f.lines) == 5
+    _chk(f[0], "chr1", 1, 6)
+    _chk(f[1], "chr1", 7, 23)
+    _chk(f[2], "chr1", 24, 30)
+    _chk(f[3], "chr2", 1, 2)
+    _chk(f[4], "chr2", 5, 20)
+
+    # merge_names (without content)
+    f.merge(True, True)
+    assert len(f.lines) == 3
+    _chk(f[0], "chr1", 1, 30)
+    assert f[0].annotations == [b",,"]
+    _chk(f[1], "chr2", 1, 2)
+    assert f[1].annotations == [b""]
+    _chk(f[2], "chr2", 5, 20)
+    assert f[2].annotations == [b""]
+
+    # merge_names (with content)
+    f.append(_BL("chr1", 2, 31, ["bli"]))
+    f.append(_BL("chr2", 2, 7, ["bla"]))
+    f.append(_BL("chr2", 19, 25, ["bluff"]))
+    f.merge(True, True)
+    assert len(f.lines) == 2
+    _chk(f[0], "chr1", 1, 31)
+    assert f[0].annotations == [b",,,bli"]
+    _chk(f[1], "chr2", 1, 25)
+    assert f[1].annotations == [b",bla,,bluff"]
+
+
+def test_bedfile_load():
+    """BedFile_Test.cpp:229-290 (load with/without annotations)."""
+    from ngsbits_tpu.core.intervals import BedFile
+
+    f = BedFile.from_file(f"{DIN}/demo.bed", read_annotations=False)
+    assert len(f.lines) == 591
+    _chk(f[0], "chr4", 843451, 843572)
+    assert f[0].annotations == []
+    _chk(f[590], "chr22", 38565215, 38565443)
+    assert f[590].annotations == []
+    assert not f.is_sorted()
+
+    f = BedFile.from_file(f"{DIN}/demo.bed", read_annotations=True)
+    assert len(f.lines) == 591
+    assert f[0].annotations == [b"some text annotation"]
+    assert f[590].annotations == [b""]
+
+
+def test_bedfile_store(tmp_path):
+    """BedFile_Test.cpp:292-298 (store) — golden compare."""
+    from ngsbits_tpu.core.intervals import BedFile
+
+    f = BedFile.from_file(f"{DIN}/demo.bed")
+    out = str(tmp_path / "BedFile_store01_out.bed")
+    f.store(out)
+    assert open(out, "rb").read() == open(
+        f"{NGS_TEST}/data_out/BedFile_store01_out.bed", "rb").read()
+
+
+def test_bedfile_is_merged():
+    """BedFile_Test.cpp:300-336 (isMerged/isMergedAndSorted)."""
+    f = _bf()
+    assert f.is_merged()
+    f.append(_BL("chr2", 5, 10))
+    assert f.is_merged()
+    f.append(_BL("chr2", 15, 20))
+    assert f.is_merged()
+    f.append(_BL("chr21", 5, 10))
+    f.append(_BL("chr21", 15, 20))
+    assert f.is_merged()
+    f.append(_BL("chr21", 10, 20))
+    assert not f.is_merged()
+
+    f = _bf()
+    assert f.is_merged_and_sorted()
+    f.append(_BL("chr2", 5, 10))
+    assert f.is_merged_and_sorted()
+    f.append(_BL("chr2", 15, 20))
+    assert f.is_merged_and_sorted()
+    f.append(_BL("chr21", 15, 20))
+    f.append(_BL("chr21", 5, 10))
+    assert not f.is_merged_and_sorted()
+    f.sort()
+    assert f.is_merged_and_sorted()
+    f.append(_BL("chr21", 10, 15))
+    assert not f.is_merged_and_sorted()
+
+
+def test_bedfile_extend_shrink():
+    """BedFile_Test.cpp:337-358, 425-448 (extend/shrink)."""
+    f = _bf(_BL("chr1", 15, 20), _BL("chr2", 5, 10), _BL("chr21", 200, 200))
+    f.extend(10)
+    assert len(f.lines) == 3
+    _chk(f[0], "chr1", 5, 30)
+    _chk(f[1], "chr2", 1, 20)
+    _chk(f[2], "chr21", 190, 210)
+
+    f = _bf(_BL("chr11", 1, 2), _BL("chr13", 10, 20), _BL("chr16", 1, 3),
+            _BL("chr16", 4, 10))
+    f.shrink(1)
+    assert len(f.lines) == 3
+    _chk(f[0], "chr13", 11, 19)
+    _chk(f[1], "chr16", 2, 2)
+    _chk(f[2], "chr16", 5, 9)
+    f.shrink(2)
+    assert len(f.lines) == 2
+    _chk(f[0], "chr13", 13, 17)
+    _chk(f[1], "chr16", 7, 7)
+    f.shrink(3)
+    assert len(f.lines) == 0
+
+
+def test_bedfile_subtract():
+    """BedFile_Test.cpp:360-423 (subtract/subtract2)."""
+    f1 = _bf(_BL("chr2", 1, 100), _BL("chr1", 5, 9), _BL("chr1", 9, 20),
+             _BL("chr1", 8, 22), _BL("chr1", 10, 20), _BL("chr1", 10, 21))
+    f2 = _bf(_BL("chr1", 10, 20))
+    f1.subtract(f2)
+    assert len(f1.lines) == 6
+    _chk(f1[0], "chr2", 1, 100)
+    _chk(f1[1], "chr1", 5, 9)
+    _chk(f1[2], "chr1", 9, 9)
+    _chk(f1[3], "chr1", 8, 9)
+    _chk(f1[4], "chr1", 21, 21)
+    _chk(f1[5], "chr1", 21, 22)
+
+    f1 = _bf(_BL("chr11", 5000000, 6000000), _BL("chr13", 45000000, 46000000),
+             _BL("chr16", 71000000, 72000000), _BL("chr16", 73000000, 74000000))
+    f2 = _bf(_BL("chr11", 5012596, 5012620), _BL("chr11", 5462579, 5462675),
+             _BL("chr11", 5462707, 5462748), _BL("chr13", 45553329, 45553489),
+             _BL("chr16", 71196324, 71196420), _BL("chr16", 71196480, 71196576))
+    f1.subtract(f2)
+    f1.merge()
+    assert len(f1.lines) == 10
+    _chk(f1[0], "chr11", 5000000, 5012595)
+    _chk(f1[1], "chr11", 5012621, 5462578)
+    _chk(f1[2], "chr11", 5462676, 5462706)
+    _chk(f1[3], "chr11", 5462749, 6000000)
+    _chk(f1[4], "chr13", 45000000, 45553328)
+    _chk(f1[5], "chr13", 45553490, 46000000)
+    _chk(f1[6], "chr16", 71000000, 71196323)
+    _chk(f1[7], "chr16", 71196421, 71196479)
+    _chk(f1[8], "chr16", 71196577, 72000000)
+    _chk(f1[9], "chr16", 73000000, 74000000)
+
+
+def test_bedfile_intersect_overlapping():
+    """BedFile_Test.cpp:450-516 (intersect/overlapping)."""
+    from ngsbits_tpu.core.intervals import BedFile
+
+    f1, f2 = BedFile(), BedFile()
+    f1.intersect(f2)
+    assert len(f1.lines) == 0
+    f1.append(_BL("chr1", 5, 9))
+    f1.append(_BL("chr1", 10, 20))
+    f1.append(_BL("chr2", 1, 100))
+    f2.intersect(f1)
+    assert len(f2.lines) == 0
+    f1.append(_BL("chr1", 10, 21))
+    f1.append(_BL("chr1", 8, 22))
+    f1.append(_BL("chr1", 9, 20))
+    f1.sort()
+    f2.append(_BL("chr1", 5, 8))
+    f2.append(_BL("chr1", 21, 50))
+    f1.intersect(f2)
+    assert len(f1.lines) == 4
+    _chk(f1[0], "chr1", 5, 8)
+    _chk(f1[1], "chr1", 8, 8)
+    _chk(f1[2], "chr1", 21, 21)
+    _chk(f1[3], "chr1", 21, 22)
+
+    f1, f2 = BedFile(), BedFile()
+    f1.overlapping(f2)
+    assert len(f1.lines) == 0
+    f1.append(_BL("chr1", 5, 9))
+    f1.append(_BL("chr1", 10, 20))
+    f1.append(_BL("chr2", 1, 100))
+    f2.overlapping(f1)
+    assert len(f2.lines) == 0
+    f1.append(_BL("chr1", 10, 21))
+    f1.append(_BL("chr1", 8, 22))
+    f1.append(_BL("chr1", 9, 20))
+    f1.sort()
+    f2.append(_BL("chr1", 5, 8))
+    f2.append(_BL("chr1", 21, 50))
+    f1.overlapping(f2)
+    assert len(f1.lines) == 3
+    _chk(f1[0], "chr1", 5, 9)
+    _chk(f1[1], "chr1", 8, 22)
+    _chk(f1[2], "chr1", 10, 21)
+
+
+def test_bedfile_chunk():
+    """BedFile_Test.cpp:518-565 (chunk)."""
+    from ngsbits_tpu.core.intervals import BedFile
+
+    f = _bf(_BL("chr1", 100, 110, ["1"]), _BL("chr2", 200, 219),
+            _BL("chr3", 250, 270), _BL("chr4", 300, 330, ["1", "2", "3"]),
+            _BL("chr5", 400, 440), _BL("chr6", 500, 550), _BL("chr7", 600, 660),
+            _BL("chr8", 700, 770), _BL("chr9", 800, 880), _BL("chr10", 900, 990))
+    f.chunk(15)
+    assert len(f.lines) == 32
+    _chk(f[0], "chr1", 100, 110)
+    assert f[0].annotations == [b"1"]
+    _chk(f[1], "chr2", 200, 219)
+    assert f[1].annotations == []
+    _chk(f[2], "chr3", 250, 259)
+    _chk(f[3], "chr3", 260, 270)
+    _chk(f[4], "chr4", 300, 315)
+    assert f[4].annotations == [b"1", b"2", b"3"]
+    _chk(f[5], "chr4", 316, 330)
+    assert f[5].annotations == [b"1", b"2", b"3"]
+
+    f = BedFile.from_file(f"{DIN}/demo.bed", read_annotations=False)
+    f.merge()
+    assert len(f.lines) == 591
+    import copy
+    f2 = copy.deepcopy(f)
+    f2.chunk(15)
+    assert len(f2.lines) == 6119
+    f2.merge()
+    assert len(f2.lines) == 591
+    for a, b in zip(f.lines, f2.lines):
+        assert (a.chr, a.start, a.end) == (b.chr, b.start, b.end)
+
+
+def test_bedfile_chromosomes_fromtext_overlaps():
+    """BedFile_Test.cpp:567-641 (chromosomes/fromText/overlapsWith*)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile
+
+    f = _bf(_BL("chr1", 100, 110))
+    expected = {Chromosome("chr1")}
+    assert f.chromosomes() == expected
+    f.append(_BL("chr2", 100, 110))
+    expected.add(Chromosome("chr2"))
+    assert f.chromosomes() == expected
+    f.append(_BL("chr2", 200, 210))
+    assert f.chromosomes() == expected
+    f.append(_BL("chr1", 200, 210))
+    assert f.chromosomes() == expected
+    f.append(_BL("chr3", 100, 110))
+    expected.add(Chromosome("chr3"))
+    assert f.chromosomes() == expected
+
+    f = BedFile.from_text("#bla\n#track name='dummy'\nchr1\t0\t99\n\nchr2\t0\t99")
+    assert f.headers == [b"#bla", b"#track name='dummy'"]
+    assert len(f.lines) == 2
+    assert f.base_count() == 198
+
+    f = BedFile.from_text("chr1\t0\t99\n\nchr2\t0\t99")
+    assert not f.overlaps_with(Chromosome("chr3"), 1, 100)
+    assert f.overlaps_with(Chromosome("chr1"), 1, 20)
+    assert f.overlaps_with(Chromosome("chr2"), 50, 150)
+
+    assert not f.overlaps_with_file(BedFile.from_text("chr3\t1\t12\n\nchr4\t0\t99"))
+    assert f.overlaps_with_file(BedFile.from_text("chr1\t1\t12\n\nchr3\t0\t99"))
+    assert f.overlaps_with_file(BedFile.from_text("chr1\t200\t212\n\nchr1\t0\t99"))
+    assert f.overlaps_with_file(BedFile.from_text("chr3\t0\t99\nchr1\t1\t12\n"))
+    assert f.overlaps_with_file(BedFile.from_text("chr1\t0\t99\nchr1\t200\t212\n"))
