@@ -30,6 +30,23 @@ class GeneSet:
         for g in genes:
             self.insert(g)
 
+    def clear(self):
+        self._list.clear()
+        self._set.clear()
+
+    def contains_all(self, other: "GeneSet") -> bool:
+        """GeneSet::containsAll."""
+        return all(g in self._set for g in other)
+
+    def intersects_with(self, other: "GeneSet") -> bool:
+        """GeneSet::intersectsWith."""
+        return any(g in self._set for g in other)
+
+    def remove_all(self, genes):
+        """GeneSet::remove(list/set overloads)."""
+        for g in list(genes):
+            self.remove(g if isinstance(g, str) else g.decode())
+
     def remove(self, gene: str):
         tmp = gene.strip().upper()
         if tmp in self._set:

@@ -6,24 +6,25 @@ QCCollection::fromQCML (typed via the qcML.obo value-type).
 
 from __future__ import annotations
 
-import re
 import sys
 
 from ngsbits_tpu.utils.stdio import stdin_binary
 
 from ..core.ontology import qcml_terms
-from ..core.qcml import QCCollection, QCValue
+from ..core.qcml import QCCollection, QCType, QCValue
 from .toolbase import ToolBase, ToolError
 
-_QP_RX = re.compile(
-    rb'<qualityParameter [^>]*name="([^"]*)" description="([^"]*)" value="([^"]*)"'
-    rb' cvRef="QC" accession="([^"]*)"')
 
+def qc_from_qcml(path: str, obo: str = "", errors: list[str] | None = None) -> QCCollection:
+    """QCCollection::fromQCML (QCCollection.cpp:386-465) — parse the
+    qualityParameter/attachment elements of a qcML file; value types come
+    from the ontology.  Metrics with an unknown accession or an unparsable
+    int/float value are SKIPPED with a message appended to ``errors``;
+    base64Binary attachments become IMAGE values.  A custom OBO file replaces
+    the built-in qcML.obo (QcToTsv/main.cpp:30-31)."""
+    import math as _math
+    import xml.etree.ElementTree as ET
 
-def qc_from_qcml(path: str, obo: str = "") -> QCCollection:
-    """Parse qualityParameter elements of a qcML file; value types come from
-    the ontology (QCCollection::fromQCML semantics; a custom OBO file
-    replaces the built-in qcML.obo, QcToTsv/main.cpp:30-31)."""
     from ..core.qcml import validate_qcml_schema
     error = validate_qcml_schema(path)
     if error:
@@ -34,29 +35,48 @@ def qc_from_qcml(path: str, obo: str = "") -> QCCollection:
             terms = OntologyTermCollection.from_obo_text(fh.read())
     else:
         terms = qcml_terms()
+    if errors is None:
+        errors = []
+
+    def strip_ns(tag):
+        return tag.rsplit("}", 1)[-1]
+
     out = QCCollection()
-    with open(path, "rb") as fh:
-        data = fh.read()
-    for m in _QP_RX.finditer(data):
-        name = m.group(1).decode()
-        desc = m.group(2).decode()
-        value = m.group(3).decode()
-        accession = m.group(4).decode()
-        vtype = ""
-        if terms.contains(accession):
-            vtype = terms.get(accession).term_type
-        if "int" in vtype:
+    root = ET.parse(path).getroot()
+    for element in root.iter():
+        if strip_ns(element.tag) not in ("qualityParameter", "attachment"):
+            continue
+        name = element.get("name", "")
+        value = element.get("value", "")
+        accession = element.get("accession", "")
+        desc = element.get("description", "")
+        if not terms.contains(accession):
+            errors.append(f"Skipped metric with unknown accession (accession={accession}/{name})")
+            continue
+        vtype = terms.get(accession).term_type
+        if vtype == "int":
             try:
                 out.insert(QCValue.from_int(name, int(value), desc, accession))
-                continue
             except ValueError:
-                pass
-        if "float" in vtype:
+                errors.append(f"Skipped metric with invalid integer value '{value}' "
+                              f"(accession={accession}/{name})")
+            continue
+        if vtype == "float":
             try:
-                out.insert(QCValue.from_double(name, float(value), desc, accession))
-                continue
+                num = float(value)
+                if _math.isnan(num):
+                    raise ValueError
+                out.insert(QCValue.from_double(name, num, desc, accession))
             except ValueError:
-                pass
+                errors.append(f"Skipped metric with invalid float value '{value}' "
+                              f"(accession={accession}/{name})")
+            continue
+        if vtype == "base64Binary":  # image attachment
+            for child in element:
+                if strip_ns(child.tag) == "binary":
+                    out.insert(QCValue.image_from_base64(
+                        name, (child.text or "").strip().encode(), desc, accession))
+            continue
         out.insert(QCValue.from_string(name, value, desc, accession))
     return out
 
@@ -75,6 +95,8 @@ class QcToTsvTool(ToolBase):
         for path in self.get_infile_list("in"):
             qc = qc_from_qcml(path, obo=self.get("obo") or "")
             for v in qc:
+                if v.type == QCType.IMAGE:  # QcToTsv/main.cpp:43
+                    continue
                 lines.append(f"{v.accession}\t{v.name}\t{v.to_string()}")
         text = "".join(l + "\n" for l in lines)
         out = self.get("out")

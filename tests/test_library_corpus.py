@@ -1016,3 +1016,264 @@ def test_bedfile_chromosomes_fromtext_overlaps():
     assert f.overlaps_with_file(BedFile.from_text("chr1\t200\t212\n\nchr1\t0\t99"))
     assert f.overlaps_with_file(BedFile.from_text("chr3\t0\t99\nchr1\t1\t12\n"))
     assert f.overlaps_with_file(BedFile.from_text("chr1\t0\t99\nchr1\t200\t212\n"))
+
+
+# ---- GeneSet_Test.cpp ------------------------------------------------------
+
+def test_geneset_count_and_index():
+    """GeneSet_Test.cpp:8-52 (count)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s = GeneSet()
+    assert len(s) == 0
+    s.insert("")
+    assert len(s) == 0
+    s.insert("A")
+    assert len(s) == 1
+    s.insert("a")
+    assert len(s) == 1
+    s.insert("C")
+    assert len(s) == 2
+    s.insert("C")
+    assert len(s) == 2
+    s.insert("B")
+    assert len(s) == 3
+    for g in ("B", "A", "C", "B", " ", ""):
+        s.insert(g)
+    assert len(s) == 3
+    assert (s[0], s[1], s[2]) == ("A", "B", "C")
+
+
+def test_geneset_clear_contains():
+    """GeneSet_Test.cpp:54-76 (clear/contains)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s = GeneSet()
+    s.insert("A")
+    assert len(s) == 1
+    s.clear()
+    assert len(s) == 0
+
+    s = GeneSet()
+    s.insert("A")
+    assert s.contains("A")
+    assert s.contains("a")
+    assert not s.contains("B")
+    assert not s.contains("C")
+
+
+def test_geneset_contains_all_intersects():
+    """GeneSet_Test.cpp:78-142 (containsAll/intersectsWith/intersect)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s, s2 = GeneSet(), GeneSet()
+    assert s.contains_all(s2)
+    assert s2.contains_all(s)
+    s.insert_all(["A", "B"])
+    assert s.contains_all(s2)
+    assert not s2.contains_all(s)
+    s2.insert_all(["C", "D", "A", "B"])
+    assert not s.contains_all(s2)
+    assert s2.contains_all(s)
+
+    s, s2 = GeneSet(), GeneSet()
+    s.insert_all(["A", "B"])
+    s2.insert_all(["C", "D"])
+    assert not s.intersects_with(s2)
+    assert not s2.intersects_with(s)
+    s2.insert("B")
+    assert s.intersects_with(s2)
+    assert s2.intersects_with(s)
+
+    s, s2 = GeneSet(), GeneSet()
+    s.insert_all(["A", "B"])
+    s2.insert_all(["C", "D"])
+    assert len(s.intersect(s2)) == 0
+    assert len(s2.intersect(s)) == 0
+    s2.insert("B")
+    inter = s.intersect(s2)
+    assert len(inter) == 1 and inter[0] == "B"
+    inter = s2.intersect(s)
+    assert len(inter) == 1 and inter[0] == "B"
+    s.insert("C")
+    inter = s.intersect(s2)
+    assert (len(inter), inter[0], inter[1]) == (2, "B", "C")
+
+
+def test_geneset_create_and_store(tmp_path):
+    """GeneSet_Test.cpp:144-262 (createFromFile/Text/StringList, store,
+    toString)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s = GeneSet.create_from_file(f"{DIN}/GeneSet_in1.tsv")
+    assert (len(s), s[0], s[1], s[2]) == (3, "A", "B", "C")
+
+    s = GeneSet.create_from_text("#bla\nA\nC\nB")
+    assert (len(s), s[0], s[1], s[2]) == (3, "A", "B", "C")
+
+    s = GeneSet.create_from_text("#bla,A,C,B", ",")
+    assert (len(s), s[0], s[1], s[2]) == (3, "A", "B", "C")
+
+    s = GeneSet()
+    for g in ("B", "A", "C", "a"):
+        s.insert(g)
+    out = str(tmp_path / "GeneSet_store.tsv")
+    s.store(out)
+    assert open(out).read().split("\n")[:3] == ["A", "B", "C"]
+
+    s = GeneSet.create_from_text("A,C,B", ",")
+    assert s.join(", ") == "A, B, C"
+
+
+def test_geneset_remove():
+    """GeneSet_Test.cpp:264-310 (remove single/list/set)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s = GeneSet()
+    s.insert_all(["A", "B", "C", "D"])
+    s.remove("b")
+    assert len(s) == 3
+    assert not s.contains("B")
+
+    s = GeneSet()
+    s.insert_all(["A", "B", "C", "D"])
+    s.remove_all(["B", "D"])
+    assert len(s) == 2
+    assert not s.contains("B")
+    assert not s.contains("D")
+
+
+# ---- Chromosome_Test.cpp ---------------------------------------------------
+
+def test_chromosome_str_and_normalized():
+    """Chromosome_Test.cpp:8-38 (str/strNormalized)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+
+    assert Chromosome("1").str == "1"
+    assert Chromosome("chr1").str == "chr1"
+    assert Chromosome("CHRX").str == "CHRX"
+    assert Chromosome("chrY").str == "chrY"
+    assert Chromosome("M").str == "M"
+    assert Chromosome("MT").str == "MT"
+    assert Chromosome(b"1").str == "1"
+
+    assert Chromosome("1").str_normalized(False) == "1"
+    assert Chromosome("chr1").str_normalized(False) == "1"
+    assert Chromosome("chr01").str_normalized(False) == "01"
+    assert Chromosome("CHRX").str_normalized(False) == "X"
+    assert Chromosome("chrY").str_normalized(False) == "Y"
+    assert Chromosome("M").str_normalized(False) == "MT"
+    assert Chromosome("MT").str_normalized(False) == "MT"
+    assert Chromosome("1").str_normalized(True) == "chr1"
+    assert Chromosome("chr1").str_normalized(True) == "chr1"
+    assert Chromosome("CHRX").str_normalized(True) == "chrX"
+    assert Chromosome("chrY").str_normalized(True) == "chrY"
+    assert Chromosome("M").str_normalized(True) == "chrMT"
+    assert Chromosome("MT").str_normalized(True) == "chrMT"
+
+
+def test_chromosome_num_and_predicates():
+    """Chromosome_Test.cpp:40-140 (num/isNonSpecial/isAutosome/isGonosome/
+    isX/isY/isM)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+
+    assert Chromosome("1").num == 1
+    assert Chromosome("chr1").num == 1
+    assert Chromosome("X").num == 1001
+    assert Chromosome("CHRX").num == 1001
+    assert Chromosome("Y").num == 1002
+    assert Chromosome("chrY").num == 1002
+    assert Chromosome("M").num == 1003
+    assert Chromosome("MT").num == 1003
+    base = Chromosome("chrBLA").num
+    assert base >= 1004
+    assert Chromosome("chrBLA2").num == base + 1
+    assert Chromosome("BLA").num == base
+    assert Chromosome("BLA2").num == base + 1
+    assert Chromosome("chr01").num >= 1004
+
+    for c in ("1", "chr1", "X", "CHRX", "Y", "chrY", "M", "MT"):
+        assert Chromosome(c).is_non_special()
+    for c in ("chrBLA2", "BLA", "BLA2", "chr01"):
+        assert not Chromosome(c).is_non_special()
+
+    for c in ("", "X", "Y", "M", "BLA"):
+        assert not Chromosome(c).is_autosome()
+    for c in ("1", "2", "10", "20", "22", "100"):
+        assert Chromosome(c).is_autosome()
+
+    assert Chromosome("X").is_gonosome()
+    assert Chromosome("Y").is_gonosome()
+    for c in ("", "M", "BLA", "1"):
+        assert not Chromosome(c).is_gonosome()
+
+    assert Chromosome("X").is_x()
+    for c in ("Y", "", "M", "BLA", "1"):
+        assert not Chromosome(c).is_x()
+    assert Chromosome("y").is_y()
+    for c in ("X", "", "M", "BLA", "1"):
+        assert not Chromosome(c).is_y()
+    assert Chromosome("M").is_m()
+    assert Chromosome("MT").is_m()
+    for c in ("X", "Y", "", "BLA", "1"):
+        assert not Chromosome(c).is_m()
+
+
+# ---- QCCollection_Test.cpp -------------------------------------------------
+
+def test_qcvalue_constructors():
+    """QCCollection_Test.cpp:8-38 (QCValue constructors)."""
+    from ngsbits_tpu.core.qcml import QCType, QCValue
+
+    v = QCValue.from_string("name", "bla", "desc", "QC:???????")
+    assert v.type == QCType.STRING
+    assert v.to_string() == "bla"
+
+    v = QCValue.from_double("name", 14.56, "desc", "QC:???????")
+    assert v.type == QCType.DOUBLE
+    assert v.as_double() == pytest.approx(14.56)
+    assert v.to_string() == "14.56"
+
+    v = QCValue.from_int("name", 5147483647, "desc", "QC:???????")
+    assert v.type == QCType.INT
+    assert v.as_int() == 5147483647
+    assert v.to_string() == "5147483647"
+
+    v = QCValue.from_int("name", 4711, "desc", "QC:???????")
+    assert v.as_int() == 4711
+    assert v.to_string() == "4711"
+
+
+def test_qccollection_from_qcml():
+    """QCCollection_Test.cpp:55-110 (fromQCML incl. error list)."""
+    from ngsbits_tpu.core.qcml import QCType
+    from ngsbits_tpu.tools.qc_tools import qc_from_qcml
+
+    errors: list[str] = []
+    col = qc_from_qcml(f"{DIN}/qcML_infile_test.qcML", errors=errors)
+    assert len(col) == 4
+
+    v = col.value("QC:2000040", True)
+    assert v.type == QCType.DOUBLE
+    assert v.as_double() == pytest.approx(5.0)
+    assert v.to_string(3) == "5.000"
+
+    v = col.value("QC:2000006", True)
+    assert v.type == QCType.STRING
+    assert v.to_string() == "100+8+8+100"
+
+    v = col.value("QC:2000117", True)
+    assert v.type == QCType.INT
+    assert v.as_int() == 17
+    assert v.to_string() == "17"
+
+    v = col.value("QC:2000011", True)
+    assert v.type == QCType.IMAGE
+    assert v.to_string().startswith("iVBORw0KGgo")
+
+    assert errors == [
+        "Skipped metric with unknown accession (accession=QC:9999999/unknown)",
+        "Skipped metric with invalid integer value 'bla' (accession=QC:2000113/CNV count)",
+        "Skipped metric with invalid float value 'bla' "
+        "(accession=QC:2000114/coverage profile correlation)",
+    ]
