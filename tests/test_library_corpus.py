@@ -1277,3 +1277,76 @@ def test_qccollection_from_qcml():
         "Skipped metric with invalid float value 'bla' "
         "(accession=QC:2000114/coverage profile correlation)",
     ]
+
+
+# ---- NGSHelper_Test.cpp ----------------------------------------------------
+
+def test_ngshelper_pseudoautosomal_region():
+    """NGSHelper_Test.cpp:206-211 (pseudoAutosomalRegion)."""
+    from ngsbits_tpu.core.resources import pseudoautosomal_regions
+
+    par = pseudoautosomal_regions("hg19")
+    assert len(par.lines) == 4
+    assert par.base_count() == 5938074
+
+
+def test_ngshelper_cyto_band():
+    """NGSHelper_Test.cpp:213-232 (cytoBand/cytoBandToRange)."""
+    from ngsbits_tpu.core.genome_regions import cyto_band, cyto_band_to_range
+
+    assert cyto_band("hg19", "chrY", 34847524) == b"Yq12"
+    assert cyto_band("hg19", "chr1", 76992611) == b"1p31.1"
+
+    for bad in ("", "Zr36.33", "1r36.33", "1p36.33-", "1p36.33-5q21.2",
+                "1p36.33-1p36.32-1p36.31"):
+        with pytest.raises(ValueError):
+            cyto_band_to_range("hg19", bad)
+
+    assert cyto_band_to_range("hg19", "chr1p36.33").to_string(True) == "chr1:1-2300000"
+    assert cyto_band_to_range("hg19", "1p36.33").to_string(True) == "chr1:1-2300000"
+    assert cyto_band_to_range("hg19", "1p36.33-1p36.32").to_string(True) == "chr1:1-5400000"
+    assert cyto_band_to_range("hg19", "1p36.32-1p36.33").to_string(True) == "chr1:1-5400000"
+
+
+def test_ngshelper_imprinting_genes():
+    """NGSHelper_Test.cpp:234-245 (impringGenes)."""
+    from ngsbits_tpu.core.genome_regions import imprinting_genes
+
+    imp = imprinting_genes()
+    assert len(imp) == 247
+    assert imp[b"NPAP1"] == (b"paternal", b"imprinted")
+    assert imp[b"NTM"] == (b"maternal", b"imprinted")
+    assert imp[b"SALL1"] == (b"maternal", b"predicted")
+
+
+def test_ngshelper_centromeres_telomeres():
+    """NGSHelper_Test.cpp:247-270 (centromeres/telomeres)."""
+    from ngsbits_tpu.core.genome_regions import centromeres, telomeres
+
+    c19 = centromeres("hg19")
+    assert len(c19.lines) == 24
+    assert c19[1].to_string(True) == "chr2:92326171-95326171"
+    assert c19[11].to_string(True) == "chr12:34856694-37856694"
+    c38 = centromeres("hg38")
+    assert len(c38.lines) == 24
+    assert c38[0].to_string(True) == "chr1:121700000-125100000"
+
+    t19 = telomeres("hg19")
+    assert len(t19.lines) == 46
+    assert t19[45].to_string(True) == "chrY:59363566-59373566"
+    t38 = telomeres("hg38")
+    assert len(t38.lines) == 48
+    assert t38[32].to_string(True) == "chr17:1-10000"
+    assert t38[45].to_string(True) == "chrX:156030895-156040895"
+
+
+def test_ngshelper_population_codes():
+    """NGSHelper_Test.cpp:271-279 (populationCodeToHumanReadable)."""
+    from ngsbits_tpu.core.genome_regions import population_code_to_human_readable as f
+
+    assert f("") == ""
+    assert f("EUR") == "European"
+    assert f("AFR") == "African"
+    assert f("SAS") == "South asian"
+    assert f("EAS") == "East asian"
+    assert f("ADMIXED/UNKNOWN") == "Admixed/Unknown"
