@@ -1350,3 +1350,58 @@ def test_ngshelper_population_codes():
     assert f("SAS") == "South asian"
     assert f("EAS") == "East asian"
     assert f("ADMIXED/UNKNOWN") == "Admixed/Unknown"
+
+
+# ---- ChromosomalIndex_Test.cpp ---------------------------------------------
+
+def _index_fixture():
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine, ChromosomalIndex
+    bed = BedFile()
+    for c in range(1, 23):
+        for p in range(1, 100 * c + 1):
+            end = p + 10 if p % 10 == 0 else p
+            bed.append(BedLine(Chromosome(f"chr{c}"), p, end))
+    return bed, ChromosomalIndex(bed), Chromosome
+
+
+def test_chromosomal_index_matching_indices():
+    """ChromosomalIndex_Test.cpp:10-59 (matchingIndices_BedFile)."""
+    _bed, idx, Chromosome = _index_fixture()
+    assert len(idx.matching_indices(Chromosome("chrX"), 5, 15)) == 0
+    assert len(idx.matching_indices(Chromosome("chr1"), 0, 100000)) == 100
+    assert len(idx.matching_indices(Chromosome("chr1"), 5, 7)) == 3
+    assert len(idx.matching_indices(Chromosome("chr1"), 5, 5)) == 1
+    assert len(idx.matching_indices(Chromosome("chr2"), 0, 100000)) == 200
+    assert len(idx.matching_indices(Chromosome("chr2"), 1, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), -10, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), 200, 205)) == 2
+    assert len(idx.matching_indices(Chromosome("chr2"), 500, 505)) == 0
+
+
+def test_chromosomal_index_matching_index():
+    """ChromosomalIndex_Test.cpp:61-112 (matchingIndex_BedFile)."""
+    bed, idx, Chromosome = _index_fixture()
+    assert idx.matching_index(Chromosome("chrX"), 5, 15) == -1
+    assert idx.matching_index(Chromosome("chr1"), 0, 100000) == 0
+    assert idx.matching_index(Chromosome("chr1"), 5, 7) == 4
+    assert idx.matching_index(Chromosome("chr1"), 5, 5) == 4
+    assert idx.matching_index(Chromosome("chr2"), 0, 100000) == 100
+    assert idx.matching_index(Chromosome("chr2"), 1, 5) == 100
+    assert idx.matching_index(Chromosome("chr2"), -10, 5) == 100
+    i = idx.matching_index(Chromosome("chr2"), 200, 205)
+    assert i == 289
+    assert bed[i].chr == Chromosome("chr2")
+    assert (bed[i].start, bed[i].end) == (190, 200)
+    assert idx.matching_index(Chromosome("chr2"), 500, 505) == -1
+
+
+# ---- StructuralVariantType_Test.cpp ----------------------------------------
+
+def test_sv_type_string_conversion():
+    """StructuralVariantType_Test.cpp:8-15 (stringConversion round-trip)."""
+    from ngsbits_tpu.io.bedpe import type_to_full_string
+
+    # DEL/DUP/INS/INV/BND map to distinct full strings (round-trip identity)
+    full = {t: type_to_full_string(t) for t in (b"DEL", b"DUP", b"INS", b"INV", b"BND")}
+    assert len(set(full.values())) == 5
