@@ -25,24 +25,120 @@ for _b in b"ACGTN":
     _VALID_BASES[_b] = True
 
 
-@dataclass
 class FastqBatch:
-    bases: np.ndarray       # [B, Lmax] uint8 ASCII, zero-padded
-    quals: np.ndarray       # [B, Lmax] uint8 ASCII, zero-padded
-    lengths: np.ndarray     # [B] int32
-    headers: list | None = None   # list[bytes] (without trailing newline)
-    headers2: list | None = None  # list[bytes] ('+' lines)
-    qual_lengths: np.ndarray | None = None  # differs from lengths only for
-                                            # malformed records read with
-                                            # validation off (ref passthrough)
-    # flat-header representation (native hot path, avoids per-read bytes
-    # objects): concatenated buffers + starts/lens per record
-    h1_flat: np.ndarray | None = None
-    h1_starts: np.ndarray | None = None
-    h1_lens: np.ndarray | None = None
-    h2_flat: np.ndarray | None = None
-    h2_starts: np.ndarray | None = None
-    h2_lens: np.ndarray | None = None
+    """Batch of FASTQ records as padded [B, Lmax] arrays.
+
+    ``bases``/``quals`` may be constructed LAZILY from flat concatenated
+    buffers (``bases_flat``/``quals_flat``): the native reader defers the
+    pad-copy so it runs on the CONSUMER's thread, overlapping the reader
+    thread's decode+parse (the pad of a 1.5 GB FASTQ costs ~1 s on this
+    host — pipelined instead of serialized)."""
+
+    def __init__(self, bases=None, quals=None, lengths=None, headers=None,
+                 headers2=None, qual_lengths=None,
+                 h1_flat=None, h1_starts=None, h1_lens=None,
+                 h2_flat=None, h2_starts=None, h2_lens=None,
+                 bases_flat=None, quals_flat=None,
+                 scan_src=None, bases_offsets=None, quals_offsets=None,
+                 validate_gather=False, qual_max=74):
+        self._bases = bases          # [B, Lmax] uint8 ASCII, zero-padded
+        self._quals = quals          # [B, Lmax] uint8 ASCII, zero-padded
+        self._bases_flat = bases_flat
+        self._quals_flat = quals_flat
+        # zero-copy scan representation: records live in the reader's decode
+        # buffer; the pad-copy is gathered straight from it on first access
+        # (scan_src keeps the native handle alive, see _NativeFastqHandle)
+        self._scan_src = scan_src
+        self._bases_offsets = bases_offsets
+        self._quals_offsets = quals_offsets
+        self._validate_gather = validate_gather
+        self._qual_max = qual_max
+        self.lengths = lengths       # [B] int32
+        self.headers = headers       # list[bytes] (without trailing newline)
+        self.headers2 = headers2     # list[bytes] ('+' lines)
+        # qual_lengths differs from lengths only for malformed records read
+        # with validation off (ref passthrough)
+        self.qual_lengths = qual_lengths
+        # flat-header representation (native hot path, avoids per-read bytes
+        # objects): concatenated buffers + starts/lens per record
+        self.h1_flat = h1_flat
+        self.h1_starts = h1_starts
+        self.h1_lens = h1_lens
+        self.h2_flat = h2_flat
+        self.h2_starts = h2_starts
+        self.h2_lens = h2_lens
+
+    def _gather(self, offsets, lens, validate_mode, out=None):
+        n = len(lens)
+        lmax = int(lens.max()) if n else 0
+        dst = np.empty((n, lmax), dtype=np.uint8) if out is None else out
+        if n:
+            bad = np.zeros(3, dtype=np.int64)
+            rc = self._scan_src.lib.ngs_pad_gather(
+                self._scan_src.buf_ptr, offsets, lens, n, lmax, dst,
+                validate_mode if self._validate_gather else 0,
+                self._qual_max, bad)
+            if rc == 1:
+                raise ValueError("Invalid Fastq file entry: Invalid base "
+                                 f"'{chr(int(bad[2]))}' encountered")
+            if rc == 2:
+                raise ValueError("Invalid Fastq file entry: Invalid quality "
+                                 f"character with value '{int(bad[2])}' encountered")
+        return dst
+
+    def gather_into(self, bufs: dict) -> "FastqBatch":
+        """Scan batches only: materialize the padded arrays into caller-owned
+        REUSABLE buffers (a dict the caller passes to every call) instead of
+        fresh allocations — a worker that consumes one batch at a time avoids
+        page-faulting ~60 MB of new arrays per batch. The returned batch's
+        arrays are views into ``bufs`` and are only valid until the next
+        ``gather_into`` with the same dict."""
+        if self._scan_src is None or self._bases is not None:
+            return self
+        n = len(self.lengths)
+        for key, lens in (("b", self.lengths), ("q", self.qlen())):
+            lmax = int(lens.max()) if n else 0
+            need = n * lmax
+            if bufs.get(key) is None or bufs[key].size < need:
+                bufs[key] = np.empty(max(need, 1), np.uint8)
+            arr = self._gather(
+                self._bases_offsets if key == "b" else self._quals_offsets,
+                lens, 1 if key == "b" else 2,
+                out=bufs[key][:need].reshape(n, lmax))
+            if key == "b":
+                self._bases = arr
+            else:
+                self._quals = arr
+        return self
+
+    @property
+    def bases(self) -> np.ndarray:
+        if self._bases is None:
+            if self._scan_src is not None:
+                self._bases = self._gather(self._bases_offsets, self.lengths, 1)
+            else:
+                self._bases = _pad_flat(self._bases_flat, self.lengths)
+                self._bases_flat = None
+        return self._bases
+
+    @bases.setter
+    def bases(self, v):
+        self._bases = v
+
+    @property
+    def quals(self) -> np.ndarray:
+        if self._quals is None:
+            if self._scan_src is not None:
+                self._quals = self._gather(self._quals_offsets, self.qlen(), 2)
+            else:
+                self._quals = _pad_flat(self._quals_flat, self.qlen())
+                self._quals_flat = None
+        return self._quals
+
+    @quals.setter
+    def quals(self, v):
+        self._quals = v
+
 
     def __len__(self) -> int:
         return len(self.lengths)
@@ -129,6 +225,43 @@ def _pad_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return arr
 
 
+def validate_flat(bases_flat: np.ndarray, quals_flat: np.ndarray,
+                  long_read: bool = False, filename: str = ""):
+    """validate_batch on flat concatenated buffers — same checks, no padded
+    array needed (used by the native reader so padding can stay lazy)."""
+    qmax = 126 if long_read else 74
+    from . import native
+    lib = native.get_lib()
+    nb, nq = int(bases_flat.size), int(quals_flat.size)
+    if lib is not None and bases_flat.flags.c_contiguous \
+            and quals_flat.flags.c_contiguous and nb == nq:
+        bad = np.zeros(3, dtype=np.int64)
+        rc = lib.ngs_validate_batch(
+            bases_flat, quals_flat,
+            np.array([nb], dtype=np.int32), np.array([nq], dtype=np.int32),
+            1, nb, qmax, bad)
+        if rc == 1:
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid base '{chr(int(bad[2]))}' encountered"
+                + (f" in '{filename}'" if filename else ""))
+        if rc == 2:
+            raise ValueError(
+                f"Invalid Fastq file entry: Invalid quality character with value "
+                f"'{int(bad[2])}' encountered" + (f" in '{filename}'" if filename else ""))
+        return
+    if not _VALID_BASES[bases_flat].all():
+        bad_b = bases_flat[~_VALID_BASES[bases_flat]][0]
+        raise ValueError(
+            f"Invalid Fastq file entry: Invalid base '{chr(int(bad_b))}' encountered"
+            + (f" in '{filename}'" if filename else ""))
+    bad_q = (quals_flat < 33) | (quals_flat > qmax)
+    if bad_q.any():
+        raise ValueError(
+            f"Invalid Fastq file entry: Invalid quality character with value "
+            f"'{int(quals_flat[bad_q][0])}' encountered"
+            + (f" in '{filename}'" if filename else ""))
+
+
 def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = ""):
     """Vectorized analogue of FastqEntry::validate (FastqFileStream.cpp:3-42)."""
     qmax = 126 if long_read else 74
@@ -169,6 +302,11 @@ def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = "
             raise ValueError(
                 f"Invalid Fastq file entry: Invalid quality character with value "
                 f"'{int(q[i, j])}' encountered" + (f" in '{filename}'" if filename else ""))
+    validate_headers(batch)
+
+
+def validate_headers(batch: FastqBatch):
+    """Header-line checks of FastqEntry::validate ('@'/'+' prefixes)."""
     if batch.headers is not None:
         for h in batch.headers:
             if not h.startswith(b"@"):
@@ -189,6 +327,25 @@ def validate_batch(batch: FastqBatch, long_read: bool = False, filename: str = "
         if (not nonempty.all()
                 or not (batch.h2_flat[batch.h2_starts[nonempty]] == ord("+")).all()):
             raise ValueError("Invalid Fastq file entry: Second header line does not start with '+'")
+
+
+class _NativeFastqHandle:
+    """Owns a native FASTQ reader handle for the zero-copy scan path.
+
+    Scan batches gather their padded arrays straight from the handle's
+    decode buffer, so the handle must outlive every batch that references
+    it — it is closed by refcount (CPython GC) once the reader generator
+    AND all outstanding batches have dropped it."""
+
+    def __init__(self, lib, h):
+        self.lib = lib
+        self._h = h
+        self.buf_ptr = lib.ngs_fastq_buf_ptr(h)
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h is not None:
+            self.lib.ngs_fastq_close(h)
 
 
 class FastqReader:
@@ -238,11 +395,25 @@ class FastqReader:
 
     def _iter_native(self, lib):
         """Batched decode through the C++ splitter (native/ngshost.cpp
-        ngs_fastq_read_batch): flat columnar buffers -> one vectorized pad."""
+        ngs_fastq_read_batch): flat columnar buffers -> one vectorized pad.
+
+        Plain-gz files that decode into one stable in-memory buffer take the
+        ZERO-COPY scan path instead: the C side emits record offsets only and
+        the padded arrays are gathered directly from the decode buffer on the
+        consumer's thread (ngs_fastq_scan_batch + ngs_pad_gather)."""
         h = lib.ngs_fastq_open(str(self.filename).encode(), 1024)
         if not lib.ngs_fastq_ok(h):
             lib.ngs_fastq_close(h)
             raise IOError(f"Could not open FASTQ file '{self.filename}'")
+        if not self.keep_headers:
+            ready = lib.ngs_fastq_whole_ready(h)
+            if ready == -1:
+                err = lib.ngs_fastq_error(h).decode()
+                lib.ngs_fastq_close(h)
+                raise ValueError(err or f"gzip decode failed for '{self.filename}'")
+            if ready == 1:
+                yield from self._iter_native_scan(lib, h)
+                return
         want = self.batch_reads
         seq_cap = max(want * 256, 1 << 20)
         hdr_cap = max(want * 128, 1 << 20)
@@ -286,6 +457,42 @@ class FastqReader:
         finally:
             lib.ngs_fastq_close(h)
 
+    def _iter_native_scan(self, lib, h):
+        """Zero-copy scan over the stable whole-file decode buffer."""
+        src = _NativeFastqHandle(lib, h)
+        want = self.batch_reads
+        qmax = 126 if self.long_read else 74
+        while True:
+            b_off = np.empty(want, np.int64)
+            b_len = np.empty(want, np.int32)
+            q_off = np.empty(want, np.int64)
+            q_len = np.empty(want, np.int32)
+            n = lib.ngs_fastq_scan_batch(h, want, b_off, b_len, q_off, q_len,
+                                         None, None, None, None)
+            if n < 0:
+                err = lib.ngs_fastq_error(h).decode()
+                raise ValueError(
+                    f"FASTQ file '{self.filename}' has a line count that "
+                    "is not a multiple of 4"
+                    if "multiple of 4" in err else err)
+            if n == 0:
+                return
+            n = int(n)
+            lens = b_len[:n]
+            qlens = q_len[:n]
+            same = np.array_equal(lens, qlens)
+            if not same and self.validate:
+                raise ValueError(
+                    "Invalid Fastq file entry: Differing length of bases and "
+                    "qualities string")
+            self.reads_seen += n
+            yield FastqBatch(
+                lengths=lens,
+                qual_lengths=None if same else qlens,
+                scan_src=src,
+                bases_offsets=b_off[:n], quals_offsets=q_off[:n],
+                validate_gather=self.validate, qual_max=qmax)
+
     def _native_batch(self, segments) -> FastqBatch:
         if len(segments) == 1:
             # common case: zero-copy views into the freshly allocated buffers
@@ -323,8 +530,8 @@ class FastqReader:
             headers = self._native_headers(segments, 2, 6)
             headers2 = self._native_headers(segments, 3, 7)
         batch = FastqBatch(
-            bases=_pad_flat(bases_flat, lens),
-            quals=_pad_flat(quals_flat, qlens),
+            bases_flat=bases_flat,
+            quals_flat=quals_flat,
             lengths=lens,
             headers=headers,
             headers2=headers2,
@@ -333,7 +540,10 @@ class FastqReader:
         )
         self.reads_seen += n
         if self.validate:
-            validate_batch(batch, self.long_read, self.filename)
+            # validate on the FLAT buffers — the padded [B, L] arrays stay
+            # lazy so their pad-copy runs on the consumer's thread
+            validate_flat(bases_flat, quals_flat, self.long_read, self.filename)
+            validate_headers(batch)
         return batch
 
     @staticmethod

@@ -114,6 +114,35 @@ def get_lib():
             p(np.int32, flags="C"), p(np.int32, flags="C"),
             p(np.int32, flags="C"), p(np.int32, flags="C"),
         ]
+        # zero-copy whole-buffer FASTQ scan (plain-gz whole-member mode)
+        lib.ngs_fastq_whole_ready.restype = ct.c_int32
+        lib.ngs_fastq_whole_ready.argtypes = [ct.c_void_p]
+        lib.ngs_fastq_buf_ptr.restype = ct.c_void_p
+        lib.ngs_fastq_buf_ptr.argtypes = [ct.c_void_p]
+        lib.ngs_fastq_buf_size.restype = ct.c_int64
+        lib.ngs_fastq_buf_size.argtypes = [ct.c_void_p]
+        f = lib.ngs_fastq_scan_batch
+        f.restype = ct.c_int64
+        f.argtypes = [
+            ct.c_void_p, ct.c_int64,
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.int32, flags="C_CONTIGUOUS,WRITEABLE"),
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+        ]
+        lib.ngs_pad_gather.restype = ct.c_int32
+        lib.ngs_pad_gather.argtypes = [
+            ct.c_void_p, p(np.int64, flags="C"), p(np.int32, flags="C"),
+            ct.c_int64, ct.c_int64,
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
+            ct.c_int32, ct.c_int32,
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE")]
+        lib.ngs_validate_rows.restype = ct.c_int32
+        lib.ngs_validate_rows.argtypes = [
+            ct.c_void_p, p(np.int64, flags="C"), p(np.int32, flags="C"),
+            ct.c_int64, ct.c_int32, ct.c_int32,
+            p(np.int64, flags="C_CONTIGUOUS,WRITEABLE")]
         lib.ngs_bgzf_block.restype = ct.c_int64
         lib.ngs_bgzf_block.argtypes = [
             p(np.uint8, flags="C"), ct.c_int64, ct.c_int32,

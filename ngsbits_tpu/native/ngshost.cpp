@@ -18,12 +18,34 @@
 #include <string>
 #include <vector>
 #include <thread>
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 #include <zlib.h>
 #ifdef HAVE_LIBDEFLATE
 #include <libdeflate.h>
 #endif
 
 namespace {
+
+// Allocator that default-initializes (i.e. leaves uninitialized) POD
+// elements on resize. The whole-member gzip decode grows its output buffer
+// by the full uncompressed size (GBs); std::vector's value-initialization
+// would memset all of it just before libdeflate overwrites it (~0.4 s per
+// 1.5 GB on this class of host).
+template <typename T>
+struct default_init_allocator : std::allocator<T> {
+    template <typename U>
+    struct rebind { using other = default_init_allocator<U>; };
+    using std::allocator<T>::allocator;
+    template <typename U, typename... Args>
+    void construct(U* ptr, Args&&... args) {
+        ::new (static_cast<void*>(ptr)) U(std::forward<Args>(args)...);
+    }
+    template <typename U>
+    void construct(U* ptr) { ::new (static_cast<void*>(ptr)) U; }
+};
+using byte_buffer = std::vector<uint8_t, default_init_allocator<uint8_t>>;
 
 struct BgzfBlock {
     int64_t coffset = 0;          // compressed offset of block start
@@ -449,7 +471,7 @@ struct FastqReaderC {
     BgzfReader bgzf;            // used instead of gz for bgzip-compressed
     bool use_bgzf = false;      // FASTQ (parallel block inflate)
     std::string error;
-    std::vector<uint8_t> buf;   // carry-over bytes between batches
+    byte_buffer buf;            // carry-over bytes between batches
     size_t pos = 0;             // consumed prefix of buf
     bool eof = false;
     bool final_pad_done = false;
@@ -1025,6 +1047,156 @@ void ngs_gzw_close(void* h) {
     auto* g = static_cast<GzWriterC*>(h);
     if (g->gz) gzclose(g->gz);
     delete g;
+}
+
+
+// ---------------- zero-copy whole-buffer FASTQ scan ----------------
+// When the entire file decodes into a single stable in-memory buffer
+// (plain-gz whole-member mode), records can be described by OFFSETS into
+// that buffer instead of being copied out; the padded [B, L] arrays are
+// then gathered directly from the decode buffer by the CONSUMER thread
+// (ngs_pad_gather), with validation fused into a row scan. This removes a
+// full copy of the stream from the hot path and moves the remaining copy
+// off the reader thread.
+
+// Drive the whole-member decode to completion so the buffer becomes
+// stable (no further appends/compaction). Returns 1 when the scan API may
+// be used, 0 when this reader is not in whole mode, -1 on decode error.
+int32_t ngs_fastq_whole_ready(void* h) {
+    auto* r = static_cast<FastqReaderC*>(h);
+#ifdef HAVE_LIBDEFLATE
+    if (!r->use_whole) return 0;
+    while (!r->eof) {
+        int64_t got = whole_gz_next_member(r);
+        if (got < 0) return -1;
+        if (got == 0) {
+            r->eof = true;
+            r->comp.clear();
+            r->comp.shrink_to_fit();
+        }
+    }
+    return 1;
+#else
+    (void)r;
+    return 0;
+#endif
+}
+
+const uint8_t* ngs_fastq_buf_ptr(void* h) {
+    return static_cast<FastqReaderC*>(h)->buf.data();
+}
+
+int64_t ngs_fastq_buf_size(void* h) {
+    return (int64_t)static_cast<FastqReaderC*>(h)->buf.size();
+}
+
+// Parse up to max_reads records from the stable buffer, emitting per-record
+// offsets+lengths for bases/quals (headers optional via null). Same record
+// semantics as ngs_fastq_read_batch (4 raw lines, '\r' preserved, final
+// empty quality line tolerated at EOF). Returns n (0 = EOF), -1 on error.
+int64_t ngs_fastq_scan_batch(
+    void* h, int64_t max_reads,
+    int64_t* b_off, int32_t* b_len, int64_t* q_off, int32_t* q_len,
+    int64_t* h1_off, int32_t* h1_len, int64_t* h2_off, int32_t* h2_len) {
+    auto* r = static_cast<FastqReaderC*>(h);
+    const uint8_t* base = r->buf.data();
+    const size_t size = r->buf.size();
+    int64_t n = 0;
+    while (n < max_reads) {
+        size_t line_start[4], line_len[4];
+        size_t cursor = r->pos;
+        int lines_found = 0;
+        bool used_final_pad = false;
+        while (lines_found < 4) {
+            if (cursor >= size) break;
+            const void* p = memchr(base + cursor, '\n', size - cursor);
+            if (!p) break;
+            size_t nl = (const uint8_t*)p - base;
+            line_start[lines_found] = cursor;
+            line_len[lines_found] = nl - cursor;
+            ++lines_found;
+            cursor = nl + 1;
+        }
+        if (lines_found < 4) {
+            size_t rest = size - std::min(cursor, size);
+            if (lines_found == 0 && rest == 0) return n;  // clean EOF
+            if (rest > 0) {  // final line without trailing '\n'
+                line_start[lines_found] = cursor;
+                line_len[lines_found] = rest;
+                ++lines_found;
+            }
+            if (lines_found == 3 && !r->final_pad_done) {
+                line_start[3] = size;
+                line_len[3] = 0;
+                lines_found = 4;
+                used_final_pad = true;
+            }
+            if (lines_found < 4) {
+                r->error = "FASTQ line count is not a multiple of 4";
+                return -1;
+            }
+            cursor = size;
+        }
+        b_off[n] = (int64_t)line_start[1];
+        b_len[n] = (int32_t)line_len[1];
+        q_off[n] = (int64_t)line_start[3];
+        q_len[n] = (int32_t)line_len[3];
+        if (h1_off) { h1_off[n] = (int64_t)line_start[0]; h1_len[n] = (int32_t)line_len[0]; }
+        if (h2_off) { h2_off[n] = (int64_t)line_start[2]; h2_len[n] = (int32_t)line_len[2]; }
+        if (used_final_pad) r->final_pad_done = true;
+        r->pos = cursor;
+        ++n;
+    }
+    return n;
+}
+
+// Gather scattered rows into a zero-padded [n, lmax] array; optionally
+// validate while copying. validate_mode: 0 none, 1 bases (ACGTN), 2 quals
+// (33..qmax). Returns 0 ok, 1 bad base, 2 bad qual (bad = {row, col, byte}).
+int32_t ngs_pad_gather(const uint8_t* src, const int64_t* offs,
+                       const int32_t* lens, int64_t n, int64_t lmax,
+                       uint8_t* dst, int32_t validate_mode, int32_t qmax,
+                       int64_t* bad) {
+    static const BaseIdxTable bt;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = src + offs[i];
+        int64_t len = lens[i];
+        uint8_t* d = dst + i * lmax;
+        memcpy(d, s, len);
+        memset(d + len, 0, lmax - len);
+        if (validate_mode == 1) {
+            for (int64_t j = 0; j < len; ++j) {
+                if (bt.t[d[j]] < 0) { bad[0] = i; bad[1] = j; bad[2] = d[j]; return 1; }
+            }
+        } else if (validate_mode == 2) {
+            for (int64_t j = 0; j < len; ++j) {
+                if (d[j] < 33 || d[j] > qmax) { bad[0] = i; bad[1] = j; bad[2] = d[j]; return 2; }
+            }
+        }
+    }
+    return 0;
+}
+
+// Validate rows in place (no copy) — used when a consumer never
+// materializes the padded arrays but read-time validation is still on.
+int32_t ngs_validate_rows(const uint8_t* src, const int64_t* offs,
+                          const int32_t* lens, int64_t n, int32_t validate_mode,
+                          int32_t qmax, int64_t* bad) {
+    static const BaseIdxTable bt;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = src + offs[i];
+        int64_t len = lens[i];
+        if (validate_mode == 1) {
+            for (int64_t j = 0; j < len; ++j) {
+                if (bt.t[s[j]] < 0) { bad[0] = i; bad[1] = j; bad[2] = s[j]; return 1; }
+            }
+        } else {
+            for (int64_t j = 0; j < len; ++j) {
+                if (s[j] < 33 || s[j] > qmax) { bad[0] = i; bad[1] = j; bad[2] = s[j]; return 2; }
+            }
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -81,6 +81,27 @@ class ReadStatistics:
         lengths[:B] = batch.lengths
         return bases, quals, lengths
 
+    def merge(self, other: "ReadStatistics"):
+        """Fold another accumulator into this one (every statistic is
+        additive — the parallel-consumer pattern: per-worker accumulators,
+        merge after join; no shared mutable state during the run)."""
+        self.c_forward += other.c_forward
+        self.c_reverse += other.c_reverse
+        self.read_lengths.update(other.read_lengths)
+        self.bases_sequenced += other.bases_sequenced
+        self.c_read_q20 += other.c_read_q20
+        self._grow(other.pileups.shape[1])
+        L = other.pileups.shape[1]
+        self.pileups[:, :L] += other.pileups
+        self.qualsum1[:L] += other.qualsum1
+        self.qualsum2[:L] += other.qualsum2
+        self.base_qualities += other.base_qualities
+        self.read_qualities += other.read_qualities
+        for mine, theirs in ((self.qscore_dist_r1, other.qscore_dist_r1),
+                             (self.qscore_dist_r2, other.qscore_dist_r2)):
+            mine._bins += theirs._bins
+            mine._count += theirs._count
+
     def update_batch(self, batch: FastqBatch, direction: int):
         if len(batch) == 0:
             return

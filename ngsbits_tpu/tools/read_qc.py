@@ -13,6 +13,65 @@ from ..qc.read_stats import FORWARD, REVERSE, ReadStatistics
 from .toolbase import ToolBase, ToolError
 
 
+def _consume_parallel(stats: ReadStatistics, reader: FastqReader, direction: int):
+    """Analysis-parallel consumption (the P4-style worker-pool pattern):
+    the reader streams in its own thread while N workers each fold batches
+    into a PRIVATE ReadStatistics; accumulators merge after join (the race-
+    free merge-after-join design, ReadStatistics.merge). The padded [B, L]
+    arrays are lazy (io/fastq.py FastqBatch), so the pad-copy also lands on
+    the worker threads — decode, parse, pad and stats all overlap.
+
+    Worker count: NGSBITS_READQC_THREADS (default min(2, cores)); 1 worker
+    collapses to the plain prefetch pipeline."""
+    import os
+    import queue
+    import threading
+
+    from ..utils.prefetch import prefetch
+
+    n_workers = int(os.environ.get("NGSBITS_READQC_THREADS", "0") or 0) \
+        or min(2, os.cpu_count() or 1)
+    if n_workers <= 1:
+        for batch in prefetch(reader, depth=2):
+            stats.update_batch(batch, direction)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=n_workers * 2)
+    parts = [ReadStatistics(stats.single_end) for _ in range(n_workers)]
+    errors: list = []
+
+    def worker(part):
+        bufs: dict = {}  # reusable padded-gather destination buffers
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    return
+                part.update_batch(b.gather_into(bufs), direction)
+        except BaseException as exc:  # noqa: BLE001 — re-raised after join
+            errors.append(exc)
+            while True:  # drain so the producer never blocks forever
+                if q.get() is None:
+                    return
+
+    threads = [threading.Thread(target=worker, args=(p,), daemon=True)
+               for p in parts]
+    for t in threads:
+        t.start()
+    try:
+        for batch in reader:
+            q.put(batch)
+    finally:
+        for _ in threads:
+            q.put(None)
+        for t in threads:
+            t.join()
+    if errors:
+        raise errors[0]
+    for p in parts:
+        stats.merge(p)
+
+
 class ReadQCTool(ToolBase):
     name = "ReadQC"
     description = "Calculates QC metrics on unprocessed NGS reads."
@@ -57,18 +116,24 @@ class ReadQCTool(ToolBase):
             n1 = 0
             reader = FastqReader(f1, keep_headers=w1 is not None, long_read=long_read)
             # decode thread overlaps device compute (P1 pipeline analogue)
-            for batch in prefetch(reader, depth=2):
-                stats.update_batch(batch, FORWARD)
-                if w1:
-                    w1.write_batch(batch)
+            if w1 is None and w2 is None:
+                _consume_parallel(stats, reader, FORWARD)
+            else:
+                for batch in prefetch(reader, depth=2):
+                    stats.update_batch(batch, FORWARD)
+                    if w1:
+                        w1.write_batch(batch)
             n1 = reader.reads_seen
             infiles.append(f1)
             if i < len(in2):
                 reader2 = FastqReader(in2[i], keep_headers=w2 is not None, long_read=long_read)
-                for batch in prefetch(reader2, depth=2):
-                    stats.update_batch(batch, REVERSE)
-                    if w2:
-                        w2.write_batch(batch)
+                if w1 is None and w2 is None:
+                    _consume_parallel(stats, reader2, REVERSE)
+                else:
+                    for batch in prefetch(reader2, depth=2):
+                        stats.update_batch(batch, REVERSE)
+                        if w2:
+                            w2.write_batch(batch)
                 if n1 != reader2.reads_seen:
                     raise ToolError(f"Differing number of reads in file '{f1}' and '{in2[i]}'!")
                 infiles.append(in2[i])
