@@ -138,6 +138,13 @@ def get_lib():
             p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
             ct.c_int32, ct.c_int32,
             p(np.int64, flags="C_CONTIGUOUS,WRITEABLE")]
+        lib.ngs_pack_batch.restype = None
+        lib.ngs_pack_batch.argtypes = [
+            p(np.uint8, flags="C"), p(np.uint8, flags="C"),
+            ct.c_int64, ct.c_int64,
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE"),
+            p(np.uint8, flags="C_CONTIGUOUS,WRITEABLE")]
         lib.ngs_validate_rows.restype = ct.c_int32
         lib.ngs_validate_rows.argtypes = [
             ct.c_void_p, p(np.int64, flags="C"), p(np.int32, flags="C"),

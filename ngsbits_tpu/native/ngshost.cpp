@@ -1199,4 +1199,57 @@ int32_t ngs_validate_rows(const uint8_t* src, const int64_t* offs,
     return 0;
 }
 
+
+// Pack a padded [B, L] read batch for device upload: 2-bit base codes
+// (A=0 C=1 G=2 T=3; anything else 0 with its N-mask bit set), a 1-bit
+// N/other mask, and 6-bit qualities (q-33 clamped to [0,63], 4 quals in 3
+// bytes). L must be a multiple of 8. Padding past each read's length packs
+// as zeros; the device kernel masks by length, so the contents there are
+// irrelevant. ~9 bits/base instead of 16 — the host->device transfer is
+// the bottleneck of the forced device route through thin links.
+void ngs_pack_batch(const uint8_t* bases, const uint8_t* quals,
+                    int64_t B, int64_t L,
+                    uint8_t* pb,   // [B, L/4]
+                    uint8_t* nm,   // [B, L/8]
+                    uint8_t* pq) { // [B, L/4*3]
+    static const BaseIdxTable bt;
+    const int64_t Lb4 = L / 4, Lb8 = L / 8, Lq = L / 4 * 3;
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* brow = bases + b * L;
+        const uint8_t* qrow = quals + b * L;
+        uint8_t* pbrow = pb + b * Lb4;
+        uint8_t* nmrow = nm + b * Lb8;
+        uint8_t* pqrow = pq + b * Lq;
+        for (int64_t j = 0; j < Lb4; ++j) {
+            uint8_t v = 0;
+            for (int k = 0; k < 4; ++k) {
+                int8_t code = bt.t[brow[j * 4 + k]];
+                uint8_t two = (code >= 0 && code < 4) ? (uint8_t)code : 0;
+                v |= two << (2 * k);
+            }
+            pbrow[j] = v;
+        }
+        for (int64_t j = 0; j < Lb8; ++j) {
+            uint8_t v = 0;
+            for (int k = 0; k < 8; ++k) {
+                int8_t code = bt.t[brow[j * 8 + k]];
+                if (code < 0 || code == 4) v |= 1u << k;
+            }
+            nmrow[j] = v;
+        }
+        for (int64_t j = 0; j < Lb4; ++j) {
+            uint32_t q0 = qrow[j * 4 + 0], q1 = qrow[j * 4 + 1];
+            uint32_t q2 = qrow[j * 4 + 2], q3 = qrow[j * 4 + 3];
+            q0 = q0 > 33 ? (q0 - 33 > 63 ? 63 : q0 - 33) : 0;
+            q1 = q1 > 33 ? (q1 - 33 > 63 ? 63 : q1 - 33) : 0;
+            q2 = q2 > 33 ? (q2 - 33 > 63 ? 63 : q2 - 33) : 0;
+            q3 = q3 > 33 ? (q3 - 33 > 63 ? 63 : q3 - 33) : 0;
+            uint32_t v = q0 | (q1 << 6) | (q2 << 12) | (q3 << 18);
+            pqrow[j * 3 + 0] = v & 0xff;
+            pqrow[j * 3 + 1] = (v >> 8) & 0xff;
+            pqrow[j * 3 + 2] = (v >> 16) & 0xff;
+        }
+    }
+}
+
 }  // extern "C"

@@ -81,10 +81,22 @@ class ReadStatistics:
         lengths[:B] = batch.lengths
         return bases, quals, lengths
 
+    def _device_stream(self) -> "DeviceReadStream":
+        if getattr(self, "_stream", None) is None:
+            # single_end is how ReadQC routes -long_read (quality range up
+            # to Q93 — beyond 6-bit packing)
+            self._stream = DeviceReadStream(qual_bits=8 if self.single_end else 6)
+        return self._stream
+
     def merge(self, other: "ReadStatistics"):
         """Fold another accumulator into this one (every statistic is
         additive — the parallel-consumer pattern: per-worker accumulators,
         merge after join; no shared mutable state during the run)."""
+        if getattr(other, "_stream", None) is not None:
+            # the other accumulator streamed on device: land its carries in
+            # its host fields first, then merge those
+            other._stream.fold_into(other)
+            other._stream = None
         self.c_forward += other.c_forward
         self.c_reverse += other.c_reverse
         self.read_lengths.update(other.read_lengths)
@@ -120,11 +132,10 @@ class ReadStatistics:
                 sharded_readqc_step(make_mesh(), pb, pq, pl))
             read_qsum = read_qsum[:B]
         elif is_tpu_backend() and _use_device_batches():
-            import jax
-            pb, pq, pl = self._bucket(batch)
-            counts5, qsum_cycle, qhist, read_qsum = jax.device_get(
-                readqc_ops.readqc_batch(pb, pq, pl))
-            read_qsum = read_qsum[:B]
+            # device-resident streaming engine: packed upload (~9 bits/base),
+            # accumulators stay on device, results fetched once at EOF
+            self._device_stream().update(batch, direction)
+            return
         else:
             # host fast path: no padding/bucketing, bincount histogram
             counts5, qsum_cycle, qhist, read_qsum = readqc_ops.readqc_batch_host(
@@ -165,6 +176,9 @@ class ReadStatistics:
         hist.inc_array(mq, ignore_bounds=True)
 
     def get_result(self) -> QCCollection:
+        if getattr(self, "_stream", None) is not None:
+            self._stream.fold_into(self)
+            self._stream = None
         out = QCCollection()
         total_reads = self.c_forward + self.c_reverse
         c_base_n = int(self.pileups[4].sum())
@@ -405,3 +419,97 @@ def update_from_bam(stats: "ReadStatistics", bam_file: str, single_end: bool):
             if rev.any():
                 stats.update_batch(bam_batch_to_fastq_batch(batch, rev), REVERSE)
     reader.close()
+
+
+class DeviceReadStream:
+    """Device-resident ReadQC accumulation (StatisticsReads.cpp:26-81 on TPU).
+
+    Per batch, only the PACKED read tensor travels to the device (2-bit base
+    codes + 1-bit N mask + 6-bit quals = ~9 bits/base, ngs_pack_batch) and
+    NOTHING travels back: every statistic — including the per-read tail
+    (mean-quality histograms, Q20 count) — accumulates in on-device int32
+    carries (ops/readqc.py stream_step). Results are fetched once at EOF
+    (fold_into); a spill every SPILL_READS reads folds the carries into
+    64-bit host accumulators long before any int32 bin can overflow."""
+
+    SPILL_READS = 8_000_000
+
+    def __init__(self, qual_bits: int = 6):
+        self.carry = None
+        self.reads_since_spill = 0
+        self.spill: dict | None = None
+        self.qual_bits = qual_bits  # 8 for long-read quality range
+
+    def update(self, batch: FastqBatch, direction: int):
+        from ..ops.readqc import (pack_batch, stream_carry_grow,
+                                  stream_carry_init, stream_step)
+        pb_full, pq_full, pl = ReadStatistics._bucket(batch)
+        Lb = pb_full.shape[1]
+        packed_b, nmask, packed_q = pack_batch(pb_full, pq_full, self.qual_bits)
+        if self.carry is None:
+            self.carry = stream_carry_init(Lb)
+        else:
+            self.carry = stream_carry_grow(self.carry, Lb)
+        carry_l = self.carry["counts5"].shape[1]
+        if carry_l != Lb:
+            # batch bucket shorter than the carry: pad the packed arrays up
+            # (both are multiples of 64, so the packed widths divide evenly)
+            pad = carry_l - Lb
+            packed_b = np.pad(packed_b, ((0, 0), (0, pad // 4)))
+            nmask = np.pad(nmask, ((0, 0), (0, pad // 8)))
+            packed_q = np.pad(packed_q, ((0, 0), (0, pad if self.qual_bits == 8
+                                                  else pad // 4 * 3)))
+        self.carry = stream_step()(self.carry, packed_b, nmask, packed_q,
+                                   pl, np.int32(len(batch)),
+                                   0 if direction == FORWARD else 1,
+                                   self.qual_bits)
+        self.reads_since_spill += len(batch)
+        if self.reads_since_spill >= self.SPILL_READS:
+            self._spill()
+
+    def _spill(self):
+        import jax
+        if self.carry is None:
+            return
+        host = jax.device_get(self.carry)
+        L = host["counts5"].shape[1]
+        if self.spill is None:
+            self.spill = {k: np.asarray(v, dtype=np.int64) for k, v in host.items()}
+        else:
+            oldL = self.spill["counts5"].shape[1]
+            if L > oldL:
+                self.spill["counts5"] = np.pad(self.spill["counts5"],
+                                               ((0, 0), (0, L - oldL)))
+                for k in ("qsum1", "qsum2", "len_hist"):
+                    self.spill[k] = np.pad(self.spill[k], (0, L - oldL))
+            for k, v in host.items():
+                self.spill[k] = self.spill[k] + np.asarray(v, dtype=np.int64)
+        from ..ops.readqc import stream_carry_init
+        self.carry = stream_carry_init(L)
+        self.reads_since_spill = 0
+
+    def fold_into(self, stats: "ReadStatistics"):
+        self._spill()
+        s = self.spill
+        if s is None:
+            return
+        L = s["counts5"].shape[1]
+        # trim trailing cycles no read reached (bucket padding)
+        lens_present = np.flatnonzero(s["len_hist"])
+        true_l = int(lens_present[-1]) + 1 if len(lens_present) else 0
+        stats._grow(true_l)
+        stats.pileups[:, :true_l] += s["counts5"][:, :true_l]
+        stats.qualsum1[:true_l] += s["qsum1"][:true_l]
+        stats.qualsum2[:true_l] += s["qsum2"][:true_l]
+        stats.base_qualities += s["qhist"]
+        stats.read_qualities += s["read_q_hist"]
+        stats.c_read_q20 += int(s["q20"])
+        stats.qscore_dist_r1.add_counts(s["qdist1"])
+        stats.qscore_dist_r2.add_counts(s["qdist2"])
+        for i in range(len(s["len_hist"])):  # bin i = reads of length i
+            if s["len_hist"][i]:
+                stats.read_lengths[i] += int(s["len_hist"][i])
+        stats.c_forward += int(s["n_fwd"])
+        stats.c_reverse += int(s["n_rev"])
+        stats.bases_sequenced += int(s["bases"])
+        self.spill = None

@@ -29,8 +29,15 @@ def _consume_parallel(stats: ReadStatistics, reader: FastqReader, direction: int
 
     from ..utils.prefetch import prefetch
 
+    from ..qc.read_stats import _use_device_batches
+    from ..utils.backend import is_tpu_backend
+
     n_workers = int(os.environ.get("NGSBITS_READQC_THREADS", "0") or 0) \
         or min(2, os.cpu_count() or 1)
+    if is_tpu_backend() and _use_device_batches():
+        # device-resident streaming: the chip is the accumulator — extra
+        # host workers only duplicate compilation and contend for it
+        n_workers = 1
     if n_workers <= 1:
         for batch in prefetch(reader, depth=2):
             stats.update_batch(batch, direction)

@@ -75,3 +75,51 @@ def test_pearson_overflow_guard_uses_host_moments(monkeypatch):
     x[::2] = 1.0
     y = x.copy()
     assert abs(dr.pearson_from_genotypes(x, y) - 1.0) < 1e-12
+
+
+# ---- device-resident streaming ReadQC engine --------------------------------
+
+def _random_fastq_batches(rng, n_batches, long_read=False):
+    from ngsbits_tpu.io.fastq import FastqBatch
+    batches = []
+    for _ in range(n_batches):
+        B = int(rng.integers(50, 300))
+        L = int(rng.integers(20, 180))
+        bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04], size=(B, L))
+        qmax = 126 if long_read else 74
+        quals = rng.integers(33, qmax + 1, size=(B, L)).astype(np.uint8)
+        lengths = rng.integers(0, L + 1, size=B).astype(np.int32)
+        pos = np.arange(L)[None, :]
+        mask = pos < lengths[:, None]
+        bases = np.where(mask, bases, 0).astype(np.uint8)
+        quals = np.where(mask, quals, 0).astype(np.uint8)
+        batches.append(FastqBatch(bases=bases, quals=quals, lengths=lengths))
+    return batches
+
+
+@pytest.mark.parametrize("long_read", [False, True])
+def test_device_stream_readqc_parity(long_read):
+    """DeviceReadStream (packed upload + on-device accumulators, single
+    fetch) reproduces the host ReadStatistics path metric-for-metric,
+    including a mid-run spill and both directions."""
+    from ngsbits_tpu.qc.read_stats import (FORWARD, REVERSE, DeviceReadStream,
+                                           ReadStatistics)
+
+    rng = np.random.default_rng(7)
+    batches = _random_fastq_batches(rng, 6, long_read=long_read)
+
+    host = ReadStatistics(single_end=long_read)
+    for i, b in enumerate(batches):
+        host.update_batch(b, FORWARD if i % 2 == 0 else REVERSE)
+
+    dev = ReadStatistics(single_end=long_read)
+    stream = DeviceReadStream(qual_bits=8 if long_read else 6)
+    stream.SPILL_READS = 500  # force several spills
+    dev._stream = stream
+    for i, b in enumerate(batches):
+        stream.update(b, FORWARD if i % 2 == 0 else REVERSE)
+
+    got = [str(v) for v in dev.get_result().to_string_list()]
+    want = [str(v) for v in host.get_result().to_string_list()]
+    assert got == want

@@ -273,3 +273,54 @@ def test_device_kernel_throughput_smoke(tpu):
     # host decode tops out well under 10 M reads/s; the chip should be far
     # above it even through the tunnel
     assert rate > 1e7, f"device ReadQC kernel at {rate:.0f} reads/s"
+
+
+def test_device_stream_readqc_parity_on_chip(tpu):
+    """Device-resident streaming engine (packed upload, on-device
+    accumulators, single EOF fetch) vs the host path — full metric parity
+    on the real chip, including a mid-run spill."""
+    import numpy as np
+
+    from ngsbits_tpu.io.fastq import FastqBatch
+    from ngsbits_tpu.qc.read_stats import (FORWARD, REVERSE, DeviceReadStream,
+                                           ReadStatistics)
+
+    rng = np.random.default_rng(11)
+    host = ReadStatistics()
+    dev = ReadStatistics()
+    stream = DeviceReadStream()
+    stream.SPILL_READS = 3000
+    dev._stream = stream
+    for i in range(4):
+        B, L = 2000, 151
+        bases = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                           p=[0.24, 0.24, 0.24, 0.24, 0.04], size=(B, L))
+        quals = rng.integers(33, 75, size=(B, L)).astype(np.uint8)
+        lengths = rng.integers(1, L + 1, size=B).astype(np.int32)
+        mask = np.arange(L)[None, :] < lengths[:, None]
+        batch = FastqBatch(bases=np.where(mask, bases, 0).astype(np.uint8),
+                           quals=np.where(mask, quals, 0).astype(np.uint8),
+                           lengths=lengths)
+        direction = FORWARD if i % 2 == 0 else REVERSE
+        host.update_batch(batch, direction)
+        stream.update(batch, direction)
+    got = [str(v) for v in dev.get_result().to_string_list()]
+    want = [str(v) for v in host.get_result().to_string_list()]
+    assert got == want
+
+
+def test_device_stream_packed_upload_size(tpu):
+    """The packed upload is ~9 bits/base (2-bit codes + 1-bit N mask +
+    6-bit quals) — ~1.78x less transfer than uint8 bases+quals."""
+    import numpy as np
+
+    from ngsbits_tpu.ops.readqc import pack_batch
+
+    B, L = 1024, 152
+    bases = np.full((B, L), ord("A"), np.uint8)
+    quals = np.full((B, L), 40, np.uint8)
+    pb, nm, pq = pack_batch(bases, quals)
+    packed = pb.nbytes + nm.nbytes + pq.nbytes
+    unpacked = bases.nbytes + quals.nbytes
+    assert packed * 8 / (B * L) == pytest.approx(9.0, abs=0.01)
+    assert unpacked / packed == pytest.approx(16 / 9, rel=0.01)
