@@ -324,3 +324,57 @@ def test_device_stream_packed_upload_size(tpu):
     unpacked = bases.nbytes + quals.nbytes
     assert packed * 8 / (B * L) == pytest.approx(9.0, abs=0.01)
     assert unpacked / packed == pytest.approx(16 / 9, rel=0.01)
+
+
+def _run_similarity(monkeypatch, tmp_path, force, files, mode, name):
+    from ngsbits_tpu.tools.sample_similarity import SampleSimilarityTool
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1" if force else "0")
+    out = str(tmp_path / name)
+    SampleSimilarityTool().execute(["-in", *files, "-mode", mode, "-out", out])
+    return open(out, "rb").read()
+
+
+def test_sample_similarity_gsvar_device_on_chip(tpu, ref_data_in, tmp_path,
+                                                monkeypatch):
+    """SampleSimilarity on real GSvar fixtures: the integer-moment device
+    Pearson engine produces byte-identical output to the host float64 path."""
+    files = [str(ref_data_in / "SampleSimilarity_in1.GSvar"),
+             str(ref_data_in / "SampleSimilarity_in2.GSvar")]
+    dev = _run_similarity(monkeypatch, tmp_path, True, files, "gsvar", "dev.tsv")
+    host = _run_similarity(monkeypatch, tmp_path, False, files, "gsvar", "host.tsv")
+    assert dev == host
+
+
+def test_sample_similarity_vcf_device_on_chip(tpu, ref_data_in, tmp_path,
+                                              monkeypatch):
+    """Same parity on real VCF fixtures (the genotype-correlation route)."""
+    files = [str(ref_data_in / "SampleSimilarity_in6.vcf.gz"),
+             str(ref_data_in / "SampleSimilarity_in7.vcf.gz")]
+    dev = _run_similarity(monkeypatch, tmp_path, True, files, "vcf", "dev.tsv")
+    host = _run_similarity(monkeypatch, tmp_path, False, files, "vcf", "host.tsv")
+    assert dev == host
+
+
+def test_gender_hetx_pileup_device_on_chip(tpu, monkeypatch):
+    """SampleGender hetX on a real long-read BAM: the device-resident pileup
+    scatter engine and the host accumulation agree on every SNP count."""
+    from ngsbits_tpu.tools.sample_gender import gender_hetx
+    bam = "/root/reference/src/cppNGS-TEST/data_in/Statistics_longread.bam"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+    dev = gender_hetx("hg38", bam, 0.15, 0.24, True)
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+    host = gender_hetx("hg38", bam, 0.15, 0.24, True)
+    assert dev == host
+    assert dev[0] == "unknown (too few SNPs)"  # Statistics_Test.cpp:841
+
+
+def test_contamination_pileup_device_on_chip(tpu, monkeypatch):
+    """Statistics::contamination on a real tumor BAM — device vs host pileup
+    parity for the SNP allele-frequency deviation metric."""
+    from ngsbits_tpu.qc.mapping_stats import contamination
+    bam = "/root/reference/src/cppNGS-TEST/data_in/tumor.bam"
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "1")
+    dev = [str(v) for v in contamination("hg19", bam)]
+    monkeypatch.setenv("NGSBITS_DEVICE_ENGINES", "0")
+    host = [str(v) for v in contamination("hg19", bam)]
+    assert dev == host
