@@ -867,8 +867,15 @@ class CramReader:
         if magic != b"CRAM":
             raise CramError(f"Not a CRAM file: {filename}")
         major, minor = self._fh.read(1)[0], self._fh.read(1)[0]
-        if major != 3:
-            raise CramError(f"Unsupported CRAM version {major}.{minor}")
+        if major != 3 or minor != 0:
+            # CRAM 3.1 containers use the rANS-Nx16 / adaptive-arithmetic /
+            # name-tokenizer codec set this reader does not implement —
+            # reject at header time instead of failing mid-stream with an
+            # opaque codec error (no 3.1 fixtures exist in this environment
+            # to verify an implementation against)
+            raise CramError(
+                f"Unsupported CRAM version {major}.{minor}: only CRAM 3.0 is "
+                "supported (3.1 adds the rANS-Nx16/arith/tok3 codecs)")
         self.version = f"CRAM {major}.{minor}"
         self._fh.read(20)  # file id
         self._pending: list = []

@@ -119,3 +119,16 @@ def test_mate_pos_consistent_across_containers():
             mismatched += 1
     assert checked > 1000
     assert mismatched == 0
+
+
+def test_cram_31_rejected_at_header(tmp_path):
+    """A CRAM 3.1 magic is rejected with a clear version message at open
+    time, not an opaque codec error mid-stream (io/cram.py version gate)."""
+    import pytest
+
+    from ngsbits_tpu.io.cram import CramError, CramReader
+
+    p = tmp_path / "v31.cram"
+    p.write_bytes(b"CRAM\x03\x01" + bytes(20) + b"\x00" * 64)
+    with pytest.raises(CramError, match="Unsupported CRAM version 3.1"):
+        CramReader(str(p))
