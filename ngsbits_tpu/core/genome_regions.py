@@ -176,6 +176,38 @@ def cyto_band_to_range(build: str, cytoband: bytes | str) -> BedLine:
                      f"'{band.decode()}'!")
 
 
+_CHR_MAPPING = {
+    "hg38": {
+        "chr1": "NC_000001.11", "chr2": "NC_000002.12", "chr3": "NC_000003.12",
+        "chr4": "NC_000004.12", "chr5": "NC_000005.10", "chr6": "NC_000006.12",
+        "chr7": "NC_000007.14", "chr8": "NC_000008.11", "chr9": "NC_000009.12",
+        "chr10": "NC_000010.11", "chr11": "NC_000011.10", "chr12": "NC_000012.12",
+        "chr13": "NC_000013.11", "chr14": "NC_000014.9", "chr15": "NC_000015.10",
+        "chr16": "NC_000016.10", "chr17": "NC_000017.11", "chr18": "NC_000018.10",
+        "chr19": "NC_000019.10", "chr20": "NC_000020.11", "chr21": "NC_000021.9",
+        "chr22": "NC_000022.11", "chrX": "NC_000023.11", "chrY": "NC_000024.10",
+        "chrMT": "NC_012920.1",
+    },
+    "hg19": {
+        "chr1": "NC_000001.10", "chr2": "NC_000002.11", "chr3": "NC_000003.11",
+        "chr4": "NC_000004.11", "chr5": "NC_000005.9", "chr6": "NC_000006.11",
+        "chr7": "NC_000007.13", "chr8": "NC_000008.10", "chr9": "NC_000009.11",
+        "chr10": "NC_000010.10", "chr11": "NC_000011.9", "chr12": "NC_000012.11",
+        "chr13": "NC_000013.10", "chr14": "NC_000014.8", "chr15": "NC_000015.9",
+        "chr16": "NC_000016.9", "chr17": "NC_000017.10", "chr18": "NC_000018.9",
+        "chr19": "NC_000019.9", "chr20": "NC_000020.10", "chr21": "NC_000021.8",
+        "chr22": "NC_000022.10", "chrX": "NC_000023.10", "chrY": "NC_000024.9",
+        "chrMT": "NC_012920.1",
+    },
+}
+
+
+def chromosome_mapping(build: str) -> dict[Chromosome, str]:
+    """NGSHelper::chromosomeMapping (NGSHelper.cpp:1002-1063) — chromosome to
+    RefSeq NC accession."""
+    return {Chromosome(k): v for k, v in _CHR_MAPPING[build.lower()].items()}
+
+
 def population_code_to_human_readable(code: str) -> str:
     """NGSHelper::populationCodeToHumanReadable (NGSHelper.cpp:657-668)."""
     mapping = {"AFR": "African", "EAS": "East asian", "EUR": "European",

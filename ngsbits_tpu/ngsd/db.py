@@ -2185,6 +2185,52 @@ def _ngsd_somatic_pathways_ext(cls):
             out.insert(str(gene))
         return out
 
+    def get_diagnostic_status(self, ps_id) -> dict:
+        """NGSD::getDiagnosticStatus (NGSD.cpp:7847-7868)."""
+        default = {"status": "n/a", "user": "", "date": "", "outcome": "n/a",
+                   "comments": ""}
+        if ps_id in ("", None):
+            return default
+        rows = self.get_rows(
+            "SELECT s.status, u.name, s.date, s.outcome, s.comment "
+            "FROM diag_status s, user u "
+            "WHERE s.processed_sample_id=? AND s.user_id=u.id", params=(ps_id,))
+        if not rows:
+            return default
+        status, user, date, outcome, comment = rows[0]
+        return {"status": str(status or ""), "user": str(user or ""),
+                "date": str(date or ""), "outcome": str(outcome or "n/a"),
+                "comments": str(comment or "")}
+
+    def omim_preferred_phenotype(self, symbol, disease_group) -> str:
+        """NGSD::omimPreferredPhenotype (NGSD.cpp:7268-7283)."""
+        if isinstance(symbol, bytes):
+            symbol = symbol.decode()
+        v = self.get_value(
+            "SELECT phenotype_accession FROM omim_preferred_phenotype "
+            "WHERE gene=? AND disease_group=?", params=(symbol, str(disease_group)))
+        return "" if v is None else str(v)
+
+    def cnv_callset_metrics(self, callset_id) -> dict:
+        """NGSD::cnvCallsetMetrics (NGSD.cpp:5885-5897) — JSON quality metrics."""
+        import json
+        raw = self.get_value("SELECT quality_metrics FROM cnv_callset WHERE id=?",
+                             params=(callset_id,))
+        if not raw:
+            return {}
+        try:
+            obj = json.loads(str(raw))
+        except ValueError:
+            return {}
+        return {k: str(v).strip() for k, v in obj.items()}
+
+    def phenotype_name(self, pheno_id: int) -> str:
+        """NGSD::phenotype(id).name()."""
+        v = self.get_value("SELECT name FROM hpo_term WHERE id=?", params=(pheno_id,))
+        if v is None:
+            raise NgsdError(f"Phenotype with id '{pheno_id}' not found in NGSD!")
+        return str(v)
+
     def subpanel_regions(self, name: str):
         """NGSD::subpanelRegions (NGSD.cpp:4498-4503)."""
         from ..core.chromosome import Chromosome
@@ -2206,6 +2252,10 @@ def _ngsd_somatic_pathways_ext(cls):
         genes = self.get_value("SELECT genes FROM subpanels WHERE name=?", params=(name,))
         return GeneSet.create_from_text(str(genes or ""))
 
+    cls.get_diagnostic_status = get_diagnostic_status
+    cls.omim_preferred_phenotype = omim_preferred_phenotype
+    cls.cnv_callset_metrics = cnv_callset_metrics
+    cls.phenotype_name = phenotype_name
     cls.subpanel_regions = subpanel_regions
     cls.subpanel_genes = subpanel_genes
     cls.processing_system_id_from_processed_sample = processing_system_id_from_processed_sample
@@ -2216,3 +2266,19 @@ def _ngsd_somatic_pathways_ext(cls):
 
 
 _ngsd_somatic_pathways_ext(NGSD)
+
+
+# ---- LoginManager analogue (cppNGSD/LoginManager) --------------------------
+
+_CURRENT_USER_LOGIN = ""
+
+
+def login(user_login: str):
+    """LoginManager::login (test mode: no password check)."""
+    global _CURRENT_USER_LOGIN
+    _CURRENT_USER_LOGIN = user_login
+
+
+def current_user_login() -> str:
+    """LoginManager::userLogin."""
+    return _CURRENT_USER_LOGIN

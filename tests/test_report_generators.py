@@ -487,3 +487,84 @@ def test_somatic_report_helper_tumor_normal(somatic_env, tmp_path, variant):
     assert got_dropped == want_dropped <= len(_EXON_DEPENDENT_PARTS)
     assert len(want_lines) > 21000  # the overwhelming majority is compared
     assert got_lines == want_lines
+
+
+# ---------------------------------------------------------------------------
+# GermlineReportGenerator — report_germline TEST 1 (NGSD_Test.cpp:1875-1929)
+#
+# The reference gates the whole method on SKIP_IF_NO_HG38_GENOME and tests
+# 2-5 additionally need cppNGS-TEST/data_in/panel.bam — a stripped large
+# blob (.MISSING_LARGE_BLOBS). TEST 1 (minimal report) touches neither the
+# genome sequence nor the BAM, so it replays here byte-exact.
+# ---------------------------------------------------------------------------
+
+CPPNGS_DIN = "/root/reference/src/cppNGS-TEST/data_in"
+
+
+def test_germline_report_minimal(ngsd, tmp_path, monkeypatch):
+    """report_germline TEST 1 — germline_report1.{html,xml} goldens."""
+    import datetime
+
+    # the reference test environment runs with location=UKT (the golden has
+    # the UKT-only PRS accreditation footnote)
+    monkeypatch.setenv("NGSBITS_LOCATION", "UKT")
+
+    from ngsbits_tpu.filters.cascade import create_filter, FilterCascade
+    from ngsbits_tpu.io.bedpe import BedpeFile
+    from ngsbits_tpu.io.cnv import CnvList
+    from ngsbits_tpu.io.gsvar import GSvarFile
+    from ngsbits_tpu.io.repeat_locus import RepeatLocusList
+    from ngsbits_tpu.ngsd import db as ngsd_db
+    from ngsbits_tpu.ngsd import germline_report as gr
+
+    ngsd.run_mysql_file(f"{DIN}/NGSD_in2.sql")
+    ngsd_db.login("ahmustm1")
+
+    report_date = datetime.date(2021, 2, 19)
+
+    variants = GSvarFile.from_file(f"{CPPNGS_DIN}/panel.GSvar")
+    cnvs = CnvList.from_file(f"{CPPNGS_DIN}/panel_cnvs_clincnv.tsv")
+    svs = BedpeFile.from_file(f"{DIN}/sv_manta.bedpe")
+    res = RepeatLocusList.load(f"{DIN}/re_calls.vcf")
+    prs = gr.PrsTable.load(f"{CPPNGS_DIN}/panel_prs.tsv")
+
+    rs = gr.ReportSettings()
+    rs.report_type = "diagnostic variant"
+    rs.min_depth = 20
+    rs.show_coverage_details = False
+    rs.cov_based_on_complete_roi = False
+    rs.cov_exon_padding = 20
+    rs.recalculate_avg_depth = False
+    rs.show_omim_table = False
+    rs.show_one_entry_in_omim_table = False
+    rs.show_class_details = False
+
+    filters = FilterCascade()
+    filters.add(create_filter("Allele frequency"))
+
+    data = gr.GermlineReportGeneratorData(
+        build="hg38", ps="NA12878_03", variants=variants, cnvs=cnvs, svs=svs,
+        res=res, prs=prs, report_settings=rs, filters=filters)
+    data.processing_system_roi = __import__(
+        "ngsbits_tpu.core.intervals", fromlist=["BedFile"]).BedFile.from_file(
+        f"{CPPNGS_DIN}/panel.bed")
+    data.ps_bam = f"{CPPNGS_DIN}/panel.bam"
+    data.ps_lowcov = f"{CPPNGS_DIN}/panel_lowcov.bed"
+
+    gr.APPLICATION_NAME = "cppNGSD-TEST"
+    gr.APPLICATION_VERSION = ""
+
+    generator = gr.GermlineReportGenerator(data, db=ngsd, test_mode=True)
+    generator.override_date(report_date)
+
+    html_out = str(tmp_path / "germline_report1.html")
+    generator.write_html(html_out)
+    got = open(html_out, "rb").read()
+    want = open(f"{DOUT}/germline_report1.html", "rb").read()
+    assert got == want
+
+    xml_out = str(tmp_path / "germline_report1.xml")
+    generator.write_xml(xml_out, html_out)
+    got = open(xml_out, "rb").read()
+    want = open(f"{DOUT}/germline_report1.xml", "rb").read()
+    assert got == want
