@@ -62,6 +62,83 @@ class CnvList:
     def __getitem__(self, i) -> CopyNumberVariant:
         return self.variants[i]
 
+    def build(self) -> str:
+        """CnvList::build (CnvList.cpp:440-452) — '##GENOME_BUILD=' header."""
+        for line in self.comments:
+            if line.startswith(b"##GENOME_BUILD="):
+                return line.split(b"=")[-1].strip().decode()
+        return ""
+
+    def caller_as_string(self) -> str:
+        """CnvList::callerAsString — by ANALYSISTYPE ('ClinCNV')."""
+        for line in self.comments:
+            if line.startswith(b"##ANALYSISTYPE=CLINCNV_"):
+                return "ClinCNV"
+        if self.type in ("germline_single", "germline_multi", "germline_trio",
+                         "tumor_normal", "tumor_only", "somatic_pair",
+                         "somatic_single"):
+            return "ClinCNV"
+        raise ValueError("CNV list type not handled in CnvList::caller()!")
+
+    def caller_version(self) -> str:
+        """CnvList::callerVersion (CnvList.cpp:408-421) — '<caller> version:'."""
+        for line in self.comments:
+            if b":" not in line:
+                continue
+            key, _, value = line[2:].partition(b":")
+            if key.endswith(b" version"):
+                return value.strip().decode()
+        raise ValueError("CNV caller version could not be determined!")
+
+    def calling_date(self) -> str:
+        """CnvList::callingDate (CnvList.cpp:424-438) — ISO yyyy-mm-dd."""
+        for line in self.comments:
+            if b":" not in line:
+                continue
+            key, _, value = line[2:].partition(b":")
+            if key.endswith(b" finished on"):
+                return value.strip()[:10].decode()
+        raise ValueError("CNV calling data could not be determined!")
+
+    def qc_metric(self, name: str, throw_if_missing: bool = True) -> str:
+        """CnvList::qcMetric (CnvList.cpp:473-506) — also matches keys with a
+        processed-sample-name prefix (trio output)."""
+        value = b""
+        name_b = name.encode()
+        for comment in self.comments:
+            if b":" not in comment:
+                continue
+            body = comment[2:]
+            sep = body.index(b":")
+            key = body[:sep]
+            if key == name_b:
+                value = body[sep + 1:].strip()
+            key2 = b" ".join(key.split(b" ")[1:])
+            if key2 == name_b:
+                value = body[sep + 1:].strip()
+        if not value and throw_if_missing:
+            raise ValueError(f"Cannot find QC metric '{name}' in CNV list header!")
+        return value.decode()
+
+    def find_match(self, cnv: "CopyNumberVariant", copy_number: int = -1,
+                   fuzzy_match: bool = False) -> int:
+        """CnvList::findMatch (CnvList.cpp:572-604) — exact or ≥90%-reciprocal
+        overlap match, optionally constrained to a copy number."""
+        for i, v in enumerate(self.variants):
+            if v.chr == cnv.chr and v.start == cnv.start and v.end == cnv.end:
+                if copy_number >= 0 and v.copy_number(self.annotation_headers) != copy_number:
+                    continue
+                return i
+            if fuzzy_match and v.chr == cnv.chr and v.start <= cnv.end and v.end >= cnv.start:
+                overlap = min(v.end, cnv.end) - max(v.start, cnv.start)
+                if (overlap / (cnv.end - cnv.start) < 0.9
+                        or overlap / (v.end - v.start) < 0.9):
+                    continue
+                if copy_number >= 0 and v.copy_number(self.annotation_headers) != copy_number:
+                    continue
+                return i
+        return -1
+
     def annotation_index_by_name(self, name: bytes, throw_on_error: bool = True) -> int:
         matches = [i for i, h in enumerate(self.annotation_headers) if h == name]
         if len(matches) != 1:
@@ -163,7 +240,10 @@ class CnvList:
                         pass
                 genes = []
                 if i_genes != -1:
-                    genes = [g.strip() for g in parts[i_genes].split(b",") if g.strip()]
+                    # reference keeps genes as a GeneSet: trimmed, UPPERCASED,
+                    # sorted, deduplicated (GeneSet::insert)
+                    genes = sorted({g.strip().upper()
+                                    for g in parts[i_genes].split(b",") if g.strip()})
                 annos = [parts[i] for i in anno_idx]
                 out.variants.append(CopyNumberVariant(
                     parts[i_chr], int(parts[i_start]), int(parts[i_end]),

@@ -342,8 +342,17 @@ class _NativeFastqHandle:
         self._h = h
         self.buf_ptr = lib.ngs_fastq_buf_ptr(h)
 
+    # copies share the one native handle — the LAST reference closes it
+    # (deep-copying would duplicate the raw pointer and double-close)
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
     def __del__(self):
-        h, self._h = self._h, None
+        h = getattr(self, "_h", None)
+        self._h = None
         if h is not None:
             self.lib.ngs_fastq_close(h)
 

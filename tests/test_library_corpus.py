@@ -1405,3 +1405,102 @@ def test_sv_type_string_conversion():
     # DEL/DUP/INS/INV/BND map to distinct full strings (round-trip identity)
     full = {t: type_to_full_string(t) for t in (b"DEL", b"DUP", b"INS", b"INV", b"BND")}
     assert len(set(full.values())) == 5
+
+
+# ---- BedLine_Test.cpp ------------------------------------------------------
+
+def test_bedline_validity_overlap_adjacent():
+    """BedLine_Test.cpp:8-74 (isValid/overlapsWith/adjacentTo)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+
+    assert not BedLine(Chromosome(""), 0, 0).is_valid()
+    line = _BL("chr1", 5, 10)
+    assert line.is_valid()
+
+    assert not line.overlaps(Chromosome("chr2"), 5, 10)
+    assert not line.overlaps(Chromosome("chr1"), 1, 4)
+    assert not line.overlaps(Chromosome("chr1"), 11, 20)
+    for s, e in ((1, 5), (5, 10), (6, 8), (10, 20), (1, 20)):
+        assert line.overlaps(Chromosome("chr1"), s, e)
+    # position-only overload
+    assert line.overlaps(None, 5, 10)
+    assert not line.overlaps(None, 1, 4)
+
+    assert not line.adjacent_to(1, 3)
+    assert not line.adjacent_to(12, 15)
+    assert line.adjacent_to(11, 20)
+    assert line.adjacent_to(1, 4)
+
+
+def test_bedline_sort_order_and_strings():
+    """BedLine_Test.cpp:75-95 (operator< / fromString/toString)."""
+    a = _BL("chr1", 1, 20)
+    assert not (a.sort_key() < _BL("chr1", 1, 20).sort_key())
+    assert a.sort_key() < _BL("chr1", 5, 20).sort_key()
+    assert not (_BL("chr2", 1, 20).sort_key() < a.sort_key())
+    assert a.sort_key() < _BL("chr2", 5, 20).sort_key()
+
+    assert _BL("chr1", 1, 20).to_string() == "chr1:1-20"
+    assert _BL("chr15", 3589921, 3699921).to_string(True) == "chr15:3589921-3699921"
+
+
+# ---- CnvList_Test.cpp ------------------------------------------------------
+
+def test_cnvlist_load_and_metadata():
+    """CnvList_Test.cpp:9-77 (load/loadHeaderOnly/caller metadata + store)."""
+    from ngsbits_tpu.io.cnv import CnvList
+
+    cnvs = CnvList.from_file(f"{DIN}/CnvList_ClinCNV_germline.tsv")
+    assert len(cnvs.comments) == 7
+    assert cnvs.build() == "GRCh38"
+    assert len(cnvs) == 67
+    assert cnvs.qc_metric("number of iterations") == "1"
+    assert cnvs.caller_as_string() == "ClinCNV"
+    assert cnvs.caller_version() == "v1.18.3"
+    assert cnvs.calling_date() == "2025-05-28"
+
+    cnvs = CnvList.from_file(f"{DIN}/CnvList_ClinCNV_germline_multi.tsv",
+                             header_only=True)
+    assert len(cnvs.comments) == 17
+    assert cnvs.build() == "GRCh38"
+    assert len(cnvs) == 0
+
+
+@pytest.mark.parametrize("name,version,date", [
+    ("CnvList_ClinCNV_germline", "v1.18.3", "2025-05-28"),
+    ("CnvList_ClinCNV_germline_multi", "v1.16.0", "2019-07-30"),
+    ("CnvList_ClinCNV_somatic", "v1.18.3", "2025-05-27"),
+])
+def test_cnvlist_store_golden(tmp_path, name, version, date):
+    """CnvList_Test.cpp basic_test_* — load/store round-trip vs data_out."""
+    from ngsbits_tpu.io.cnv import CnvList
+
+    cnvs = CnvList.from_file(f"{DIN}/{name}.tsv")
+    assert cnvs.build() == "GRCh38"
+    assert cnvs.caller_as_string() == "ClinCNV"
+    assert cnvs.caller_version() == version
+    assert cnvs.calling_date() == date
+    out = str(tmp_path / f"{name}.tsv")
+    cnvs.store(out)
+    assert open(out, "rb").read() == open(
+        f"{NGS_TEST}/data_out/{name}.tsv", "rb").read()
+
+
+def test_cnvlist_find_match():
+    """CnvList_Test.cpp:78-95 (findMatch exact/cn-constrained/fuzzy)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.cnv import CnvList, CopyNumberVariant
+
+    cnvs = CnvList.from_file(f"{DIN}/CnvList_ClinCNV_germline.tsv")
+
+    def cv(s, e):
+        return CopyNumberVariant(Chromosome("chr1"), s, e)
+
+    assert cnvs.find_match(cv(1534694, 1551033)) == 12
+    assert cnvs.find_match(cv(1534694, 1551033), 3) == 12
+    assert cnvs.find_match(cv(1534694, 1551033), 1) == -1
+    assert cnvs.find_match(cv(1535194, 1552533), 3) == -1
+    assert cnvs.find_match(cv(1535194, 1552533), 3, True) == 12
+    assert cnvs.find_match(cv(1535194, 1552533), -3, True) == 12
+    assert cnvs.find_match(cv(1535194, 1553533), 3, True) == -1
