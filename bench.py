@@ -477,9 +477,11 @@ def main():
         "e2e_onchip": ("same ReadQC run with the axon TPU backend live and "
                        "verified (probe asserts default_backend=='tpu'); "
                        "auto dispatch is tunnel-aware, so per-batch stats "
-                       "stay on the host here — forcing the device route "
-                       "through the tunnel measures 39k reads/s "
-                       "(transfer-bound, BASELINE.md round 4)"),
+                       "stay on the host here — forcing the device-resident "
+                       "streaming route through the tunnel measures 122k "
+                       "reads/s (packed ~9-bit/base upload, on-device int32 "
+                       "accumulators, single EOF fetch; was 39k with "
+                       "per-batch padded uploads — BASELINE.md round 5)"),
     }
 
     headline = extra.pop("readqc_e2e_reads_per_sec")
