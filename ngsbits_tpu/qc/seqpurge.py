@@ -135,9 +135,13 @@ class SeqPurgeEngine:
         i_grid = np.arange(Wn)[None, :]
         valid = i_grid <= (lengths[:, None] - window)
         ok = valid & (win >= cutoff * window)
-        any_ok = ok.any(axis=1)
-        # largest i with ok
-        i_max = Wn - 1 - np.argmax(ok[:, ::-1], axis=1)
+        if Wn == 0:  # every read shorter than the window -> unchanged below
+            any_ok = np.zeros(B, bool)
+            i_max = np.zeros(B, np.int64)
+        else:
+            any_ok = ok.any(axis=1)
+            # largest i with ok
+            i_max = Wn - 1 - np.argmax(ok[:, ::-1], axis=1)
         count_new = np.where(any_ok, i_max + window, 0)
         # strip trailing bases below cutoff
         ge = (q >= cutoff) & (pos < count_new[:, None])

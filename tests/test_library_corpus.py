@@ -10,6 +10,7 @@ method below mirrors one reference TEST_METHOD with the same pinned values
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 NGS_TEST = "/root/reference/src/cppNGS-TEST"
@@ -1504,3 +1505,101 @@ def test_cnvlist_find_match():
     assert cnvs.find_match(cv(1535194, 1552533), 3, True) == 12
     assert cnvs.find_match(cv(1535194, 1552533), -3, True) == 12
     assert cnvs.find_match(cv(1535194, 1553533), 3, True) == -1
+
+
+# ---- FastqFileStream_Test.cpp ----------------------------------------------
+
+def _trim_quality(bases: bytes, quals: bytes, cutoff: int):
+    """Drive the batched SeqPurge trimQuality kernel for one read."""
+    from ngsbits_tpu.qc.seqpurge import SeqPurgeEngine, SeqPurgeParams
+    eng = SeqPurgeEngine(SeqPurgeParams(qcut=cutoff, ncut=0, min_len=1))
+    L = max(len(bases), 1)
+    b = np.zeros((1, L), np.uint8)
+    q = np.zeros((1, L), np.uint8)
+    b[0, :len(bases)] = np.frombuffer(bases, np.uint8)
+    q[0, :len(quals)] = np.frombuffer(quals, np.uint8)
+    lens = np.array([len(bases)], np.int32)
+    new_len = int(eng.trim_quality(q, lens)[0])
+    return len(bases) - new_len, bases[:new_len], quals[:new_len]
+
+
+def _trim_n(bases: bytes, quals: bytes, num_n: int):
+    from ngsbits_tpu.qc.seqpurge import SeqPurgeEngine, SeqPurgeParams
+    eng = SeqPurgeEngine(SeqPurgeParams(qcut=0, ncut=num_n, min_len=1))
+    L = max(len(bases), 1)
+    b = np.zeros((1, L), np.uint8)
+    b[0, :len(bases)] = np.frombuffer(bases, np.uint8)
+    lens = np.array([len(bases)], np.int32)
+    new_len = int(eng.trim_n(b, lens)[0])
+    return len(bases) - new_len, bases[:new_len], quals[:new_len]
+
+
+def test_fastq_entry_trim_quality():
+    """FastqFileStream_Test.cpp:9-68 (entry_trimQuality) — every pinned case
+    through the batched kernel."""
+    cases = [
+        (b"", b"", 0, b"", b""),
+        (b"ACG", b"###", 0, b"ACG", b"###"),
+        (b"ACGTA", b"IIIII", 0, b"ACGTA", b"IIIII"),
+        (b"ACGTA", b"#####", 5, b"", b""),
+        (b"ACGTACGTACGTACGTACGTACGTACGTACGT",
+         b"IIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII", 0,
+         b"ACGTACGTACGTACGTACGTACGTACGTACGT",
+         b"IIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII"),
+        (b"ACGTACGTACGTACGTACGTACGTACGTACGT",
+         b"IIIIIIIIIIIIIIIIIIIIIIIIIII#####", 5,
+         b"ACGTACGTACGTACGTACGTACGTACG", b"IIIIIIIIIIIIIIIIIIIIIIIIIII"),
+        (b"ACGTACGTACGTACGTACGTACGTACGTACGT",
+         b"?????????????????????:50+#######", 8,
+         b"ACGTACGTACGTACGTACGTACGT", b"?????????????????????:50"),
+    ]
+    for bases, quals, removed, exp_b, exp_q in cases:
+        r, got_b, got_q = _trim_quality(bases, quals, 15)
+        assert (r, got_b, got_q) == (removed, exp_b, exp_q), bases
+
+
+def test_fastq_entry_trim_n():
+    """FastqFileStream_Test.cpp:70-128 (entry_trimN)."""
+    cases = [
+        (b"", b"", 0, b"", b""),
+        (b"ACG", b"###", 0, b"ACG", b"###"),
+        (b"ACGTANNNNNN", b"IIIIIABCDEF", 0, b"ACGTANNNNNN", b"IIIIIABCDEF"),
+        (b"ACGTANNNNNNN", b"IIIIIABCDEFG", 7, b"ACGTA", b"IIIII"),
+        (b"ACGTANNNNNNANNNNNNN", b"IIIIIABCDEFGABCDEFG", 7,
+         b"ACGTANNNNNNA", b"IIIIIABCDEFG"),
+        (b"NNNNNNNACGTANNNNNNA", b"IIIIIABCDEFGABCDEFG", 19, b"", b""),
+        (b"ACGTANNNNNNNNNNNNNN", b"IIIIIABCDEAFGABCDEF", 14, b"ACGTA", b"IIIII"),
+    ]
+    for bases, quals, removed, exp_b, exp_q in cases:
+        r, got_b, got_q = _trim_n(bases, quals, 7)
+        assert (r, got_b, got_q) == (removed, exp_b, exp_q), bases
+
+
+def test_fastq_stream_read_gzipped():
+    """FastqFileStream_Test.cpp:130-182 (read_gzipped) — record fields of the
+    example file, batched reader."""
+    from ngsbits_tpu.io.fastq import FastqReader
+
+    reader = FastqReader(f"{DIN}/example1.fastq.gz", keep_headers=True)
+    records = []
+    for batch in reader:
+        batch.materialize_headers()
+        for i in range(len(batch)):
+            lens = batch.lengths
+            b = bytes(batch.bases[i][:lens[i]])
+            q = bytes(batch.quals[i][:batch.qlen()[i]])
+            records.append((batch.headers[i], b, batch.headers2[i], q))
+    assert len(records) == 10
+    h, b, h2, q = records[0]
+    assert h == b"@NG-5232_4_1_1022_17823#0/1"
+    assert b == (b"NACTCCGGTGTCGGTCTCGTAGGCCATTTTAGAAGCGAATAAATCGATGNATTCGANCNCNN"
+                 b"NNNNNNATCGNNAGAGCTCGTANGCCGTCTTCTGCTTGANNNNNNN")
+    assert h2 == b"+NG-5232_4_1_1022_17823#0/1"
+    assert q == (b"#'''')(++)AAAAAAAAAA####################################"
+                 b"####################################################")
+    expected = [b"@NG-5232_4_1_1022_17823#0/1", b"@NG-5232_4_1_1025_18503#0/1",
+                b"@NG-5232_4_1_1026_21154#0/1", b"@NG-5232_4_1_1028_9044#0/1",
+                b"@NG-5232_4_1_1031_3041#0/1", b"@NG-5232_4_1_1031_18565#0/1",
+                b"@NG-5232_4_1_1031_20044#0/1", b"@NG-5232_4_1_1032_18092#0/1",
+                b"@NG-5232_4_1_1033_5386#0/1", b"@NG-5232_4_1_1033_2620#0/1"]
+    assert [r[0] for r in records] == expected
