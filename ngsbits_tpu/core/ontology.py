@@ -33,6 +33,11 @@ class OboTerm:
         if self.synonyms is None:
             self.synonyms = []
 
+    def is_child_of(self, parent_id: str) -> bool:
+        """OntologyTerm::isChildOf (OntologyTermCollection.cpp:27-37) —
+        substring match against each is_a entry."""
+        return any(parent_id in p for p in self.parents)
+
 
 class OntologyTermCollection:
     def __init__(self, terms: dict[str, OboTerm], version: str = ""):
@@ -42,8 +47,28 @@ class OntologyTermCollection:
     def contains(self, term_id: str) -> bool:
         return term_id in self._terms
 
+    contains_by_id = contains
+
+    def contains_by_name(self, name: str) -> bool:
+        """OntologyTermCollection::containsByName — linear name scan."""
+        return any(t.name == name for t in self._terms.values())
+
     def get(self, term_id: str) -> OboTerm:
         return self._terms[term_id]
+
+    def get_by_id(self, term_id: str) -> OboTerm:
+        """OntologyTermCollection::getByID — throws on unknown id."""
+        try:
+            return self._terms[term_id]
+        except KeyError:
+            raise ValueError(f"Ontology term collection has no term with "
+                             f"id '{term_id}'") from None
+
+    def add(self, term: OboTerm):
+        if term.id in self._terms:
+            raise ValueError(f"OntologyTermCollection::add: Term with id "
+                             f"'{term.id}' already present!")
+        self._terms[term.id] = term
 
     def __len__(self):
         return len(self._terms)
@@ -108,6 +133,61 @@ class OntologyTermCollection:
         if cur is not None:
             terms[cur.id] = cur
         return OntologyTermCollection(terms, version)
+
+    @staticmethod
+    def load_obo(filename, skip_obsolete: bool = True) -> "OntologyTermCollection":
+        """OntologyTermCollection(filename, skip_obsolete_terms)
+        (OntologyTermCollection.cpp:43-125): [Term] blocks end at the first
+        empty line; obsolete terms are optionally dropped."""
+        import os
+
+        if not os.path.isfile(str(filename)):
+            raise FileNotFoundError(f"Could not open file for reading: "
+                                    f"'{filename}'!")
+        opener = gzip.open if str(filename).endswith(".gz") else open
+        with opener(filename, "rt", encoding="utf-8", errors="replace") as fh:
+            lines = iter(fh.read().splitlines())
+        out = OntologyTermCollection({}, "")
+        for raw in lines:
+            line = raw.strip()
+            if line.startswith("data-version:"):
+                out.version = line[13:].strip()
+            if line != "[Term]":
+                continue
+            term = OboTerm(id="", name="")
+            for raw2 in lines:
+                line = raw2.strip()
+                if not line:
+                    break
+                if line.startswith("id:"):
+                    term.id = line[3:].strip()
+                if line.startswith("name:"):
+                    term.name = line[5:].strip()
+                if line.startswith("def:"):
+                    d = line[4:].strip()
+                    start = d.find('"') + 1
+                    end = d.rfind('"')
+                    term.definition = d[start:end]
+                if line.startswith("xref: value-type:xsd\\:"):
+                    term.term_type = (line + ":").replace('"', ":").split(":")[3].strip()
+                if line.startswith("is_a:"):
+                    parent = line[5:].strip()
+                    end = parent.rfind("!")
+                    parent = parent[:end].strip() if end != -1 else parent
+                    term.parents.append(parent)
+                if line.startswith("synonym:") and " EXACT " in line:
+                    s = line[8:].strip()
+                    start = s.find('"') + 1
+                    end = s.rfind('"')
+                    term.synonyms.append(s[start:end])
+                if line.startswith("is_obsolete:"):
+                    term.obsolete = "true" in line
+                if line.startswith("replaced_by:"):
+                    term.replaced_by = line[12:].strip()
+            if term.obsolete and skip_obsolete:
+                continue
+            out.add(term)
+        return out
 
 
 @lru_cache(maxsize=1)

@@ -35,6 +35,20 @@ def _pos_to_str(v: int) -> bytes:
     return b"." if v == -1 else str(v).encode()
 
 
+def _parse_info_field(raw: bytes) -> dict[bytes, bytes]:
+    """BedpeFile::parseInfoField — key=value pairs of a ##NAME=<...> meta
+    line; values may be double-quoted (quotes stripped, whitespace
+    simplified)."""
+    import re
+
+    s = raw.decode().replace(">", "").replace("<", "").replace("##", "")
+    s = " ".join(s.split())
+    out = {}
+    for key, value in re.findall(r'([^,="]+)=("[^"]*"|[^,]*)', s):
+        out[key.strip().encode()] = value.strip('"').strip().encode()
+    return out
+
+
 class BedpeLine:
     __slots__ = ("chr1", "start1", "end1", "chr2", "start2", "end2", "type",
                  "annotations")
@@ -120,6 +134,78 @@ class BedpeLine:
         vals = self.annotations[sample_col].split(b":")
         return vals[key_idx]
 
+    def __lt__(self, rhs: "BedpeLine") -> bool:
+        """BedpeLine::operator< (BedpeFile.h:111-119) — chr1/start1 then
+        chr2/start2."""
+        a, b = self.chr1.num, rhs.chr1.num
+        if a != b:
+            return a < b
+        if self.start1 != rhs.start1:
+            return self.start1 < rhs.start1
+        a, b = self.chr2.num, rhs.chr2.num
+        if a != b:
+            return a < b
+        return self.start2 < rhs.start2
+
+    def genes(self, annotation_headers: list[bytes],
+              error_on_mismatch: bool = True):
+        """BedpeLine::genes (BedpeFile.cpp:333-343) — GENES column as GeneSet."""
+        from ..core.geneset import GeneSet
+
+        out = GeneSet()
+        try:
+            gene_idx = annotation_headers.index(b"GENES")
+        except ValueError:
+            if error_on_mismatch:
+                raise ValueError('Column "GENES" not found in annotation header!')
+            return out
+        for g in self.annotations[gene_idx].split(b","):
+            out.insert(g)
+        return out
+
+    def set_genes(self, annotation_headers: list[bytes], genes):
+        """BedpeLine::setGenes (BedpeFile.cpp:345-353)."""
+        try:
+            gene_idx = annotation_headers.index(b"GENES")
+        except ValueError:
+            raise ValueError('Column "GENES" not found in annotation header!')
+        self.annotations[gene_idx] = ",".join(genes).encode()
+
+    def set_genotype(self, annotation_headers: list[bytes], value: bytes,
+                     sample_idx: int = 0):
+        """BedpeLine::setGenotype (BedpeFile.cpp:251-282)."""
+        try:
+            format_idx = annotation_headers.index(b"FORMAT")
+        except ValueError:
+            raise ValueError('Column "FORMAT" not found in annotation header!')
+        if sample_idx < 0:
+            raise ValueError(f"Sample index {sample_idx} must not be less than 0!")
+        col = format_idx + 1 + sample_idx
+        if col >= len(self.annotations):
+            raise ValueError(f"Sample index {col} points to a annotation column "
+                             "that does not exist!")
+        keys = self.annotations[format_idx].split(b":")
+        values = self.annotations[col].split(b":")
+        if len(keys) != len(values):
+            raise ValueError("Format and value column differ in length in "
+                             "BedpeLine::setGenotype!")
+        if b"GT" not in keys:
+            raise ValueError('Key "GT" was not found in FORMAT column!')
+        values[keys.index(b"GT")] = value
+        self.annotations[col] = b":".join(values)
+
+    def genotype_human_readable(self, annotation_headers: list[bytes],
+                                error_if_not_found: bool = True,
+                                sample_idx: int = 0) -> bytes:
+        """BedpeLine::genotypeHumanReadable (BedpeFile.cpp:284-300)."""
+        gt = self.genotype(annotation_headers, error_if_not_found, sample_idx)
+        gt = gt.replace(b"|", b"/")
+        table = {b"1/1": b"hom", b"0/1": b"het", b"1/0": b"het",
+                 b"0/0": b"wt", b"": b"n/a", b"./.": b"n/a"}
+        if gt not in table:
+            raise ValueError(f"Unhandled SV genotype '{gt.decode()}'!")
+        return table[gt]
+
     def genotype(self, annotation_headers: list[bytes],
                  error_if_not_found: bool = True, sample_idx: int = 0) -> bytes:
         try:
@@ -196,9 +282,139 @@ class BedpeFile:
     def is_somatic(self) -> bool:
         return self.format() in ("somatic_tumor_normal", "somatic_tumor_only")
 
+    def build(self) -> str:
+        """BedpeFile::build (BedpeFile.cpp:638-660) — from ##reference=."""
+        for line in self.headers:
+            if line.startswith(b"##reference="):
+                parts = line.split(b"/")
+                if b"/DRAGEN/" in line:
+                    return parts[-3].decode()
+                return parts[-1].split(b".")[0].decode()
+        return ""
+
+    def caller(self) -> str:
+        """BedpeFile::caller (BedpeFile.cpp:662-684) — from ##source=."""
+        for line in self.headers:
+            if line.startswith(b"##source=GenerateSVCandidates"):
+                return "Manta"
+            if line.startswith(b"##source=Sniffles"):
+                return "Sniffles"
+            if line.startswith(b"##source=DRAGEN_SV"):
+                return "DRAGEN"
+        raise ValueError(f"Could not determine caller from {self.filename}")
+
+    def caller_version(self) -> str:
+        """BedpeFile::callerVersion (BedpeFile.cpp:686-710)."""
+        for line in self.headers:
+            if line.startswith(b"##source=GenerateSVCandidates "):
+                return line.strip().split(b" ")[1].decode()
+            if line.startswith(b"##source=Sniffles2_"):
+                return line.strip().split(b"_")[1].decode()
+            if line.startswith(b"##DRAGENVersion="):
+                i1 = line.index(b"SW:") + 3
+                i2 = line.index(b",", i1)
+                return line[i1:i2].strip().decode()
+        raise ValueError(f"Could not determine caller version from {self.filename}")
+
+    def calling_date(self):
+        """BedpeFile::callingDate (BedpeFile.cpp:712-723) — ##fileDate=yyyyMMdd."""
+        import datetime
+
+        for line in self.headers:
+            if line.startswith(b"##fileDate="):
+                raw = line.split(b"=")[1].strip().decode()
+                return datetime.datetime.strptime(raw, "%Y%m%d").date()
+        raise ValueError(f"Could not determine calling date from {self.filename}")
+
+    def get_infos(self, name: bytes) -> list:
+        """BedpeFile::getInfos (BedpeFile.cpp:555-568)."""
+        if b"=" not in name:
+            name += b"="
+        out = []
+        for comment in self.headers:
+            c = comment.replace(b"##", b"")
+            if not c.startswith(name):
+                continue
+            out.append(_parse_info_field(c[len(name):]))
+        return out
+
+    def meta_info_description_by_id(self, name: bytes) -> dict[bytes, bytes]:
+        """BedpeFile::metaInfoDescriptionByID (BedpeFile.cpp:570-584)."""
+        out = {}
+        for info in self.get_infos(name):
+            id_ = info.get(b"ID", b"")
+            desc = info.get(b"Description", b"")
+            if id_ and desc:
+                out[id_] = desc
+        return out
+
+    def annotation_description_by_name(self, name: bytes) -> bytes:
+        """BedpeFile::annotationDescriptionByName (BedpeFile.h:285-288)."""
+        return self.annotation_descriptions.get(name, b"")
+
+    def find_match(self, sv: BedpeLine, deep_ins_compare: bool = True,
+                   error_on_mismatch: bool = True,
+                   compare_ci: bool = False) -> int:
+        """BedpeFile::findMatch (BedpeFile.cpp:748-848) — exact/deep-INS/CI
+        matching against this file's lines."""
+        pos_min_q = min(sv.start1, sv.end1, sv.start2, sv.end2)
+        pos_max_q = max(sv.start1, sv.end1, sv.start2, sv.end2)
+        left_q = right_q = b""
+        alt_a_idx = info_a_idx = -1
+        if deep_ins_compare:
+            alt_a_idx = self.annotation_index_by_name(b"ALT_A")
+            info_a_idx = self.annotation_index_by_name(b"INFO_A")
+            for entry in sv.annotations[info_a_idx].split(b";"):
+                e = entry.strip()
+                if e.startswith(b"LEFT_SVINSSEQ="):
+                    left_q = e
+                elif e.startswith(b"RIGHT_SVINSSEQ="):
+                    right_q = e
+        for i, line in enumerate(self.lines):
+            if line.type != sv.type or line.chr1 != sv.chr1 or line.chr2 != sv.chr2:
+                continue
+            pos_min_r = min(line.start1, line.end1, line.start2, line.end2)
+            pos_max_r = max(line.start1, line.end1, line.start2, line.end2)
+            if sv.type == b"INS" and deep_ins_compare:
+                if pos_min_q != pos_min_r or pos_max_q != pos_max_r:
+                    continue
+                if line.annotations[alt_a_idx] != sv.annotations[alt_a_idx]:
+                    continue
+                left_r = right_r = b""
+                for entry in line.annotations[info_a_idx].split(b";"):
+                    e = entry.strip()
+                    if e.startswith(b"LEFT_SVINSSEQ="):
+                        left_r = e
+                    elif e.startswith(b"RIGHT_SVINSSEQ="):
+                        right_r = e
+                if left_q != left_r or right_q != right_r:
+                    continue
+                return i
+            if compare_ci:
+                if sv.type == b"INS":
+                    if not (pos_min_r <= pos_max_q and pos_max_r >= pos_min_q):
+                        continue
+                else:
+                    if not (line.start1 <= sv.end1 and line.end1 >= sv.start1):
+                        continue
+                    if not (line.start2 <= sv.end2 and line.end2 >= sv.start2):
+                        continue
+                return i
+            if (line.start1 == sv.start1 and line.end1 == sv.end1
+                    and line.start2 == sv.start2 and line.end2 == sv.end2):
+                return i
+        if error_on_mismatch:
+            raise ValueError("No match found in given SV in BedpeFile!")
+        return -1
+
     # ---- IO ----
     @staticmethod
-    def from_file(filename: str) -> "BedpeFile":
+    def load_header_only(filename: str) -> "BedpeFile":
+        """BedpeFile::loadHeaderOnly."""
+        return BedpeFile.from_file(filename, header_only=True)
+
+    @staticmethod
+    def from_file(filename: str, header_only: bool = False) -> "BedpeFile":
         import sys
         out = BedpeFile()
         out.filename = filename or "-"
@@ -235,6 +451,9 @@ class BedpeFile:
         out.annotation_headers = header_fields[6:]
         if out.format() in ("germline_single", "germline_multi", "germline_trio"):
             out._parse_sample_header_info()
+
+        if header_only:
+            return out
 
         i_type = out.annotation_index_by_name(b"TYPE")
         for line in body:

