@@ -129,6 +129,25 @@ class Transcript:
     def name_with_version(self) -> str:
         return f"{self.name}.{self.version}" if self.version else self.name
 
+    def exon_number(self, start: int, end: int) -> int:
+        """Transcript::exonNumber (Transcript.cpp) — 1-based exon in
+        transcription direction; -1 no overlap, -2 several exons."""
+        matches = set()
+        n = len(self.regions)
+        for i, line in enumerate(self.regions.lines):
+            if line.start <= end and line.end >= start:
+                matches.add(i + 1 if self.strand == "+" else n - i)
+        if not matches:
+            return -1
+        if len(matches) > 1:
+            return -2
+        return matches.pop()
+
+    def c_dna_to_genomic(self, coord: int) -> int:
+        """Transcript::cDnaToGenomic — coding-region cDNA coordinate to
+        genomic position."""
+        return _c_dna_to_genomic(self, coord)
+
     def _utrs(self):
         """UTR regions per Transcript::setRegions (Transcript.cpp:320-400)."""
         utr5, utr3 = BedFile(), BedFile()

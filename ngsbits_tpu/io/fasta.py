@@ -59,6 +59,10 @@ class FastaFileIndex:
         e = self.entries.get(c.num)
         return e.length if e else 0
 
+    def seq_whole(self, chr_: Chromosome | str, to_upper: bool = True) -> bytes:
+        """FastaFileIndex::seq(chr, to_upper) — the complete chromosome."""
+        return self.seq(chr_, 1, self.length_of(chr_), to_upper)
+
     def seq(self, chr_: Chromosome | str, start: int, length: int, to_upper: bool = True) -> bytes:
         """1-based start; clipped to the chromosome like the reference."""
         if not isinstance(chr_, Chromosome):

@@ -1929,3 +1929,319 @@ def test_bedpe_estimated_sv_size():
     assert germl.estimated_sv_size(0) == 56    # deletion
     assert germl.estimated_sv_size(43) == 514  # insertion
     assert germl.estimated_sv_size(12) == -1   # BND
+
+
+# ---- FastaFileIndex_Test.cpp -----------------------------------------------
+
+
+def test_fasta_index_seq_complete():
+    """FastaFileIndex_Test.cpp:9-28 (seq_complete)."""
+    from ngsbits_tpu.io.fasta import FastaFileIndex
+
+    idx = FastaFileIndex(f"{DIN}/example.fa")
+    seq = idx.seq_whole("chr14", False)
+    assert len(seq) == 1509
+    assert seq[:10] == b"ataaaccaac"
+    assert seq[-10:] == b"tgaaaaataa"
+
+    assert idx.seq_whole("chr15", False) == b"cgat"
+    assert idx.seq_whole("chr16", False) == b"gattaca"
+    assert idx.seq_whole("chr17", False) == b"acgt"
+    assert idx.seq_whole("chr17") == b"ACGT"
+
+
+def test_fasta_index_seq_substr():
+    """FastaFileIndex_Test.cpp:30-49 (seq_substr)."""
+    from ngsbits_tpu.io.fasta import FastaFileIndex
+
+    idx = FastaFileIndex(f"{DIN}/example.fa")
+    assert idx.seq("chr14", 1, 10, False) == b"ataaaccaac"
+    assert idx.seq("chr14", 1500, 10, False) == b"tgaaaaataa"
+    assert idx.seq("chr15", 1, 4, False) == b"cgat"
+    assert idx.seq("chr16", 1, 4, False) == b"gatt"
+    assert idx.seq("chr17", 1, 4, False) == b"acgt"
+    assert idx.seq("chr17", 1, 4) == b"ACGT"
+
+
+def test_fasta_index_length_n_names():
+    """FastaFileIndex_Test.cpp:71-91 (lengthOf/n/names)."""
+    from ngsbits_tpu.io.fasta import FastaFileIndex
+
+    idx = FastaFileIndex(f"{DIN}/example.fa")
+    assert idx.length_of("chr14") == 1509
+    assert idx.n_count("chr14") == 4
+    names = idx.chromosomes()
+    assert [c.str for c in names] == ["chr14", "chr15", "chr16", "chr17"]
+
+
+# ---- GffData_Test.cpp ------------------------------------------------------
+
+
+def _sorted_by_position(transcripts):
+    """TranscriptList::sortByPosition analogue."""
+    return sorted(transcripts, key=lambda t: (t.chr.num, t.start(), t.end()))
+
+
+def test_gff_load_unzipped():
+    """GffData_Test.cpp:8-64 (loadGffFile_unzipped)."""
+    from ngsbits_tpu.core.transcripts import load_gff3
+
+    gff = load_gff3(f"{DIN}/NGSHelper_loadGffFile_in1.gff3", include_all=True,
+                    print_to_stdout=False)
+    names = {t.name for t in gff.transcripts}
+    assert len(gff.transcripts) == 21
+    assert "ENST00000578049" in names    # first valid
+    assert "ENST00000643044" in names    # last valid
+    assert "ENST00000613230" not in names  # special chromosome -> skipped
+    assert "ENST00000671898" not in names  # no name and no HGNC-ID -> skipped
+
+    ts = _sorted_by_position(gff.transcripts)
+    t0 = ts[0]
+    assert t0.name == "ENST00000578049"
+    assert t0.version == 4
+    assert t0.name_ccds == "CCDS83523.1"
+    assert t0.biotype == "protein coding"
+    assert t0.gene == "SEC22B"
+    assert t0.gene_id == "ENSG00000265808"
+    assert t0.hgnc_id == "HGNC:10700"
+    assert len(t0.regions) == 5
+    assert t0.regions.base_count() == 6927
+    assert len(t0.coding_regions()) == 5
+    assert t0.coding_regions().base_count() == 648
+    assert t0.is_gencode_basic
+    assert t0.is_ensembl_canonical
+    assert t0.is_mane_select
+    assert not t0.is_mane_plus_clinical
+
+    assert ts[1].name == "ENST00000618538"
+    assert not ts[1].is_gencode_basic
+    assert not ts[1].is_ensembl_canonical
+    assert not ts[1].is_mane_select
+    assert not ts[1].is_mane_plus_clinical
+
+    assert ts[2].name == "ENST00000643391"
+    assert ts[2].is_gencode_basic
+    assert not ts[2].is_ensembl_canonical
+    assert not ts[2].is_mane_select
+    assert ts[2].is_mane_plus_clinical
+
+    gff = load_gff3(f"{DIN}/NGSHelper_loadGffFile_in1.gff3", include_all=False,
+                    print_to_stdout=False)
+    names = {t.name for t in gff.transcripts}
+    assert len(gff.transcripts) == 11
+    assert "ENST00000578049" in names
+    assert "ENST00000643044" in names
+    assert "ENST00000613230" not in names
+    assert "ENST00000671898" not in names
+
+
+def test_gff_load_gzipped():
+    """GffData_Test.cpp:66-78 (loadGffFile_gzipped)."""
+    from ngsbits_tpu.core.transcripts import load_gff3
+
+    gff = load_gff3(f"{DIN}/NGSHelper_loadGffFile_in2.gff3.gz",
+                    include_all=True, print_to_stdout=False)
+    names = {t.name for t in gff.transcripts}
+    assert len(gff.transcripts) == 21
+    assert "ENST00000578049" in names
+    assert "ENST00000643044" in names
+
+
+def test_gff_load_refseq():
+    """GffData_Test.cpp:80-124 (loadGffFile_refseq)."""
+    from collections import Counter
+
+    from ngsbits_tpu.core.transcripts import load_gff3
+
+    gff = load_gff3(f"{DIN}/NGSHelper_loadGffFile_in3.gff3.gz",
+                    include_all=False, print_to_stdout=False, source="refseq")
+    assert len(gff.transcripts) == 10
+    assert gff.gene_count() == 2
+    per_gene = Counter(t.gene for t in gff.transcripts)
+    assert per_gene["BRCA2"] == 6
+    assert per_gene["RFC1"] == 4
+    names = {t.name for t in gff.transcripts}
+    assert "NM_001204747" in names
+    assert "XR_007057951" not in names  # predicted by Gnomon
+
+    t = next(t for t in gff.transcripts if t.name == "NM_001204747")
+    assert t.gene == "RFC1"
+    assert t.version == 2
+    assert t.gene_id == "gene-RFC1"
+    assert t.hgnc_id == "HGNC:9969"
+    assert t.name_ccds == ""
+    assert t.source == "refseq"  # reference keeps the default ENSEMBL enum
+    assert t.strand == "-"
+    assert t.biotype == "protein coding"
+    assert t.chr.str == "chr4"
+    assert t.start() == 39287456
+    assert t.end() == 39366362
+    assert not t.is_preferred
+    assert not t.is_gencode_basic
+    assert not t.is_ensembl_canonical
+    assert not t.is_mane_select
+    assert not t.is_mane_plus_clinical
+    assert t.is_coding()
+    assert len(t.regions) == 25
+    assert t.regions.base_count() == 4873
+    assert len(t.coding_regions()) == 25
+    assert t.coding_regions().base_count() == 3447
+    assert t.coding_start == 39366241
+    assert t.coding_end == 39288761
+    assert len(t.utr_3prime()) == 1
+    assert t.utr_3prime().base_count() == 1305
+    assert len(t.utr_5prime()) == 1
+    assert t.utr_5prime().base_count() == 121
+
+
+def test_gff_load_refseq_all():
+    """GffData_Test.cpp:126-140 (loadGffFile_refseq_all)."""
+    from collections import Counter
+
+    from ngsbits_tpu.core.transcripts import load_gff3
+
+    gff = load_gff3(f"{DIN}/NGSHelper_loadGffFile_in3.gff3.gz",
+                    include_all=True, print_to_stdout=False, source="refseq")
+    assert len(gff.transcripts) == 13
+    assert gff.gene_count() == 2
+    per_gene = Counter(t.gene for t in gff.transcripts)
+    assert per_gene["BRCA2"] == 6
+    assert per_gene["RFC1"] == 7
+    names = {t.name for t in gff.transcripts}
+    assert "NM_001204747" in names
+    assert "XR_007057951" in names
+
+
+# ---- Transcript_Test.cpp ---------------------------------------------------
+
+
+def _trans_slc51a():
+    """Transcript_Test.cpp:10-32 — SLC51A / ENST00000296327 (plus strand)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.core.transcripts import Transcript
+
+    regions = BedFile()
+    for s, e in [(196216534, 196216750), (196217842, 196217936),
+                 (196226965, 196227119), (196227664, 196227737),
+                 (196228115, 196228273), (196228809, 196228920),
+                 (196229915, 196230061), (196232419, 196232524),
+                 (196233063, 196233427)]:
+        regions.append(BedLine(Chromosome("chr3"), s, e))
+    return Transcript(gene="SLC51A", name="ENST00000296327", source="ensembl",
+                      strand="+", chr=Chromosome("chr3"), regions=regions,
+                      coding_start=196216713, coding_end=196233199)
+
+
+def _trans_apod():
+    """Transcript_Test.cpp:34-52 — APOD / ENST00000343267 (minus strand)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.core.transcripts import Transcript
+
+    regions = BedFile()
+    for s, e in [(195568705, 195569135), (195571277, 195571365),
+                 (195573850, 195573971), (195579339, 195579495),
+                 (195583878, 195583940)]:
+        regions.append(BedLine(Chromosome("chr3"), s, e))
+    return Transcript(gene="APOD", name="ENST00000343267", source="ensembl",
+                      strand="-", chr=Chromosome("chr3"), regions=regions,
+                      coding_start=195579461, coding_end=195568900)
+
+
+def test_transcript_set_regions():
+    """Transcript_Test.cpp:56-95 (setRegions)."""
+    t = _trans_slc51a()
+    assert t.gene == "SLC51A"
+    assert t.name == "ENST00000296327"
+    assert t.strand == "+"
+    assert t.chr.num == 3
+    assert t.start() == 196216534
+    assert t.end() == 196233427
+    assert len(t.regions) == 9
+    assert t.regions.base_count() == 1430
+    assert len(t.coding_regions()) == 9
+    assert t.coding_regions().base_count() == 1023
+    assert len(t.utr_3prime()) == 1
+    assert t.utr_3prime().base_count() == 228
+    assert len(t.utr_5prime()) == 1
+    assert t.utr_5prime().base_count() == 179
+
+    t = _trans_apod()
+    assert t.gene == "APOD"
+    assert t.strand == "-"
+    assert t.chr.num == 3
+    assert t.start() == 195568705
+    assert t.end() == 195583940
+    assert len(t.regions) == 5
+    assert t.regions.base_count() == 862
+    assert len(t.coding_regions()) == 4
+    assert t.coding_regions().base_count() == 570
+    assert len(t.utr_3prime()) == 1
+    assert t.utr_3prime().base_count() == 195
+    assert len(t.utr_5prime()) == 2
+    assert t.utr_5prime().base_count() == 97
+    lens = [l.end - l.start + 1 for l in t.utr_5prime().lines]
+    assert lens == [34, 63]
+
+
+def test_transcript_cdna_to_genomic():
+    """Transcript_Test.cpp:97-122 (cDnaToGenomic)."""
+    t = _trans_slc51a()
+    with pytest.raises(ValueError):
+        t.c_dna_to_genomic(0)
+    assert t.c_dna_to_genomic(1) == 196216713     # exon 1, start codon
+    assert t.c_dna_to_genomic(4) == 196216716     # exon 1, first coding base
+    assert t.c_dna_to_genomic(38) == 196216750    # exon 1, last base
+    assert t.c_dna_to_genomic(39) == 196217842    # exon 2, first base
+    assert t.c_dna_to_genomic(1020) == 196233196  # exon 9, last coding base
+    assert t.c_dna_to_genomic(1021) == 196233197  # exon 9, stop codon base 1
+    assert t.c_dna_to_genomic(1023) == 196233199  # exon 9, stop codon base 3
+    with pytest.raises(ValueError):
+        t.c_dna_to_genomic(1204)
+
+    t = _trans_apod()
+    with pytest.raises(ValueError):
+        t.c_dna_to_genomic(0)
+    assert t.c_dna_to_genomic(1) == 195579461
+    assert t.c_dna_to_genomic(4) == 195579458
+    assert t.c_dna_to_genomic(123) == 195579339
+    assert t.c_dna_to_genomic(124) == 195573971
+    assert t.c_dna_to_genomic(567) == 195568903
+    assert t.c_dna_to_genomic(568) == 195568902
+    assert t.c_dna_to_genomic(570) == 195568900
+    with pytest.raises(ValueError):
+        t.c_dna_to_genomic(571)
+
+
+def test_transcript_exon_number():
+    """Transcript_Test.cpp:421-438 (exonNumber)."""
+    t = _trans_slc51a()
+    assert t.exon_number(196216531, 196216533) == -1
+    assert t.exon_number(196216534, 196216534) == 1
+    assert t.exon_number(196216750, 196216750) == 1
+    assert t.exon_number(196217842, 196217936) == 2
+    assert t.exon_number(196233063, 196233427) == 9
+    assert t.exon_number(196233428, 196233430) == -1
+    assert t.exon_number(196216534, 196217936) == -2
+
+    t = _trans_apod()
+    assert t.exon_number(195568701, 195568704) == -1
+    assert t.exon_number(195568705, 195569135) == 5
+    assert t.exon_number(195583878, 195583940) == 1
+    assert t.exon_number(195583941, 195583944) == -1
+    assert t.exon_number(195568705, 195583878) == -2
+
+
+def test_transcript_chromosomal_index():
+    """Transcript_Test.cpp:440-449 (check_ChromosomalIndex_works) — the
+    index template instantiated on a transcript list (span container here)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine, ChromosomalIndex
+
+    spans = BedFile()
+    for t in (_trans_apod(), _trans_slc51a()):
+        spans.append(BedLine(t.chr, t.start(), t.end()))
+    idx = ChromosomalIndex(spans)
+    assert idx.matching_index(Chromosome("chr3"), 195568705, 195569135) == 0
+    assert idx.matching_index(Chromosome("chr3"), 196216534, 196216750) == 1
