@@ -62,6 +62,29 @@ def parse_transcript_string(text: bytes,
     return out
 
 
+def vcf_to_gsvar(chr_, pos: int, ref: bytes, alt: bytes) -> "GSvarVariant":
+    """Variant::Variant(const VcfLine&) + Variant::normalize('-', true)
+    (VariantList.cpp:49-64, 1283+): VCF coordinates to GSvar TSV convention
+    ('-' for empty alleles, insertion anchored on the previous base)."""
+    from ..core.normalize import trim_variant
+
+    if b"," in alt:
+        raise ValueError("Cannot convert multi-allelic VCF variant to GSvar "
+                         "variant!")
+    start, ref, obs = trim_variant(pos, ref, alt)
+    end = start + len(ref) - 1
+    if not ref:
+        ref = b"-"
+        end += 1
+    if not obs:
+        obs = b"-"
+    if ref == b"-":
+        start -= 1
+        end -= 1
+    c = chr_ if isinstance(chr_, Chromosome) else Chromosome(chr_)
+    return GSvarVariant(c, start, end, ref, obs, [])
+
+
 @dataclass
 class GSvarVariant:
     chr: Chromosome
@@ -70,6 +93,26 @@ class GSvarVariant:
     ref: bytes
     obs: bytes
     annotations: list  # columns after the 5 fixed ones
+    filters: list = None  # tags from the 'filter' column (Variant.cpp ctor)
+
+    def __post_init__(self):
+        if self.filters is None:
+            self.filters = []
+
+    def set_filters_from_column(self, filter_index: int):
+        """Variant(chr,start,...,filter_index) (VariantList.cpp:25-47):
+        ';'-split tags minus empty/'.'/PASS/PASSED. Bug-faithful: only
+        filter_index > 0 populates."""
+        self.filters = []
+        if filter_index > 0:
+            for tag in self.annotations[filter_index].split(b";"):
+                tag = tag.strip()
+                if tag and tag != b"." and tag.upper() not in (b"PASS", b"PASSED"):
+                    self.filters.append(tag)
+
+    def sort_key(self):
+        """VariantList::LessComparator (VariantList.cpp:543-557)."""
+        return (self.chr.num, self.start, self.end, self.ref, self.obs)
 
     def to_string(self) -> str:
         return f"{self.chr.str}:{self.start}-{self.end} {self.ref.decode()}>{self.obs.decode()}"
@@ -94,7 +137,7 @@ class GSvarFile:
         self.descriptions.append((name, desc))
 
     @staticmethod
-    def from_file(filename: str, roi=None) -> "GSvarFile":
+    def from_file(filename: str, roi=None, header_only: bool = False) -> "GSvarFile":
         out = GSvarFile()
         with open(filename, "rb") as fh:
             data = fh.read()
@@ -132,23 +175,215 @@ class GSvarFile:
             if line.startswith(b"#"):
                 out.columns = [c.decode() for c in line[1:].split(b"\t")[5:]]
                 continue
+            if header_only:
+                continue
             fields = line.split(b"\t")
             cb = fields[0]
             if cb not in chr_cache:
                 chr_cache[cb] = Chromosome(cb)
             v = GSvarVariant(chr_cache[cb], int(fields[1]), int(fields[2]),
                              fields[3], fields[4], fields[5:])
+            fi = out.columns.index("filter") if "filter" in out.columns else -1
+            v.set_filters_from_column(fi)
             if roi_idx is not None:
                 if len(roi_idx.matching_indices(v.chr, v.start, v.end)) == 0:
                     continue
             out.variants.append(v)
         return out
 
+    def __len__(self):
+        return len(self.variants)
+
+    count = __len__
+
+    def __getitem__(self, i) -> GSvarVariant:
+        return self.variants[i]
+
+    def append(self, v: GSvarVariant):
+        self.variants.append(v)
+
     def annotation_index(self, name: str) -> int:
         for i, c in enumerate(self.columns):
             if c == name:
                 return i
         raise KeyError(f"Could not find annotation column '{name}'")
+
+    def annotation_index_by_name(self, name: str, exact_match: bool = True,
+                                 error_on_mismatch: bool = True) -> int:
+        """VariantList::annotationIndexByName (VariantList.cpp:653-694) —
+        case-insensitive exact or substring column lookup."""
+        nl = name.lower()
+        matches = [i for i, c in enumerate(self.columns)
+                   if (exact_match and c.lower() == nl)
+                   or (not exact_match and nl in c.lower())]
+        if not matches:
+            if error_on_mismatch:
+                raise ValueError(f"Could not find column '{name}' in variant list!")
+            return -1
+        if len(matches) > 1:
+            if error_on_mismatch:
+                raise ValueError(f"Found multiple columns for '{name}' in "
+                                 "variant list!")
+            return -2
+        return matches[0]
+
+    def annotation_description_by_name(self, name: str,
+                                       error_if_not_found: bool = True) -> str:
+        for n, d in self.descriptions:
+            if n == name:
+                return d
+        if error_if_not_found:
+            raise ValueError(f"Could not find annotation description '{name}'!")
+        return ""
+
+    def sort(self):
+        """VariantList::sort — chr/start/end/ref/obs."""
+        self.variants.sort(key=lambda v: v.sort_key())
+
+    def is_sorted(self) -> bool:
+        return all(self.variants[i].sort_key() <= self.variants[i + 1].sort_key()
+                   for i in range(len(self.variants) - 1))
+
+    def sort_by_file(self, filename: str):
+        """VariantList::sortByFile (LessComparatorByFile,
+        VariantList.cpp:497-536) — chromosome rank from a FAI-like file."""
+        rank = {}
+        with open(filename, "rb") as fh:
+            for i, line in enumerate(fh):
+                c = Chromosome(line.split(b"\t")[0].strip())
+                rank[c.num] = i + 1
+
+        def key(v):
+            if v.chr.num not in rank:
+                raise ValueError(f"Reference file for sorting does not contain "
+                                 f"chromosome '{v.chr.str}'!")
+            return (rank[v.chr.num], v.start, v.end, v.ref, v.obs)
+
+        self.variants.sort(key=key)
+
+    def remove_duplicates(self):
+        """VariantList::removeDuplicates (VariantList.cpp:1030-1052) — sort,
+        then drop consecutive (chr,start,ref,obs) duplicates."""
+        self.sort()
+        out = []
+        for i in range(len(self.variants) - 1):
+            a, b = self.variants[i], self.variants[i + 1]
+            if (a.chr.num, a.start, a.obs, a.ref) != (b.chr.num, b.start, b.obs, b.ref):
+                out.append(a)
+        if self.variants:
+            out.append(self.variants[-1])
+        self.variants = out
+
+    def remove_annotation(self, index: int):
+        """VariantList::removeAnnotation — drop a column everywhere."""
+        if index < 0 or index >= len(self.columns):
+            raise ValueError(f"Invalid annotation index {index} in "
+                             "removeAnnotation!")
+        name = self.columns[index]
+        del self.columns[index]
+        self.descriptions = [(n, d) for n, d in self.descriptions if n != name]
+        for v in self.variants:
+            if index < len(v.annotations):
+                del v.annotations[index]
+
+    def add_annotation(self, name: str, description: str,
+                       default_value: bytes = b"") -> int:
+        """VariantList::addAnnotation — errors if the column exists."""
+        if name in self.columns:
+            raise ValueError(f"Annotation '{name}' already present in "
+                             "variant list!")
+        if isinstance(default_value, str):
+            default_value = default_value.encode()
+        self.columns.append(name)
+        self.add_description(name, description)
+        for v in self.variants:
+            v.annotations.append(default_value)
+        return len(self.columns) - 1
+
+    def add_annotation_if_missing(self, name: str, description: str,
+                                  default_value: bytes = b"") -> int:
+        """VariantList::addAnnotationIfMissing — updates the description of an
+        existing column."""
+        if name in self.columns:
+            self.add_description(name, description)
+            return self.columns.index(name)
+        return self.add_annotation(name, description, default_value)
+
+    def remove_annotation_by_name(self, name: str, exact_match: bool = True,
+                                  error_on_mismatch: bool = True):
+        index = self.annotation_index_by_name(name, exact_match, error_on_mismatch)
+        if index >= 0:
+            self.remove_annotation(index)
+
+    def copy_meta_data(self, other: "GSvarFile"):
+        """VariantList::copyMetaData — header state without the variants."""
+        self.comments = list(other.comments)
+        self.descriptions = list(other.descriptions)
+        self.filters = dict(other.filters)
+        self.columns = list(other.columns)
+        self.samples = list(other.samples)
+
+    def analysis_type(self) -> str:
+        """VariantList::type — ##ANALYSISTYPE= with single-sample fallback."""
+        for c in self.comments:
+            if c.startswith(b"##ANALYSISTYPE="):
+                return c[len(b"##ANALYSISTYPE="):].strip().decode()
+        return "GERMLINE_SINGLESAMPLE"
+
+    _TYPE_HUMAN = {"GERMLINE_SINGLESAMPLE": "single-sample analysis",
+                   "GERMLINE_TRIO": "trio analysis",
+                   "GERMLINE_MULTISAMPLE": "multi-sample analysis",
+                   "SOMATIC_SINGLESAMPLE": "tumor-only analysis",
+                   "SOMATIC_PAIR": "tumor/normal analysis",
+                   "CFDNA": "cfDNA analysis"}
+
+    def analysis_name(self) -> str:
+        """VariantList::analysisName (VariantList.cpp:569-580)."""
+        names = [sid for sid, _status in self.samples]
+        return self._TYPE_HUMAN[self.analysis_type()] + " " + "/".join(names)
+
+    def build(self) -> str:
+        """VariantList::build (VariantList.cpp:1169-1180) — hg19 fallback."""
+        for c in self.comments:
+            if c.startswith(b"##GENOME_BUILD="):
+                raw = c[len(b"##GENOME_BUILD="):].strip().decode()
+                return {"GRCh37": "hg19", "hg19": "hg19",
+                        "GRCh38": "hg38", "hg38": "hg38"}.get(raw, raw)
+        return "hg19"
+
+    def creation_date(self):
+        """VariantList::getCreationDate — None if unset (invalid QDate)."""
+        import datetime
+
+        for c in self.comments:
+            if c.startswith(b"##CREATION_DATE="):
+                raw = c[len(b"##CREATION_DATE="):].strip().decode()
+                return datetime.datetime.strptime(raw, "%Y-%m-%d").date()
+        return None
+
+    def caller(self) -> str:
+        """VariantList::caller — first word of ##SOURCE=."""
+        for c in self.comments:
+            if c.startswith(b"##SOURCE="):
+                return c[len(b"##SOURCE="):].strip().split(b" ")[0].decode()
+        return ""
+
+    def caller_version(self) -> str:
+        for c in self.comments:
+            if c.startswith(b"##SOURCE="):
+                parts = c[len(b"##SOURCE="):].strip().split(b" ", 1)
+                return parts[1].strip().decode() if len(parts) > 1 else ""
+        return ""
+
+    def calling_date(self):
+        """VariantList::callingDate — date part of ##CALLING_DATE=."""
+        import datetime
+
+        for c in self.comments:
+            if c.startswith(b"##CALLING_DATE="):
+                raw = c[len(b"##CALLING_DATE="):].strip().decode()[:10]
+                return datetime.datetime.strptime(raw, "%Y-%m-%d").date()
+        return None
 
     def pipeline(self) -> str:
         """VariantList::getPipeline — the ##PIPELINE= comment ('n/a' if absent)."""

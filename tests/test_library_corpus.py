@@ -2245,3 +2245,340 @@ def test_transcript_chromosomal_index():
     idx = ChromosomalIndex(spans)
     assert idx.matching_index(Chromosome("chr3"), 195568705, 195569135) == 0
     assert idx.matching_index(Chromosome("chr3"), 196216534, 196216750) == 1
+
+
+# ---- VariantList_Test.cpp --------------------------------------------------
+
+
+def test_variantlist_transcript_id_without_version():
+    """VariantList_Test.cpp:11-18 (VariantTranscript_idWithoutVersion)."""
+    from ngsbits_tpu.io.gsvar import VariantTranscript
+
+    trans = VariantTranscript(id=b"ENST00000493901")
+    assert trans.id_without_version() == b"ENST00000493901"
+    trans = VariantTranscript(id=b"ENST00000493901.1")
+    assert trans.id_without_version() == b"ENST00000493901"
+
+
+def test_variantlist_remove_duplicates():
+    """VariantList_Test.cpp:50-73 (removeDuplicates_TSV/Empty)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/variantList_removeDuplicates_in.tsv")
+    vl.remove_duplicates()
+    vl2 = GSvarFile.from_file(
+        f"{NGS_TEST}/data_out/variantList_removeDuplicates_out.tsv")
+    vl2.sort()
+    assert len(vl) == len(vl2)
+    for a, b in zip(vl.variants, vl2.variants):
+        assert a.start == b.start
+        assert a.obs == b.obs
+
+    empty = GSvarFile()
+    empty.remove_duplicates()
+    assert len(empty) == 0
+
+
+def _check_panel_vep_header(vl):
+    assert len(vl.columns) == 30
+    assert vl.columns[0] == "NA12878_03"
+    assert vl.columns[27] == "validation"
+    assert len(vl.filters) == 2
+    assert vl.filters["gene_blacklist"] == ("The gene(s) are contained on the "
+                                            "blacklist of unreliable genes.")
+    assert vl.filters["off-target"] == "Variant marked as 'off-target'."
+
+
+def test_variantlist_load_from_tsv():
+    """VariantList_Test.cpp:75-113 (loadFromTSV)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    assert len(vl) == 329
+    _check_panel_vep_header(vl)
+
+    v = vl[0]
+    assert v.chr.str == "chr1"
+    assert (v.start, v.end) == (27682481, 27682481)
+    assert (v.ref, v.obs) == (b"G", b"A")
+    assert v.annotations[0] == b"het"
+    assert v.annotations[7] == b"rs12569127"
+    assert v.annotations[9] == b"0.2659"
+    assert len(v.filters) == 1
+
+    v = vl[328]
+    assert v.chr.str == "chr20"
+    assert (v.start, v.end) == (48301146, 48301146)
+    assert (v.ref, v.obs) == (b"G", b"A")
+    assert v.annotations[0] == b"hom"
+    assert v.annotations[7] == b"rs6512586"
+    assert v.annotations[9] == b"0.5178"
+    assert len(v.filters) == 0
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    assert len(vl) == 329
+    assert len(vl.columns) == 30
+
+
+def test_variantlist_load_with_roi():
+    """VariantList_Test.cpp:115-139 (loadFromTSV_withROI)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    roi = BedFile()
+    roi.append(BedLine(Chromosome("chr16"), 89805260, 89805978))
+    roi.append(BedLine(Chromosome("chr19"), 17379550, 17382510))
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar", roi=roi)
+    assert len(vl) == 4
+    _check_panel_vep_header(vl)
+    assert [(v.chr.str, v.start) for v in vl.variants] == [
+        ("chr16", 89805261), ("chr16", 89805977),
+        ("chr19", 17379558), ("chr19", 17382505)]
+
+
+def test_variantlist_load_header_only():
+    """VariantList_Test.cpp:141-152 (loadHeaderOnly)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar", header_only=True)
+    assert len(vl) == 0
+    _check_panel_vep_header(vl)
+
+
+def test_variantlist_store_round_trip(tmp_path):
+    """VariantList_Test.cpp:154-199 (storeToTSV)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    out = str(tmp_path / "VariantList_store_01.tsv")
+    vl.store(out)
+
+    vl = GSvarFile.from_file(out)
+    assert len(vl) == 329
+    _check_panel_vep_header(vl)
+    v = vl[0]
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr1", 27682481, 27682481, b"G", b"A")
+    assert (v.annotations[0], v.annotations[7], v.annotations[9]) == \
+        (b"het", b"rs12569127", b"0.2659")
+    v = vl[328]
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr20", 48301146, 48301146, b"G", b"A")
+    assert (v.annotations[0], v.annotations[7], v.annotations[9]) == \
+        (b"hom", b"rs6512586", b"0.5178")
+
+
+def test_variantlist_annotation_index_by_name():
+    """VariantList_Test.cpp:201-213 (annotationIndexByName)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    assert vl.annotation_index_by_name("NA12878_03", True, False) == 0
+    assert vl.annotation_index_by_name("NA12878_03", False, False) == 0
+    assert vl.annotation_index_by_name("validation", True, False) == 27
+    assert vl.annotation_index_by_name("validation", False, False) == 27
+    assert vl.annotation_index_by_name("ESP_", False, False) == 12
+    assert vl.annotation_index_by_name("fathmm-", False, False) == 16
+
+
+def test_variantlist_sort_golden(tmp_path):
+    """VariantList_Test.cpp:215-226 (sort2) — byte-exact vs data_out."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/sort_in.tsv")
+    assert not vl.is_sorted()
+    vl.sort()
+    assert vl.is_sorted()
+    out = str(tmp_path / "sort_out.tsv")
+    vl.store(out)
+    with open(out, "rb") as fh:
+        got = fh.read()
+    with open(f"{NGS_TEST}/data_out/sort_out.tsv", "rb") as fh:
+        assert got == fh.read()
+
+
+def test_variantlist_sort_by_file_golden(tmp_path):
+    """VariantList_Test.cpp:228-236 (sortByFile2) — byte-exact vs data_out."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/sort_in.tsv")
+    vl.sort_by_file(f"{DIN}/variantList_sortbyFile.fai")
+    out = str(tmp_path / "sortByFile_out.tsv")
+    vl.store(out)
+    with open(out, "rb") as fh:
+        got = fh.read()
+    with open(f"{NGS_TEST}/data_out/sortByFile_out.tsv", "rb") as fh:
+        assert got == fh.read()
+
+
+def test_variantlist_remove_annotation():
+    """VariantList_Test.cpp:238-261 (removeAnnotation)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    index = vl.annotation_index_by_name("1000g", True, False)
+
+    assert len(vl.columns) == 30
+    assert len(vl) == 329
+    assert len(vl[0].annotations) == 30
+    assert vl[0].annotations[index - 1] == b"rs12569127"
+    assert vl[0].annotations[index] == b"0.1903"
+    assert vl[0].annotations[index + 1] == b"0.2659"
+
+    vl.remove_annotation(index)
+
+    assert len(vl.columns) == 29
+    assert len(vl) == 329
+    assert len(vl[0].annotations) == 29
+    assert vl[0].annotations[index - 1] == b"rs12569127"
+    assert vl[0].annotations[index] == b"0.2659"
+
+
+def test_variantlist_remove_annotation_bug():
+    """VariantList_Test.cpp:263-272 — remove works with zero variants."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile()
+    vl.columns.append("bla")
+    vl.add_description("bla", "some desciption")
+    vl.remove_annotation(0)
+    assert len(vl.columns) == 0
+
+
+def test_variantlist_copy_meta_data():
+    """VariantList_Test.cpp:274-295 (copyMetaData)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarFile, GSvarVariant
+
+    vl = GSvarFile()
+    vl.columns.append("bla")
+    vl.add_description("bla", "some desciption")
+    vl.filters["MAF"] = "Minor allele frequency filter"
+    vl.comments.append(b"##Comment1")
+    vl.append(GSvarVariant(Chromosome("chr1"), 1, 2, b"A", b"C", []))
+
+    vl2 = GSvarFile()
+    vl2.copy_meta_data(vl)
+    assert len(vl2.descriptions) == 1
+    assert len(vl2.columns) == 1
+    assert len(vl2.filters) == 1
+    assert len(vl2.comments) == 1
+    assert len(vl2) == 0
+
+
+def test_variantlist_add_annotation():
+    """VariantList_Test.cpp:297-328 (addAnnotation/addAnnotationIfMissing)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarFile, GSvarVariant
+
+    vl = GSvarFile()
+    vl.append(GSvarVariant(Chromosome("chr1"), 1, 2, b"A", b"C", []))
+    vl.append(GSvarVariant(Chromosome("chr2"), 1, 2, b"A", b"C", []))
+
+    index = vl.add_annotation("name", "desc", b"default")
+    assert index == 0
+    assert len(vl.columns) == 1
+    assert vl.annotation_description_by_name("name") == "desc"
+    assert vl[0].annotations == [b"default"]
+    assert vl[1].annotations == [b"default"]
+
+    assert vl.add_annotation_if_missing("name", "desc_new", b"default") == 0
+    assert vl.annotation_description_by_name("name") == "desc_new"
+    assert vl.add_annotation_if_missing("name2", "desc2", b"default2") == 1
+    assert vl.annotation_description_by_name("name2") == "desc2"
+    assert vl.add_annotation_if_missing("name2", "desc_new2", b"default2") == 1
+    assert vl.annotation_description_by_name("name2") == "desc_new2"
+
+
+def test_variantlist_remove_annotation_by_name():
+    """VariantList_Test.cpp:330-342 (removeAnnotationByName)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarFile, GSvarVariant
+
+    vl = GSvarFile()
+    vl.append(GSvarVariant(Chromosome("chr1"), 1, 2, b"A", b"C", []))
+    vl.append(GSvarVariant(Chromosome("chr2"), 1, 2, b"A", b"C", []))
+    vl.add_annotation("name", "desc", b"default")
+
+    vl.remove_annotation_by_name("name", True, True)
+    assert len(vl.columns) == 0
+    assert len(vl[0].annotations) == 0
+    assert len(vl[1].annotations) == 0
+
+
+def test_variantlist_sample_header_single():
+    """VariantList_Test.cpp:344-361 (getSampleHeader_singlesample)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    assert len(vl.samples) == 1
+    assert vl.sample_columns(True) == [0]
+    assert vl.sample_columns(False) == []
+    sid, status = vl.samples[0]
+    assert sid == "NA12878_03"
+    assert vl.annotation_index(sid) == 0
+    assert vl.analysis_name() == "single-sample analysis NA12878_03"
+
+
+def test_variantlist_sample_header_multi():
+    """VariantList_Test.cpp:363-379 (getSampleHeader_multisample)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/VariantFilter_in_multi.GSvar")
+    assert len(vl.samples) == 4
+    assert vl.sample_columns(True) == [0, 3]
+    assert vl.sample_columns(False) == [1, 2]
+    assert vl.analysis_name() == \
+        "multi-sample analysis Affected1/Affected2/Control1/Control2"
+
+
+def test_variantlist_header_accessors():
+    """VariantList_Test.cpp:381-437 (getPipeline/getCreationDate/getBuild/
+    getCaller/getCallingDate)."""
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    vl = GSvarFile.from_file(f"{DIN}/panel_vep.GSvar")
+    assert vl.pipeline() == "megSAP 0.1-742-ged8ba02"
+    assert vl.creation_date().isoformat() == "2020-08-15"
+    assert vl.caller() == "freebayes"
+    assert vl.caller_version() == "v1.3.3"
+    assert vl.calling_date().isoformat() == "2022-04-25"
+
+    vl2 = GSvarFile.from_file(f"{DIN}/VariantFilter_in_multi.GSvar")
+    assert vl2.pipeline() == "n/a"
+    assert vl2.creation_date() is None
+    assert vl2.caller() == ""
+    assert vl2.caller_version() == ""
+    assert vl2.calling_date() is None
+
+    empty = GSvarFile()
+    assert empty.build() == "hg19"
+    empty.comments.append(b"##GENOME_BUILD=GRCh38")
+    assert empty.build() == "hg38"
+
+
+def test_variantlist_constructor_from_vcf():
+    """VariantList_Test.cpp:439-482 (constructorFromVCF)."""
+    from ngsbits_tpu.io.gsvar import vcf_to_gsvar
+
+    v = vcf_to_gsvar("chr13", 32332271, b"G", b"A")
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr13", 32332271, 32332271, b"G", b"A")
+
+    v = vcf_to_gsvar("chr13", 32332271, b"G", b"GC")
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr13", 32332271, 32332271, b"-", b"C")
+
+    v = vcf_to_gsvar("chr22", 28734461, b"CTCCTCAGGTTCTTGG", b"C")
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr22", 28734462, 28734476, b"TCCTCAGGTTCTTGG", b"-")
+
+    v = vcf_to_gsvar("chr13", 32339964, b"TC", b"AG")
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr13", 32339964, 32339965, b"TC", b"AG")
+
+    v = vcf_to_gsvar("chr13", 32339963, b"TTC", b"TAG")
+    assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
+        ("chr13", 32339964, 32339965, b"TC", b"AG")
