@@ -98,6 +98,74 @@ class GSvarVariant:
     def __post_init__(self):
         if self.filters is None:
             self.filters = []
+        # Variant ctor trims whitespace of the sequences (VariantList.cpp:29-30)
+        self.ref = self.ref.strip()
+        self.obs = self.obs.strip()
+
+    def __lt__(self, rhs: "GSvarVariant") -> bool:
+        """Variant::operator< (VariantList.cpp:109-121)."""
+        return self.sort_key() < rhs.sort_key()
+
+    def __eq__(self, rhs) -> bool:
+        return isinstance(rhs, GSvarVariant) and self.sort_key() == rhs.sort_key()
+
+    def overlaps_with(self, *args) -> bool:
+        """Variant::overlapsWith — (chr,start,end), (start,end) or BedLine."""
+        if len(args) == 1:  # BedLine
+            line = args[0]
+            return self.overlaps_with(line.chr, line.start, line.end)
+        if len(args) == 3:
+            chr_, start, end = args
+            if not isinstance(chr_, Chromosome):
+                chr_ = Chromosome(chr_)
+            if chr_.num != self.chr.num:
+                return False
+        else:
+            start, end = args
+        return self.start <= end and self.end >= start
+
+    def normalize(self, empty_seq: bytes = b"", to_gsvar_format: bool = False):
+        """Variant::normalize (VariantList.cpp) — member variant of the
+        static trim; optional GSvar insertion anchoring."""
+        from ..core.normalize import trim_variant
+
+        self.start, self.ref, self.obs = trim_variant(self.start, self.ref,
+                                                      self.obs)
+        self.end = self.start + len(self.ref) - 1
+        if not self.ref:
+            self.ref = empty_seq
+            self.end += 1
+        if not self.obs:
+            self.obs = empty_seq
+        if to_gsvar_format and self.ref == empty_seq:
+            self.start -= 1
+            self.end -= 1
+
+    def add_filter(self, tag: bytes, filter_column_index: int):
+        """Variant::addFilter (VariantList.cpp:85-103)."""
+        tag = tag.strip()
+        value = self.annotations[filter_column_index].strip().upper()
+        if not value or value in (b".", b"PASS", b"PASSED"):
+            self.annotations[filter_column_index] = tag
+        else:
+            self.annotations[filter_column_index] += b";" + tag
+        self.filters.append(tag)
+
+    @staticmethod
+    def from_string(text: str) -> "GSvarVariant":
+        """Variant::fromString — GSvar tab format or human-readable
+        'chr:start-end ref>obs'."""
+        import re
+
+        t = text.strip().replace("\t", " ").replace(":", " ").replace(">", " ")
+        t = re.sub(r"-([0-9])", r" \1", t)
+        t = re.sub(r"([0-9]+)", r"\1 ", t)
+        parts = " ".join(t.split()).split(" ")
+        if len(parts) != 5:
+            raise ValueError(f"Input text has {len(parts)} part(s), but must "
+                             "consist of 5 parts (chr, start, end, ref, obs)!")
+        return GSvarVariant(Chromosome(parts[0]), int(parts[1]), int(parts[2]),
+                            parts[3].encode(), parts[4].encode(), [])
 
     def set_filters_from_column(self, filter_index: int):
         """Variant(chr,start,...,filter_index) (VariantList.cpp:25-47):

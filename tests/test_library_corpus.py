@@ -2582,3 +2582,183 @@ def test_variantlist_constructor_from_vcf():
     v = vcf_to_gsvar("chr13", 32339963, b"TTC", b"TAG")
     assert (v.chr.str, v.start, v.end, v.ref, v.obs) == \
         ("chr13", 32339964, 32339965, b"TC", b"AG")
+
+
+# ---- Variant_Test.cpp (ungated methods) ------------------------------------
+
+
+def test_variant_constructor_trims():
+    """Variant_Test.cpp:9-17 (constructor)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    v = GSvarVariant(Chromosome("chr11"), 5, 10, b" r ", b" o ", [])
+    assert v.chr.str == "chr11"
+    assert (v.start, v.end) == (5, 10)
+    assert (v.ref, v.obs) == (b"r", b"o")
+
+
+def test_variant_static_normalize():
+    """Variant_Test.cpp:19-76 (static_normalize)."""
+    from ngsbits_tpu.core.normalize import trim_variant
+
+    cases = [
+        (17, b"A", b"AGG", 18, b"", b"GG"),
+        (17, b"ATG", b"AGGTG", 18, b"", b"GG"),
+        (17, b"TT", b"", 17, b"TT", b""),
+        (17, b"TAT", b"TT", 18, b"A", b""),
+        (17, b"TCCAT", b"TCCT", 20, b"A", b""),
+        (17, b"TCCT", b"TCCT", 18, b"C", b"C"),
+        (17, b"T", b"T", 17, b"T", b"T"),
+    ]
+    for pos, ref, obs, exp_pos, exp_ref, exp_obs in cases:
+        assert trim_variant(pos, ref, obs) == (exp_pos, exp_ref, exp_obs), ref
+
+
+def test_variant_static_min_block():
+    """Variant_Test.cpp:78-87 (static_minBlock)."""
+    from ngsbits_tpu.core.normalize import min_block
+
+    assert min_block(b"ACACAC") == b"AC"
+    assert min_block(b"ACAC") == b"AC"
+    assert min_block(b"AC") == b"AC"
+    assert min_block(b"AAA") == b"A"
+    assert min_block(b"CC") == b"C"
+    assert min_block(b"ACGTACGT") == b"ACGT"
+    assert min_block(b"ACGT") == b"ACGT"
+
+
+def test_variant_overlaps_with():
+    """Variant_Test.cpp:167-205 (overlapsWith* overloads)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    v = GSvarVariant(Chromosome("chr1"), 5, 10, b"r", b"o", [])
+    assert not v.overlaps_with("chr2", 5, 10)
+    assert not v.overlaps_with("chr1", 1, 4)
+    assert not v.overlaps_with("chr1", 11, 20)
+    assert v.overlaps_with("chr1", 1, 5)
+    assert v.overlaps_with("chr1", 5, 10)
+    assert v.overlaps_with("chr1", 6, 8)
+    assert v.overlaps_with("chr1", 10, 20)
+    assert v.overlaps_with("chr1", 1, 20)
+
+    assert v.overlaps_with(5, 10)
+    assert not v.overlaps_with(1, 4)
+    assert not v.overlaps_with(11, 20)
+    assert v.overlaps_with(1, 5)
+    assert v.overlaps_with(6, 8)
+    assert v.overlaps_with(10, 20)
+    assert v.overlaps_with(1, 20)
+
+    assert not v.overlaps_with(BedLine(Chromosome("chr2"), 5, 10))
+    assert not v.overlaps_with(BedLine(Chromosome("chr1"), 1, 4))
+    assert v.overlaps_with(BedLine(Chromosome("chr1"), 1, 5))
+    assert v.overlaps_with(BedLine(Chromosome("chr1"), 1, 20))
+
+
+def test_variant_less_than():
+    """Variant_Test.cpp:207-213 (operator_lessthan)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    def V(c, s, e):
+        return GSvarVariant(Chromosome(c), s, e, b"r", b"o", [])
+
+    assert not V("chr1", 1, 20) < V("chr1", 1, 20)
+    assert V("chr1", 1, 20) < V("chr1", 5, 20)
+    assert not V("chr2", 1, 20) < V("chr1", 1, 20)
+    assert V("chr1", 1, 20) < V("chr2", 5, 20)
+
+
+def test_variant_normalize_member():
+    """Variant_Test.cpp:215-303 (normalize)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    def V(c, s, e, r, o):
+        return GSvarVariant(Chromosome(c), s, e, r, o, [])
+
+    v = V("chr1", 17, 17, b"A", b"AGG")
+    v.normalize()
+    assert (v.ref, v.obs, v.start, v.end) == (b"", b"GG", 18, 18)
+
+    v = V("chr1", 17, 17, b"ATG", b"AGGTG")
+    v.normalize(b"")
+    assert (v.ref, v.obs, v.start, v.end) == (b"", b"GG", 18, 18)
+
+    v = V("chr1", 17, 18, b"TT", b"")
+    v.normalize(b"")
+    assert (v.ref, v.obs, v.start, v.end) == (b"TT", b"", 17, 18)
+
+    v = V("chr1", 17, 19, b"TAT", b"TT")
+    v.normalize(b"")
+    assert (v.ref, v.obs, v.start, v.end) == (b"A", b"", 18, 18)
+
+    v = V("chr1", 17, 17, b"A", b"AGG")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"-", b"GG", 18, 18)
+
+    v = V("chr1", 17, 17, b"ATG", b"AGGTG")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"-", b"GG", 18, 18)
+
+    v = V("chr1", 17, 17, b"ATG", b"AGGTG")
+    v.normalize(b"-", True)
+    assert (v.ref, v.obs, v.start, v.end) == (b"-", b"GG", 17, 17)
+
+    v = V("chr1", 17, 18, b"TT", b"")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"TT", b"-", 17, 18)
+
+    v = V("chr1", 17, 19, b"TAT", b"TT")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"A", b"-", 18, 18)
+
+    v = V("chr1", 17, 19, b"TAT", b"TT")
+    v.normalize(b"-", True)
+    assert (v.ref, v.obs, v.start, v.end) == (b"A", b"-", 18, 18)
+
+    v = V("chr18", 65, 65, b"A", b"AA")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"-", b"A", 66, 66)
+
+    v = V("chr18", 65, 65, b"A", b"ATA")
+    v.normalize(b"-")
+    assert (v.ref, v.obs, v.start, v.end) == (b"-", b"TA", 66, 66)
+
+
+def test_variant_add_filter():
+    """Variant_Test.cpp:412-428 (addFilter)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    v = GSvarVariant(Chromosome("chr1"), 120611964, 120611964, b"G", b"C", [b""])
+    assert len(v.filters) == 0
+
+    v.add_filter(b"off-target", 0)
+    assert len(v.filters) == 1
+    assert v.annotations[0] == b"off-target"
+
+    v.add_filter(b"off-target2", 0)
+    assert len(v.filters) == 2
+    assert v.annotations[0] == b"off-target;off-target2"
+
+
+def test_variant_from_string():
+    """Variant_Test.cpp:430-451 (fromString)."""
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+
+    cases = [
+        ("chr1\t1423281\t1423281\tG\tA", "chr1:1423281-1423281 G>A"),
+        ("chr14\t23371255\t23371255\t-\tGGC", "chr14:23371255-23371255 ->GGC"),
+        ("chr11\t111742146\t111742146\tG\t-", "chr11:111742146-111742146 G>-"),
+        ("chr17:41258507-41258507  G > A", "chr17:41258507-41258507 G>A"),
+        ("chr17:41251845-41251846 AG  > -", "chr17:41251845-41251846 AG>-"),
+        ("chr17:41256250-41256250 - >  T", "chr17:41256250-41256250 ->T"),
+        ("chr17:41256250-41256250->T", "chr17:41256250-41256250 ->T"),
+        ("chr17:41256250-41256250T>-", "chr17:41256250-41256250 T>-"),
+    ]
+    for text, expected in cases:
+        assert GSvarVariant.from_string(text).to_string() == expected, text
