@@ -164,6 +164,34 @@ class VcfHeader:
         out += [l for _i, l in self.format_lines]
         return b"\n".join(out) + b"\n"
 
+    def _line_by_id(self, lines, descriptions, iid, error_if_not_found, what):
+        from types import SimpleNamespace
+
+        for lid, raw in lines:
+            if lid == iid:
+                fields = _parse_structured_value(raw)
+                return SimpleNamespace(id=lid, description=descriptions[lid],
+                                       number=fields.get("Number", b""),
+                                       type=fields.get("Type", b""))
+        if error_if_not_found:
+            raise ValueError(f"No {what} line with ID '{iid}' in VCF header!")
+        return SimpleNamespace(id="", description=b"", number=b"", type=b"")
+
+    def info_line_by_id(self, iid: str, error_if_not_found: bool = True):
+        """VcfHeader::infoLineByID."""
+        return self._line_by_id(self.info_lines, self.info_descriptions, iid,
+                                error_if_not_found, "INFO")
+
+    def format_line_by_id(self, fid: str, error_if_not_found: bool = True):
+        """VcfHeader::formatLineByID."""
+        return self._line_by_id(self.format_lines, self.format_descriptions,
+                                fid, error_if_not_found, "FORMAT")
+
+    def filter_line_by_id(self, fid: str, error_if_not_found: bool = True):
+        """VcfHeader::filterLineByID."""
+        return self._line_by_id(self.filter_lines, self.filter_descriptions,
+                                fid, error_if_not_found, "FILTER")
+
     def info_id_defined(self, key: str) -> bool:
         return key in self.info_ids
 
@@ -257,6 +285,31 @@ class VcfLineView:
     def is_indel(self) -> bool:
         return len(self.alt(0)) > 1 and len(self.ref) > 1
 
+    def is_mnp(self) -> bool:
+        """VcfLine::isMNP (VcfLine.cpp:457-462)."""
+        a, r = len(self.alt(0)), len(self.ref)
+        return a > 1 and r > 1 and a == r
+
+    def overlaps_with(self, *args) -> bool:
+        """VcfLine::overlapsWith — (chr,start,end), (start,end) or BedLine."""
+        if len(args) == 1:
+            line = args[0]
+            return self.overlaps_with(line.chr, line.start, line.end)
+        if len(args) == 3:
+            chr_, start, end = args
+            if not isinstance(chr_, Chromosome):
+                chr_ = Chromosome(chr_)
+            if chr_.num != self.chr.num:
+                return False
+        else:
+            start, end = args
+        return self.start <= end and self.end >= start
+
+    def __lt__(self, rhs: "VcfLineView") -> bool:
+        """VcfLine::operator< (VcfLine.cpp:464-475)."""
+        return ((self.chr.num, self.start, self.ref, self.alt_string())
+                < (rhs.chr.num, rhs.start, rhs.ref, rhs.alt_string()))
+
     def info(self, key: str) -> bytes:
         """INFO value; b'' if absent, b'TRUE' for flags (reference returns
         the value only; callers use contains/startswith so '' is safe)."""
@@ -309,6 +362,20 @@ class VcfLineView:
             return b""
         return vals[ki]
 
+    def sample(self, which) -> list[bytes]:
+        """VcfLine::sample — FORMAT values of one sample by index or name."""
+        if isinstance(which, (str, bytes)):
+            which = self.f.sample_ids().index(
+                which.encode() if isinstance(which, str) else which)
+        return self.f.samples[self.i][which].split(b":")
+
+    def format_value_from_sample(self, key: str, sample=0) -> bytes:
+        """VcfLine::formatValueFromSample — sample given by name or index."""
+        if isinstance(which := sample, (str, bytes)):
+            sample = self.f.sample_ids().index(
+                which.encode() if isinstance(which, str) else which)
+        return self.format_value(key, sample)
+
 
 class VcfFile:
     def __init__(self):
@@ -352,10 +419,60 @@ class VcfFile:
             return []
         return self.column_headers[9:]
 
+    def sort(self):
+        """VcfFile::sort — VcfLine::operator< semantics."""
+        vcf_sort(self)
+
+    def is_sorted(self) -> bool:
+        keys = [_vcf_sort_key(self, i) for i in range(len(self))]
+        return all(keys[i] <= keys[i + 1] for i in range(len(keys) - 1))
+
+    def remove_duplicates(self, sort_first: bool = True):
+        """VcfFile::removeDuplicates — sort, then drop consecutive
+        (chr,start,ref,alt) duplicates."""
+        if sort_first:
+            self.sort()
+        keep = [i for i in range(len(self))
+                if i == 0 or _vcf_sort_key(self, i) != _vcf_sort_key(self, i - 1)]
+        if len(keep) == len(self):
+            return
+        self.chr_strs = [self.chr_strs[i] for i in keep]
+        self.pos = self.pos[keep]
+        self.ids = [self.ids[i] for i in keep]
+        self.refs = [self.refs[i] for i in keep]
+        self.alts = [self.alts[i] for i in keep]
+        self.quals = [self.quals[i] for i in keep]
+        self.filters = [self.filters[i] for i in keep]
+        self.infos = [self.infos[i] for i in keep]
+        self.format_keys = [self.format_keys[i] for i in keep]
+        self.samples = [self.samples[i] for i in keep]
+
+    def sort_by_file(self, filename: str):
+        """VcfFile::sortByFile — chromosome rank from a FAI-like file."""
+        rank = {}
+        with open(filename, "rb") as fh:
+            for n, line in enumerate(fh):
+                c = Chromosome(line.split(b"\t")[0].strip())
+                rank[c.num] = n + 1
+
+        def key(i):
+            num = self.chr_of(i).num
+            if num not in rank:
+                raise ValueError(f"Reference file for sorting does not contain "
+                                 f"chromosome '{self.chr_of(i).str}'!")
+            return (rank[num], int(self.pos[i]), self.refs[i], self.alts[i])
+
+        order = sorted(range(len(self)), key=key)
+        _vcf_reorder(self, order)
+
     # ---- IO ----
     @staticmethod
-    def from_file(filename: str) -> "VcfFile":
-        out = VcfFile()
+    def from_text(text: bytes, roi=None) -> "VcfFile":
+        """VcfFile::fromText."""
+        return VcfFile._parse(text, roi)
+
+    @staticmethod
+    def from_file(filename: str, roi=None) -> "VcfFile":
         if filename not in ("", "-", None):
             from .versatile import is_remote, local_path
             if is_remote(str(filename)):
@@ -370,6 +487,17 @@ class VcfFile:
                     data = gzip.decompress(fh.read())
                 else:
                     data = fh.read()
+        return VcfFile._parse(data, roi)
+
+    @staticmethod
+    def _parse(data: bytes, roi=None) -> "VcfFile":
+        out = VcfFile()
+        roi_idx = None
+        if roi is not None and len(roi):
+            from ..core.intervals import BedFile, ChromosomalIndex
+            rs = BedFile()
+            rs.lines = sorted(roi.lines, key=lambda l: l.sort_key())
+            roi_idx = ChromosomalIndex(rs)
         pos_list = []
         for raw in data.split(b"\n"):
             line = raw.rstrip(b"\r")
@@ -385,6 +513,15 @@ class VcfFile:
             if len(fields) < 8:
                 raise ValueError(
                     f"VCF line with less than 8 fields found: '{line.decode(errors='replace')}'")
+            if roi_idx is not None:
+                c = out._chr_cache.get(fields[0])
+                if c is None:
+                    c = Chromosome(fields[0])
+                    out._chr_cache[fields[0]] = c
+                start = int(fields[1])
+                end = start + len(fields[3]) - 1
+                if len(roi_idx.matching_indices(c, start, end)) == 0:
+                    continue
             out.chr_strs.append(fields[0])
             pos_list.append(int(fields[1]))
             out.ids.append(fields[2])
@@ -417,6 +554,9 @@ class VcfFile:
         if not out.column_headers:
             out.column_headers = [b"CHROM", b"POS", b"ID", b"REF", b"ALT",
                                   b"QUAL", b"FILTER", b"INFO"]
+        # reference registers undeclared FILTER/INFO/FORMAT ids while parsing
+        # data lines (VcfFile.cpp:160-245)
+        add_missing_header_lines(out)
         return out
 
     def to_text(self) -> bytes:
@@ -518,9 +658,7 @@ def _vcf_sort_key(f: "VcfFile", i: int):
     return (f.chr_of(i).num, int(f.pos[i]), f.refs[i], f.alts[i])
 
 
-def vcf_sort(f: "VcfFile"):
-    """Sort lines with VcfLine::operator< semantics (chr, pos, ref, alt)."""
-    order = sorted(range(len(f)), key=lambda i: _vcf_sort_key(f, i))
+def _vcf_reorder(f: "VcfFile", order: list):
     f.chr_strs = [f.chr_strs[i] for i in order]
     f.pos = f.pos[order] if len(order) else f.pos
     f.ids = [f.ids[i] for i in order]
@@ -531,6 +669,29 @@ def vcf_sort(f: "VcfFile"):
     f.infos = [f.infos[i] for i in order]
     f.format_keys = [f.format_keys[i] for i in order]
     f.samples = [f.samples[i] for i in order]
+
+
+def vcf_sort(f: "VcfFile"):
+    """Sort lines with VcfLine::operator< semantics (chr, pos, ref, alt)."""
+    _vcf_reorder(f, sorted(range(len(f)), key=lambda i: _vcf_sort_key(f, i)))
+
+
+def encode_info_value(text: str) -> str:
+    """VcfFile::encodeInfoValue — percent-encode VCF-INFO-breaking chars."""
+    out = []
+    for ch in text:
+        if ch in "%=, ;\t\r\n":
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def decode_info_value(text: str) -> str:
+    """VcfFile::decodeInfoValue."""
+    from urllib.parse import unquote
+
+    return unquote(text)
 
 
 def vcf_store(f: "VcfFile", filename: str | None, compression_level: int = 0,
@@ -572,11 +733,23 @@ def vcf_store(f: "VcfFile", filename: str | None, compression_level: int = 0,
                 qtxt = _qt_num(float(q))
             except ValueError:
                 qtxt = q
+        info = f.infos[i] if f.infos[i] else b"."
+        if info != b".":
+            # flags without a Type=Flag header declaration are stored as
+            # KEY=TRUE (VcfFile.cpp:565-577)
+            parts = []
+            for item in info.split(b";"):
+                if b"=" not in item and item and \
+                        header.info_types.get(item.decode()) != b"Flag":
+                    parts.append(item + b"=TRUE")
+                else:
+                    parts.append(item)
+            info = b";".join(parts)
         fields = [f.chr_strs[i], str(int(f.pos[i])).encode(),
                   f.ids[i] if f.ids[i] else b".",
                   f.refs[i], f.alts[i], qtxt,
                   f.filters[i] if f.filters[i] not in (b"",) else b".",
-                  f.infos[i] if f.infos[i] else b"."]
+                  info]
         if has_samples:
             fields.append(f.format_keys[i])
             fields.extend(f.samples[i])

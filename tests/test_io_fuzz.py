@@ -122,6 +122,7 @@ def _random_vcf_text(rng, n_samples=2, n_vars=120) -> bytes:
              b'##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
              b'##INFO=<ID=AF,Number=A,Type=Float,Description="AF">',
              b'##INFO=<ID=DB,Number=0,Type=Flag,Description="dbSNP">',
+             b'##FILTER=<ID=q10,Description="Quality below 10">',
              b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
              b'##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">']
     hdr = b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"

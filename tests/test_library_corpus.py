@@ -2762,3 +2762,477 @@ def test_variant_from_string():
     ]
     for text, expected in cases:
         assert GSvarVariant.from_string(text).to_string() == expected, text
+
+
+# ---- VcfLine_Test.cpp (ungated methods) ------------------------------------
+
+
+def _vcf_from_text(tmp_path, body, header_extra="", samples=("sample_1", "sample_2")):
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    if samples:
+        cols += "\tFORMAT\t" + "\t".join(samples)
+    text = "##fileformat=VCFv4.2\n" + header_extra + cols + "\n" + body
+    p = tmp_path / "t.vcf"
+    p.write_text(text)
+    return VcfFile.from_file(str(p))
+
+
+def test_vcfline_construct_without_file(tmp_path):
+    """VcfLine_Test.cpp:8-42 (constructLineWithoutFile)."""
+    f = _vcf_from_text(tmp_path,
+                       "chr4\t777\t.\tA\tT\t.\t.\t.\tGT:X\t1/1:A\t0/0:B\n")
+    v = f[0]
+    assert v.chr.str == "chr4"
+    assert v.start == 777
+    assert v.ref == b"A"
+    assert v.alt_string() == b"T"
+    assert v.format_keys() == [b"GT", b"X"]
+    assert v.format_value_from_sample("GT", "sample_1") == b"1/1"
+    assert v.format_value_from_sample("X", "sample_1") == b"A"
+    assert v.format_value_from_sample("GT", "sample_2") == b"0/0"
+    assert v.format_value_from_sample("X", "sample_2") == b"B"
+
+
+def test_vcfline_header_line_lookup():
+    """VcfLine_Test.cpp:45-93 (info/format/filterLineFromHeader)."""
+    from ngsbits_tpu.io.vcf import VcfHeader
+
+    header = VcfHeader()
+    for i in range(10):
+        header.add(f'##INFO=<ID={i},Number=1,Type=String,'
+                   f'Description="description of info {i}">'.encode())
+        header.add(f'##FORMAT=<ID={i},Number=1,Type=String,'
+                   f'Description="description of format {i}">'.encode())
+        header.add(f'##FILTER=<ID={i},'
+                   f'Description="description of filter {i}">'.encode())
+
+    assert header.info_line_by_id("3").description == b"description of info 3"
+    assert header.info_line_by_id("X", False).id == ""
+    assert header.format_line_by_id("3").description == b"description of format 3"
+    assert header.filter_line_by_id("3").description == b"description of filter 3"
+
+
+def test_vcfline_format_entry_for_sample(tmp_path):
+    """VcfLine_Test.cpp:111-138 (formatEntryForSampleId)."""
+    f = _vcf_from_text(
+        tmp_path,
+        "chr17\t72196817\t.\tG\tGA\t.\t.\t.\tGT:PL:GQ\t0/1:255,0,123:99\t"
+        "1/1:255,84,0:33\n")
+    assert len(f) == 1
+    v = f[0]
+    assert len(v.sample("sample_1")) == 3
+    assert v.format_value_from_sample("GT", "sample_1") == b"0/1"
+    assert len(v.sample(1)) == 3
+    assert v.format_value_from_sample("GQ", "sample_2") == b"33"
+    assert v.format_value_from_sample("GT", "sample_1") == b"0/1"
+    assert v.format_value_from_sample("PL") == b"255,0,123"
+    assert v.format_value_from_sample("PL", 1) == b"255,84,0"
+
+
+def test_vcfline_is_classifiers(tmp_path):
+    """VcfLine_Test.cpp:140-218 (isMultiAllelic/isIns/isDel/isInDel/isMNP)."""
+    body = "".join(
+        f"chr9\t130932396\t.\t{ref}\t{alt}\t.\t.\t.\n"
+        for ref, alt in [("G", "A"), ("G", "A,C"), ("AACA", "AGG"),
+                         ("AACA", "A"), ("A", "AGG"), ("A", "G"),
+                         ("AACA", "GGGG"), ("AAC", "GGG"), ("AA", "GG")])
+    f = _vcf_from_text(tmp_path, body, samples=())
+    multi, ins, del_, indel, mnp = (
+        [f[i].is_multi_allelic() for i in range(9)],
+        [f[i].is_ins() for i in range(9)],
+        [f[i].is_del() for i in range(9)],
+        [f[i].is_indel() for i in range(9)],
+        [f[i].is_mnp() for i in range(9)])
+    assert multi == [False, True, False, False, False, False, False, False, False]
+    # rows: SNV, multi, AACA>AGG, AACA>A, A>AGG, A>G, MNP4, MNP3, MNP2
+    assert ins[2:6] == [False, False, True, False]
+    assert del_[2:6] == [False, True, False, False]
+    assert indel[2:6] == [True, False, False, False]
+    assert mnp[2:9] == [False, False, False, False, True, True, True]
+
+
+def test_vcfline_overlaps_and_lessthan(tmp_path):
+    """VcfLine_Test.cpp:473-560 (overlapsWith*/operator_lessthan)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+
+    f = _vcf_from_text(tmp_path,
+                       "chr1\t5\t.\tNNNNNN\tNNNNNN\t.\t.\t.\n"
+                       "chr1\t1\t.\tNNNNN\tNNNNN\t.\t.\t.\n"
+                       "chr2\t1\t.\tNNNNN\tNNNNN\t.\t.\t.\n",
+                       samples=())
+    v = f[0]
+    assert not v.overlaps_with("chr2", 5, 10)
+    assert not v.overlaps_with("chr1", 1, 4)
+    assert not v.overlaps_with("chr1", 11, 20)
+    assert v.overlaps_with("chr1", 1, 5)
+    assert v.overlaps_with("chr1", 5, 10)
+    assert v.overlaps_with("chr1", 6, 8)
+    assert v.overlaps_with("chr1", 10, 20)
+    assert v.overlaps_with("chr1", 1, 20)
+
+    assert v.overlaps_with(5, 10)
+    assert not v.overlaps_with(1, 4)
+    assert v.overlaps_with(1, 20)
+
+    assert not v.overlaps_with(BedLine(Chromosome("chr2"), 5, 10))
+    assert v.overlaps_with(BedLine(Chromosome("chr1"), 1, 5))
+
+    v1, v5, c2 = f[1], f[0], f[2]
+    assert v1 < v5
+    assert not v5 < v1
+    assert v5 < c2
+    assert not c2 < v5
+    assert not v1 < v1
+
+
+# ---- VcfFile_Test.cpp (ungated methods) ------------------------------------
+
+
+def _same_lines(a_path, b_path):
+    with open(a_path, "rb") as fh:
+        a = fh.read().rstrip(b"\n")
+    with open(b_path, "rb") as fh:
+        b = fh.read().rstrip(b"\n")
+    assert a == b
+
+
+def test_vcffile_remove_duplicates():
+    """VcfFile_Test.cpp:9-36 (removeDuplicates_VCF/Empty)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    assert not vl.is_sorted()
+    vl.sort()
+    assert vl.is_sorted()
+    vl2 = VcfFile.from_file(f"{DIN}/variantList_removeDuplicates.vcf")
+    vl2.remove_duplicates(True)
+    assert len(vl) == len(vl2)
+    for i in range(len(vl)):
+        assert int(vl.pos[i]) == int(vl2.pos[i])
+        assert vl.alts[i] == vl2.alts[i]
+
+    empty = VcfFile()
+    empty.remove_duplicates(True)
+    assert len(empty) == 0
+
+
+def test_vcffile_load():
+    """VcfFile_Test.cpp:38-110 (loadFromVCF)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    assert len(vl) == 14
+    assert len(vl.header.comments) == 2
+    assert vl.sample_ids()[0] == b"./Sample_GS120297A3/GS120297A3.bam"
+    assert len(vl.header.info_lines) == 18
+    assert len(vl.header.format_lines) == 6
+
+    info = vl.header.info_line_by_id("INDEL")
+    assert (info.id, info.type, info.number) == ("INDEL", b"Flag", b"0")
+    assert info.description == b"Indicates that the variant is an INDEL."
+
+    info = vl.header.info_line_by_id("DP4")
+    assert (info.id, info.type, info.number) == ("DP4", b"Integer", b"4")
+    assert info.description == (b"# high-quality ref-forward bases, "
+                                b"ref-reverse, alt-forward and alt-reverse bases")
+
+    fmt = vl.header.format_line_by_id("PL")
+    assert (fmt.id, fmt.number, fmt.type) == ("PL", b"G", b"Integer")
+    assert fmt.description == b"List of Phred-scaled genotype likelihoods"
+
+    # 2 declared FILTER lines + auto-added low_DP (VcfFile.cpp:160-171)
+    assert len(vl.header.filter_lines) == 3
+    assert vl.header.filter_line_by_id("q10").description == b"Quality below 10"
+    assert vl.header.filter_line_by_id("s50").description == \
+        b"Less than 50% of samples have data"
+
+    v = vl[0]
+    assert (v.chr.str, v.start, v.end) == ("chr17", 72196817, 72196817)
+    assert (v.ref, v.alt(0)) == (b"G", b"GA")
+    assert v.info("INDEL") == b"TRUE"
+    assert v.info("DP4") == b"4,3,11,11"
+    second_format = v.format_keys()[1].decode()
+    assert v.format_value_from_sample(second_format,
+                                      vl.sample_ids()[0]) == b"255,0,123"
+    assert len(v.filters) == 0
+    assert vl[11].filters == [b"low_DP"]
+
+    v = vl[12]
+    assert (v.chr.str, v.start, v.end) == ("chr9", 130931421, 130931421)
+    assert (v.ref, v.alt(0)) == (b"G", b"A")
+    assert v.info("DP") == b"2512"
+    assert v.info("INDEL") == b""
+    assert v.info("DP4") == b"457,473,752,757"
+    assert v.format_value_from_sample(v.format_keys()[1].decode(), 0) == \
+        b"255,0,255"
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    assert len(vl) == 14
+    assert len(vl.header.info_lines) == 18
+
+
+def test_vcffile_store_compressions(tmp_path):
+    """VcfFile_Test.cpp:112-138 (loadVCFWithNewFilter) — plain + bgzf store."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    vl = VcfFile.from_file(f"{DIN}/VcfFileHandler_in.vcf")
+    out = str(tmp_path / "h.vcf")
+    vcf_store(vl, out)
+    _same_lines(out, f"{NGS_TEST}/data_out/VcfFileHandler_out.vcf")
+
+    gz = str(tmp_path / "h.vcf.gz")
+    vcf_store(vl, gz, compression_level=9)
+    vl2 = VcfFile.from_file(gz)
+    out2 = str(tmp_path / "h2.vcf")
+    vcf_store(vl2, out2)
+    _same_lines(out2, f"{NGS_TEST}/data_out/VcfFileHandler_out.vcf")
+
+    gz5 = str(tmp_path / "h5.vcf.gz")
+    vcf_store(vl2, gz5, compression_level=5)
+    vl3 = VcfFile.from_file(gz5)
+    out3 = str(tmp_path / "h3.vcf")
+    vcf_store(vl3, out3)
+    _same_lines(out3, f"{NGS_TEST}/data_out/VcfFileHandler_out.vcf")
+
+
+def test_vcffile_load_with_roi():
+    """VcfFile_Test.cpp:140-164 (loadFromVCF_withROI)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    roi = BedFile()
+    roi.append(BedLine(Chromosome("chr17"), 72196820, 72196892))
+    roi.append(BedLine(Chromosome("chr18"), 67904549, 67904670))
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf", roi=roi)
+    assert len(vl) == 4
+    assert len(vl.header.comments) == 2
+    assert vl.sample_ids() == [b"./Sample_GS120297A3/GS120297A3.bam"]
+    assert len(vl.header.info_lines) == 18
+    assert len(vl.header.format_lines) == 6
+    assert [(vl[i].chr.str, vl[i].start) for i in range(4)] == [
+        ("chr17", 72196887), ("chr17", 72196892),
+        ("chr18", 67904549), ("chr18", 67904586)]
+
+
+def test_vcffile_no_sample_or_format():
+    """VcfFile_Test.cpp:166-176 (loadFromVCF_noSampleOrFormatColumn)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/VariantList_loadFromVCF_noFormatSample.vcf")
+    assert len(vl) == 14
+    assert len(vl.header.info_lines) == 18
+    assert len(vl.header.format_lines) == 6
+    assert len(vl.header.comments) == 1
+    assert vl.header.fileformat == b"VCFv4.1"
+    assert vl.sample_ids() == []
+
+
+def test_vcffile_undeclared_annotations():
+    """VcfFile_Test.cpp:178-203 (loadFromVCF_undeclaredAnnotations)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(
+        f"{DIN}/VariantList_loadFromVCF_undeclaredAnnotations.vcf")
+    assert len(vl) == 2
+    assert len(vl.header.info_lines) == 5
+    assert len(vl.header.format_lines) == 10
+    names = ([i for i, _l in vl.header.info_lines]
+             + [i for i, _l in vl.header.format_lines])
+    assert ",".join(names) == "DP,AF,RO,AO,CIGAR,GT,GQ,GL,DP,RO,QR,AO,QA,TRIO,TRIO2"
+
+    assert vl[0].info("CIGAR") == b"1X"
+    assert vl[1].info("CIGAR") == b""
+    assert vl[0].format_value_from_sample("TRIO2") == b""
+    assert vl[1].format_value_from_sample("TRIO2") == \
+        b"HET,9,0.56,WT,17,0.00,HOM,19,1.00"
+
+
+def test_vcffile_empty_format_and_info(tmp_path):
+    """VcfFile_Test.cpp:205-215 (loadFromVCF_emptyFormatAndInfo)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    src = f"{DIN}/VariantList_loadFromVCF_emptyInfoAndFormat.vcf"
+    out = str(tmp_path / "empty.vcf")
+    vl = VcfFile.from_file(src)
+    vcf_store(vl, out)
+    _same_lines(src, out)
+
+
+def test_vcffile_store_reload(tmp_path):
+    """VcfFile_Test.cpp:217-287 (storeToVCF)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    out = str(tmp_path / "store01.vcf")
+    vcf_store(vl, out)
+
+    vl = VcfFile.from_file(out)
+    assert len(vl) == 14
+    assert len(vl.header.comments) == 2
+    assert vl.sample_ids()[0] == b"./Sample_GS120297A3/GS120297A3.bam"
+
+
+def test_vcffile_empty_descriptions_filled(tmp_path):
+    """VcfFile_Test.cpp:289-324 (checkThatEmptyVariantAnnotationsAreFilled)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    vl = VcfFile.from_file(f"{DIN}/VariantList_emptyDescriptions.vcf")
+    out = str(tmp_path / "fixed.vcf")
+    vcf_store(vl, out)
+
+    vl2 = VcfFile.from_file(out)
+    assert len(vl2) == 14
+    assert len(vl.header.info_lines) == 18
+    assert len(vl.header.format_lines) == 6
+    for iid, _line in vl2.header.info_lines:
+        desc = vl2.header.info_line_by_id(iid).description
+        if iid == "MQ":
+            assert desc == b"no description available"
+        else:
+            assert desc != b"no description available"
+    for fid, _line in vl2.header.format_lines:
+        desc = vl2.header.format_line_by_id(fid).description
+        if fid == "GQ":
+            assert desc == b"no description available"
+        else:
+            assert desc != b"no description available"
+
+
+def test_vcffile_load_gz():
+    """VcfFile_Test.cpp:326-362 (loadFromVCF_GZ)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/VariantList_load_zipped.vcf.gz")
+    assert len(vl) == 157
+    assert len(vl.header.info_lines) == 64
+    assert len(vl.header.format_lines) == 8
+    assert vl.header.info_lines[0][0] == "NS"
+    assert vl.header.info_lines[63][0] == "EXAC_AF"
+
+    v = vl[0]
+    assert (v.chr.str, v.start, v.end) == ("chr1", 27687466, 27687466)
+    assert (v.ref, v.alt(0)) == (b"G", b"T")
+    assert v.id == b"rs35659744"
+    assert f"{v.qual_value():g}" == "11836.9"
+    assert list(v.filters) == []
+    assert v.info("AC") == b"1"
+    assert v.info("EXAC_AF") == b"0.223"
+
+    v = vl[156]
+    assert (v.chr.str, v.start, v.end) == ("chr20", 48301146, 48301146)
+    assert (v.ref, v.alt(0)) == (b"G", b"A")
+    assert v.id == b"rs6512586"
+    assert f"{v.qual_value():g}" == "39504.2"
+    assert v.info("NS") == b"1"
+    assert v.info("AC") == b"2"
+    assert v.info("EXAC_AF") == b"0.516"
+
+
+def test_vcffile_vep_index_by_name():
+    """VcfFile_Test.cpp:364-373 (vepIndexByName)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/panel_vep.vcf")
+    assert vl.header.vep_index_by_name("Allele", False) == 0
+    assert vl.header.vep_index_by_name("Consequence", False) == 1
+    assert vl.header.vep_index_by_name("IMPACT", False) == 2
+    assert vl.header.vep_index_by_name("HGMD_PHEN", False) == 59
+    assert vl.header.vep_index_by_name("Oranguta-Klaus", False) == -1
+
+
+def test_vcffile_sort_golden(tmp_path):
+    """VcfFile_Test.cpp:375-383 (sort)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    vl = VcfFile.from_file(f"{DIN}/sort_in.vcf")
+    vl.sort()
+    out = str(tmp_path / "sort_out.vcf")
+    vcf_store(vl, out)
+    _same_lines(out, f"{NGS_TEST}/data_out/sort_out.vcf")
+
+
+def test_vcffile_sort3():
+    """VcfFile_Test.cpp:420-448 (sort3) — numeric chromosome order."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    vl.sort()
+    expected = [("chr1", 11676308), ("chr1", 11676377), ("chr2", 139498511),
+                ("chr4", 68247038), ("chr4", 68247113), ("chr9", 130931421),
+                ("chr9", 130932396), ("chr17", 72196817), ("chr17", 72196887),
+                ("chr17", 72196892), ("chr18", 67904549), ("chr18", 67904586),
+                ("chr18", 67904672), ("chr19", 14466629)]
+    assert [(vl[i].chr.str, vl[i].start) for i in range(14)] == expected
+
+
+def test_vcffile_sort_by_file():
+    """VcfFile_Test.cpp:450-479 (sortByFile) — reverse-numeric fai order."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    vl.sort_by_file(f"{DIN}/variantList_sortbyFile.fai")
+    expected = [("chr19", 14466629), ("chr18", 67904549), ("chr18", 67904586),
+                ("chr18", 67904672), ("chr17", 72196817), ("chr17", 72196887),
+                ("chr17", 72196892), ("chr9", 130931421), ("chr9", 130932396),
+                ("chr4", 68247038), ("chr4", 68247113), ("chr2", 139498511),
+                ("chr1", 11676308), ("chr1", 11676377)]
+    assert [(vl[i].chr.str, vl[i].start) for i in range(14)] == expected
+
+
+def test_vcffile_store_as_tsv(tmp_path):
+    """VcfFile_Test.cpp:481-490 (storeAsTsv)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store_as_tsv
+
+    vl = VcfFile.from_file(f"{DIN}/panel_snpeff.vcf")
+    out = str(tmp_path / "storeAsTsv.tsv")
+    vcf_store_as_tsv(vl, out)
+    _same_lines(out, f"{NGS_TEST}/data_out/VcfFile_storeAsTsv.tsv")
+
+
+def test_vcffile_sample_info_format_ids():
+    """VcfFile_Test.cpp:552-590 (getSampleIds/getInfoIds/getFormatIds)."""
+    from ngsbits_tpu.io.vcf import VcfFile
+
+    vl = VcfFile.from_file(f"{DIN}/VcfFileHandler_in.vcf")
+    assert vl.sample_ids() == [b"normal", b"tumor"]
+
+    assert len(vl.header.info_lines) == 23
+    assert vl.header.info_lines[0][0] == "CSQ"
+    assert vl.header.info_lines[2][0] == "IC"
+    assert vl.header.info_lines[16][0] == "TQSS_NT"
+
+    assert len(vl.header.format_lines) == 16
+    assert vl.header.format_lines[0][0] == "GT"
+    assert vl.header.format_lines[15][0] == "SUBDP"
+
+
+def test_vcffile_url_encoding():
+    """VcfFile_Test.cpp:632-644 (vcf_url_encoding/decoding)."""
+    from ngsbits_tpu.io.vcf import decode_info_value, encode_info_value
+
+    raw = "Test-String= blabla%, \t; \r\n; \r"
+    encoded = "Test-String%3D%20blabla%25%2C%20%09%3B%20%0D%0A%3B%20%0D"
+    assert encode_info_value(raw) == encoded
+    assert decode_info_value(encoded) == raw
+
+
+def test_vcffile_load_store_comparison(tmp_path):
+    """VcfFile_Test.cpp:701-739 (convertToStringAndParseFromString /
+    loadStoreComparison)."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    vl = VcfFile.from_file(f"{DIN}/panel_vep.vcf")
+    text = vl.to_text()
+    vl2 = VcfFile.from_text(text)
+    out = str(tmp_path / "panel_vep_roundtrip.vcf")
+    vcf_store(vl2, out)
+    _same_lines(out, f"{DIN}/panel_vep.vcf")
+
+    out2 = str(tmp_path / "panel_vep_loadStore.vcf")
+    vcf_store(vl, out2)
+    _same_lines(out2, f"{DIN}/panel_vep.vcf")
