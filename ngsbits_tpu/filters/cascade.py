@@ -57,6 +57,54 @@ class FilterResult:
     def count_passing(self) -> int:
         return sum(self.flags)
 
+    def reset(self, initial: bool = True):
+        """FilterResult::reset."""
+        self.flags = [initial] * len(self.flags)
+
+    def remove_flagged(self, target):
+        """FilterResult::removeFlagged (FilterCascade.cpp:90-190) — drop
+        non-passing entries from a GSvar/CNV/SV container and reset flags."""
+        if self.count_passing() == len(self.flags):
+            return
+        if hasattr(target, "variants"):       # GSvarFile / CnvList
+            target.variants = [v for v, fl in zip(target.variants, self.flags)
+                               if fl]
+        elif hasattr(target, "lines"):        # BedpeFile
+            target.lines = [l for l, fl in zip(target.lines, self.flags) if fl]
+        else:
+            raise TypeError("Unsupported container in remove_flagged!")
+        self.flags = [True] * len(target)
+
+    def tag_non_passing(self, gsvar, tag: str, description: str):
+        """FilterResult::tagNonPassing (FilterCascade.cpp:192-213)."""
+        index = gsvar.add_annotation_if_missing("filter", "Filter column.")
+        if tag not in gsvar.filters:
+            gsvar.filters[tag] = description
+        tag_b = tag.encode() if isinstance(tag, str) else tag
+        for v, fl in zip(gsvar.variants, self.flags):
+            if not fl:
+                v.add_filter(tag_b, index)
+
+
+def filter_regions_apply(variants, regions, result: FilterResult):
+    """FilterRegions::apply (FilterCascade.cpp:1104-1133) — restrict a GSvar
+    variant list to regions (merged/sorted required)."""
+    if not regions.is_merged_and_sorted():
+        raise ValueError("Cannot filter variant list by regions that are not "
+                         "merged/sorted!")
+    if len(regions) == 1:
+        r = regions.lines[0]
+        for i, v in enumerate(variants.variants):
+            if result.flags[i]:
+                result.flags[i] = v.overlaps_with(r)
+        return
+    from ..core.intervals import ChromosomalIndex
+
+    idx = ChromosomalIndex(regions)
+    for i, v in enumerate(variants.variants):
+        if result.flags[i]:
+            result.flags[i] = idx.matching_index(v.chr, v.start, v.end) != -1
+
 
 class FilterBase:
     NAME = ""
@@ -184,13 +232,20 @@ class FilterCascade:
 # ---------------------------------------------------------------- helpers
 
 def _anno_col(gsvar, name: str, error=True) -> int:
+    # case-insensitive exact match like FilterBase::annotationColumn ->
+    # VariantList::annotationIndexByName (FilterCascade.cpp:559-567)
     try:
         return gsvar.annotation_index(name)
     except KeyError:
-        if error:
-            raise ValueError(f"Could not determine column index of column "
-                             f"'{name}' in variant list!")
-        return -1
+        pass
+    nl = name.lower()
+    for i, c in enumerate(gsvar.columns):
+        if c.lower() == nl:
+            return i
+    if error:
+        raise ValueError(f"Could not determine column index of column "
+                         f"'{name}' in variant list!")
+    return -1
 
 
 def _to_f(v: bytes) -> float:
@@ -443,9 +498,25 @@ class FilterGenotypeAffected(FilterBase):
                             break
             return
 
-        # comp-het handling (classic mode; phased modes need genotype_phased)
+        # comp-het handling incl. phased modes (FilterCascade.cpp
+        # FilterGenotypeAffected::apply, phased branch)
+        i_phasing = _anno_col(gsvar, "genotype_phased", error=False)
+        phased_mode = ("comp-het (phased)" in genotypes
+                       or "comp-het (unphased)" in genotypes)
+        if phased_mode:
+            if len(geno_indices) > 1:
+                raise ValueError(f"Cannot apply phased filter '{self.NAME}' to "
+                                 "variant list with multiple affected samples!")
+            if i_phasing < 0:
+                raise ValueError(f"Cannot apply phased filter '{self.NAME}' to "
+                                 "variant list without phasing information!")
+
         i_gene = _anno_col(gsvar, "gene")
         gene_to_het: dict[bytes, int] = {}
+        gene_to_het_phase1: dict[bytes, int] = {}
+        gene_to_het_phase2: dict[bytes, int] = {}
+        gene_to_het_unphased: dict[bytes, int] = {}
+        gene_to_phasing_block: dict[bytes, set] = {}
         result_other = [True] * len(gsvar.variants)
         for i, v in enumerate(gsvar.variants):
             if not result.flags[i]:
@@ -456,8 +527,25 @@ class FilterGenotypeAffected(FilterBase):
             if geno_all == b"het":
                 for gene in v.annotations[i_gene].split(b","):
                     gene = gene.strip()
-                    if gene:
-                        gene_to_het[gene] = gene_to_het.get(gene, 0) + 1
+                    if not gene:
+                        continue
+                    gene_to_het[gene] = gene_to_het.get(gene, 0) + 1
+                    if "comp-het" not in genotypes:
+                        entry = v.annotations[i_phasing].split(b" ")
+                        blocks = gene_to_phasing_block.setdefault(gene, set())
+                        if len(entry) < 2:
+                            gene_to_het_unphased[gene] = \
+                                gene_to_het_unphased.get(gene, 0) + 1
+                            blocks.add(-1)
+                        else:
+                            block = int(entry[1].replace(b"(", b"").replace(b")", b""))
+                            if entry[0] == b"1|0":
+                                gene_to_het_phase1[gene] = \
+                                    gene_to_het_phase1.get(gene, 0) + 1
+                            else:
+                                gene_to_het_phase2[gene] = \
+                                    gene_to_het_phase2.get(gene, 0) + 1
+                            blocks.add(block)
 
         for i, v in enumerate(gsvar.variants):
             if not result.flags[i]:
@@ -466,11 +554,26 @@ class FilterGenotypeAffected(FilterBase):
                 continue
             passing = False
             geno_all = _same_genotype(v, geno_indices)
-            if geno_all == b"het" and "comp-het" in genotypes:
+            if geno_all == b"het":
                 for gene in v.annotations[i_gene].split(b","):
-                    if gene_to_het.get(gene.strip(), 0) >= 2:
-                        passing = True
-                        break
+                    gene = gene.strip()
+                    if "comp-het" in genotypes:
+                        if gene_to_het.get(gene, 0) >= 2:
+                            passing = True
+                            break
+                    elif "comp-het (phased)" in genotypes:
+                        if (gene_to_het_phase1.get(gene, 0) >= 1
+                                and gene_to_het_phase2.get(gene, 0) >= 1
+                                and len(gene_to_phasing_block.get(gene, set())) < 2
+                                and gene_to_het_unphased.get(gene, 0) == 0):
+                            passing = True
+                            break
+                    elif "comp-het (unphased)" in genotypes:
+                        if (len(gene_to_phasing_block.get(gene, set())) > 1
+                                or gene_to_het_unphased.get(gene, 0) > 0):
+                            if gene_to_het.get(gene, 0) >= 2:
+                                passing = True
+                                break
             result.flags[i] = passing
 
 
@@ -497,10 +600,11 @@ class FilterVariantTextSearch(FilterBase):
     PARAMS = [("term", STRING, ""), ("action", STRING, "FILTER")]
 
     def apply(self, gsvar, result):
-        term = self.get("term").strip().encode()
+        # case-insensitive (FilterAnnotationText::match, FilterCascade.cpp:2266)
+        term = self.get("term").strip().lower().encode()
 
         def match(v):
-            return any(term in a for a in v.annotations)
+            return any(term in a.lower() for a in v.annotations)
 
         _apply_action(gsvar.variants, result, self.get("action"), match)
 

@@ -3236,3 +3236,618 @@ def test_vcffile_load_store_comparison(tmp_path):
     out2 = str(tmp_path / "panel_vep_loadStore.vcf")
     vcf_store(vl, out2)
     _same_lines(out2, f"{DIN}/panel_vep.vcf")
+
+
+# ---- FilterCascade_Test.cpp ------------------------------------------------
+
+
+def _load_gsvar(name):
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    return GSvarFile.from_file(f"{DIN}/{name}")
+
+
+def _load_cnvs(name):
+    from ngsbits_tpu.io.cnv import CnvList
+
+    return CnvList.from_file(f"{DIN}/{name}")
+
+
+def _load_svs(name):
+    from ngsbits_tpu.io.bedpe import BedpeFile
+
+    return BedpeFile.from_file(f"{DIN}/{name}")
+
+
+def _apply_filter(target, name, params=None, result=None, initial=True):
+    from ngsbits_tpu.filters.cascade import FilterResult, create_filter
+
+    n = len(target.variants) if hasattr(target, "variants") else len(target)
+    if result is None:
+        result = FilterResult(n)
+        if not initial:
+            result.reset(False)
+    f = create_filter(name)
+    for k, v in (params or {}).items():
+        f.set_param(k, v if isinstance(v, str) else str(v))
+    f.apply(target, result)
+    return result
+
+
+def test_fc_factory_names():
+    """FilterCascade_Test.cpp:9-28 (FilterFactory_filterNames)."""
+    from ngsbits_tpu.filters.cascade import filter_names
+
+    names = filter_names()
+    assert "Allele frequency" in names
+    assert "CNV size" in names
+    count_all = len(names)
+
+    snv = filter_names("snv")
+    assert "Allele frequency" in snv
+    assert "CNV size" not in snv
+    assert len(snv) < count_all
+
+    cnv = filter_names("cnv")
+    assert "Allele frequency" not in cnv
+    assert "CNV size" in cnv
+    assert len(cnv) < count_all
+
+
+def test_fc_allele_frequency():
+    """FilterCascade_Test.cpp:32-64."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Allele frequency", {"max_af": "1.0"})
+    assert r.count_passing() == 22
+    for i in (70, 74, 101, 120):
+        assert r.flags[i]
+
+    vl2 = _load_gsvar("VariantFilter_no1000g_in.GSvar")
+    r = _apply_filter(vl2, "Allele frequency", {"max_af": "1.0"})
+    assert r.count_passing() == 29
+    for i in (70, 74, 101, 120):
+        assert r.flags[i]
+
+    r = _apply_filter(vl, "Allele frequency (sub-populations)", {"max_af": "1.0"})
+    assert r.count_passing() == 9
+
+
+def test_fc_regions():
+    """FilterCascade_Test.cpp:80-125 (FilterRegions single + multi region)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.filters.cascade import FilterResult, filter_regions_apply
+
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    assert vl.annotation_index_by_name("filter") == 1
+
+    r = FilterResult(len(vl))
+    bed = BedFile()
+    bed.append(BedLine(Chromosome("chr1"), 27687465, 27687467))
+    filter_regions_apply(vl, bed, r)
+    assert r.count_passing() == 1
+    assert r.flags[0]
+
+    r.tag_non_passing(vl, "off-target", "Variants outside target region")
+    assert vl.annotation_index_by_name("filter") == 1
+    assert sum(1 for v in vl.variants if b"off-target" in v.filters) == 142
+
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = FilterResult(len(vl))
+    bed = BedFile()
+    bed.append(BedLine(Chromosome("chr1"), 62728830, 62728870))
+    bed.append(BedLine(Chromosome("chr17"), 41244430, 41245240))
+    filter_regions_apply(vl, bed, r)
+    assert r.count_passing() == 5
+    for i in (5, 6, 134, 135, 136):
+        assert r.flags[i]
+    r.remove_flagged(vl)
+    assert len(vl) == 5
+
+
+def test_fc_simple_snv_filters():
+    """FilterCascade_Test.cpp:127-148, 306-318, 932-971, 1049-1176 — one-shot
+    pinned counts on VariantFilter_in.GSvar."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    cases = [
+        ("Filter column empty", {}, 109),
+        ("SNVs only", {}, 135),
+        ("Gene constraint", {"max_oe_lof": "0.1"}, 1),
+        ("OMIM genes", {}, 108),
+        ("Conservedness", {"min_score": "2.0"}, 16),
+        ("Regulatory", {"action": "FILTER"}, 2),
+        ("RNA ASE allele frequency", {"min_af": "0.33", "max_af": "0.66"}, 41),
+        ("RNA ASE alternative count", {"min_ac": "17"}, 91),
+        ("RNA ASE depth", {"min_depth": "26"}, 110),
+        ("RNA ASE p-value", {"max_pval": "0.2"}, 13),
+        ("RNA aberrant splicing fraction", {"min_asf": "0.05"}, 17),
+        ("RNA expression fold-change", {"min_fc": "1.5"}, 17),
+        ("RNA expression z-score", {"min_zscore": "1.25"}, 22),
+        ("RNA gene expression", {"min_tpm": "35"}, 18),
+        ("lr short-read overlap", {"invert": "false"}, 42),
+        ("Variant type", {}, 77),
+    ]
+    for name, params, expected in cases:
+        r = _apply_filter(vl, name, params)
+        assert r.count_passing() == expected, name
+
+
+def test_fc_genes():
+    """FilterCascade_Test.cpp:151-187 (FilterGenes wildcards)."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    for genes, expected in [("TP53", 1), ("TP53,BRCA1", 8), ("BRCA*", 12),
+                            ("*-*", 8), ("BRCA*,TP*", 19)]:
+        r = _apply_filter(vl, "Genes", {"genes": genes})
+        assert r.count_passing() == expected, genes
+
+
+def test_fc_impact():
+    """FilterCascade_Test.cpp:189-209."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Impact", {"impact": "HIGH"})
+    assert r.count_passing() == 2
+    assert r.flags[19] and r.flags[47]
+    r = _apply_filter(vl, "Impact", {"impact": "HIGH,MODERATE"})
+    assert r.count_passing() == 60
+
+
+def test_fc_count_ngsd():
+    """FilterCascade_Test.cpp:211-239."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Count NGSD",
+                      {"max_count": "5", "ignore_genotype": "false"})
+    assert r.count_passing() == 3
+    assert r.flags[70] and r.flags[92] and r.flags[120]
+    r = _apply_filter(vl, "Count NGSD",
+                      {"max_count": "50", "ignore_genotype": "false"})
+    assert r.count_passing() == 9
+    r = _apply_filter(vl, "Count NGSD",
+                      {"max_count": "50", "ignore_genotype": "true"})
+    assert r.count_passing() == 8
+
+
+def test_fc_classification_ngsd():
+    """FilterCascade_Test.cpp:241-269."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Classification NGSD",
+                      {"action": "REMOVE", "classes": "1,2"})
+    assert r.count_passing() == 106
+    r = _apply_filter(vl, "Classification NGSD",
+                      {"action": "FILTER", "classes": "3,4,5"})
+    assert r.count_passing() == 1
+    r = _apply_filter(vl, "Classification NGSD",
+                      {"action": "KEEP", "classes": "2,3"}, initial=False)
+    assert r.count_passing() == 6
+
+
+def test_fc_filter_columns():
+    """FilterCascade_Test.cpp:271-304."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Filter columns",
+                      {"action": "REMOVE", "entries": "low_MQM"})
+    assert r.count_passing() == 132
+    r = _apply_filter(vl, "Filter columns",
+                      {"action": "REMOVE", "entries": "low_MQM,low_DP"})
+    assert r.count_passing() == 125
+    r = _apply_filter(vl, "Filter columns",
+                      {"action": "KEEP", "entries": "low_DP"}, initial=False)
+    assert r.count_passing() == 7
+    r = _apply_filter(vl, "Filter columns",
+                      {"action": "FILTER", "entries": "low_MQM"})
+    assert r.count_passing() == 11
+
+
+def test_fc_gene_inheritance():
+    """FilterCascade_Test.cpp:320-341."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    for modes, expected in [("AD", 19), ("AR", 28), ("AD,AR", 44)]:
+        r = _apply_filter(vl, "Gene inheritance", {"modes": modes})
+        assert r.count_passing() == expected, modes
+
+
+def test_fc_column_match_regexp():
+    """FilterCascade_Test.cpp:343-372."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Column match",
+                      {"action": "REMOVE", "column": "OMIM", "pattern": "^$"})
+    assert r.count_passing() == 108
+    r = _apply_filter(vl, "Column match",
+                      {"action": "KEEP", "column": "OMIM", "pattern": "^$"},
+                      initial=False)
+    assert r.count_passing() == 35
+    r = _apply_filter(vl, "Column match",
+                      {"action": "FILTER", "column": "dbSNP", "pattern": "^$"})
+    assert r.count_passing() == 3
+
+
+def test_fc_genotype_control_multi():
+    """FilterCascade_Test.cpp:374-406."""
+    vl = _load_gsvar("VariantFilter_in_multi.GSvar")
+    r = _apply_filter(vl, "Genotype control", {"genotypes": "hom"})
+    assert r.count_passing() == 103
+    r = _apply_filter(vl, "Genotype control", {"genotypes": "het"})
+    assert r.count_passing() == 53
+    r = _apply_filter(vl, "Genotype control",
+                      {"genotypes": "wt,het", "same_genotype": "false"})
+    assert r.count_passing() == 153
+    r = _apply_filter(vl, "Genotype control",
+                      {"genotypes": "wt,het", "same_genotype": "true"})
+    assert r.count_passing() == 152
+
+
+def test_fc_genotype_affected():
+    """FilterCascade_Test.cpp:408-463."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    assert _apply_filter(vl, "Genotype affected",
+                         {"genotypes": "hom"}).count_passing() == 57
+    assert _apply_filter(vl, "Genotype affected",
+                         {"genotypes": "het"}).count_passing() == 86
+
+    vl = _load_gsvar("VariantFilter_in_multi.GSvar")
+    for genotypes, expected in [("hom", 65), ("het", 95), ("wt", 14),
+                                ("wt,het", 109)]:
+        r = _apply_filter(vl, "Genotype affected",
+                          {"genotypes": genotypes, "same_genotype": "true"})
+        assert r.count_passing() == expected, genotypes
+
+
+def test_fc_genotype_affected_comphet():
+    """FilterCascade_Test.cpp:465-523."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.filters.cascade import FilterResult, filter_regions_apply
+
+    for extra_genotypes, expected in [("comp-het", 3), ("comp-het,hom", 6)]:
+        vl = _load_gsvar("VariantFilter_in.GSvar")
+        r = FilterResult(len(vl))
+        bed = BedFile()
+        bed.append(BedLine(Chromosome("chr1"), 1, 248956422))
+        filter_regions_apply(vl, bed, r)
+        r = _apply_filter(vl, "Impact", {"impact": "HIGH,MODERATE"}, result=r)
+        assert r.count_passing() == 9
+        r = _apply_filter(vl, "Genotype affected",
+                          {"genotypes": extra_genotypes}, result=r)
+        assert r.count_passing() == expected, extra_genotypes
+
+    for extra_genotypes, expected in [("comp-het", 2), ("comp-het,hom", 3)]:
+        vl = _load_gsvar("VariantFilter_in_multi.GSvar")
+        r = _apply_filter(vl, "Allele frequency", {"max_af": "1.0"})
+        assert r.count_passing() == 39
+        r = _apply_filter(vl, "Genotype affected",
+                          {"genotypes": extra_genotypes}, result=r)
+        assert r.count_passing() == expected, extra_genotypes
+
+
+def test_fc_genotype_affected_comphet_phased():
+    """FilterCascade_Test.cpp:543-579."""
+    vl = _load_gsvar("VariantFilter_in_phased.GSvar")
+    assert _apply_filter(vl, "Genotype affected",
+                         {"genotypes": "comp-het"}).count_passing() == 187
+    assert _apply_filter(vl, "Genotype affected",
+                         {"genotypes": "comp-het (phased)"}).count_passing() == 68
+    assert _apply_filter(vl, "Genotype affected",
+                         {"genotypes": "comp-het (unphased)"}).count_passing() == 89
+    for combo in ("comp-het,comp-het (phased)", "comp-het,comp-het (unphased)",
+                  "comp-het (phased),comp-het (unphased)"):
+        with pytest.raises(ValueError):
+            _apply_filter(vl, "Genotype affected", {"genotypes": combo})
+
+
+def test_fc_annotation_pathogenic():
+    """FilterCascade_Test.cpp:581-642."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    cases = [
+        ({"sources": "HGMD,ClinVar", "also_likely_pathogenic": "true",
+          "action": "FILTER"}, True, 5),
+        ({"sources": "HGMD,ClinVar", "also_likely_pathogenic": "false",
+          "action": "FILTER"}, True, 2),
+        ({"sources": "HGMD,ClinVar", "also_likely_pathogenic": "true",
+          "action": "KEEP"}, False, 5),
+        ({"sources": "HGMD,ClinVar", "also_likely_pathogenic": "false",
+          "action": "KEEP"}, False, 2),
+        ({"sources": "ClinVar", "also_likely_pathogenic": "true",
+          "action": "KEEP"}, False, 1),
+        ({"sources": "ClinVar", "also_likely_pathogenic": "false",
+          "action": "KEEP"}, False, 1),
+        ({"sources": "HGMD", "also_likely_pathogenic": "true",
+          "action": "KEEP"}, False, 4),
+        ({"sources": "HGMD", "also_likely_pathogenic": "false",
+          "action": "KEEP"}, False, 1),
+    ]
+    for params, initial, expected in cases:
+        r = _apply_filter(vl, "Annotated pathogenic", params, initial=initial)
+        assert r.count_passing() == expected, params
+
+
+def test_fc_prediction_pathogenic():
+    """FilterCascade_Test.cpp:644-668."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Predicted pathogenic", {"action": "FILTER", "min": "1"})
+    assert r.count_passing() == 17
+    r = _apply_filter(vl, "Predicted pathogenic", {"action": "FILTER", "min": "2"},
+                      result=r)
+    assert r.count_passing() == 0
+    r = _apply_filter(vl, "Predicted pathogenic", {"action": "KEEP", "min": "1"},
+                      initial=False)
+    assert r.count_passing() == 17
+
+
+def test_fc_annotation_text():
+    """FilterCascade_Test.cpp:670-697."""
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    r = _apply_filter(vl, "Text search", {"action": "FILTER", "term": "bReast cancer"})
+    assert r.count_passing() == 26
+    r = _apply_filter(vl, "Text search", {"action": "KEEP", "term": "ataXIA"},
+                      initial=False)
+    assert r.count_passing() == 4
+    r = _apply_filter(vl, "Text search", {"action": "REMOVE", "term": "ataXIA"})
+    assert r.count_passing() == 139
+
+
+def test_fc_variant_qc():
+    """FilterCascade_Test.cpp:712-881 (FilterVariantQC single + multi)."""
+    base = {"apply_to": "all", "qual": "0", "depth": "0", "min_gq": "0",
+            "min_af": "0", "max_af": "1", "remove_special_calls": "false"}
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    cases = [
+        ({}, 143), ({"qual": "200"}, 138),
+        ({"qual": "200", "apply_to": "SNV"}, 139),
+        ({"qual": "200", "apply_to": "INDEL"}, 142),
+        ({"depth": "20"}, 136), ({"min_gq": "20"}, 142),
+        ({"min_af": "0.3"}, 133), ({"max_af": "0.3"}, 10),
+        ({"remove_special_calls": "true"}, 142),
+    ]
+    for override, expected in cases:
+        r = _apply_filter(vl, "Variant quality", {**base, **override})
+        assert r.count_passing() == expected, override
+
+    vl = _load_gsvar("VariantFilter_in_multi.GSvar")
+    for override, expected in [({}, 256), ({"qual": "20", "depth": "20"}, 193),
+                               ({"min_gq": "20"}, 254),
+                               ({"remove_special_calls": "true"}, 254)]:
+        r = _apply_filter(vl, "Variant quality", {**base, **override})
+        assert r.count_passing() == expected, override
+
+
+def test_fc_trio():
+    """FilterCascade_Test.cpp:883-930."""
+    vl = _load_gsvar("VariantFilter_in_trio.GSvar")
+    assert _apply_filter(vl, "Trio", {}).count_passing() == 17
+    for types, expected in [("de-novo", 2), ("recessive", 2), ("comp-het", 4),
+                            ("LOH", 3), ("x-linked", 6), ("imprinting", 2)]:
+        r = _apply_filter(vl, "Trio", {"types": types})
+        assert r.count_passing() == expected, types
+
+
+def test_fc_splice_effect():
+    """FilterCascade_Test.cpp:973-1047."""
+    vl = _load_gsvar("VariantFilter_in_newer_Annotation_in.GSvar")
+    r = _apply_filter(vl, "Splice effect",
+                      {"action": "FILTER", "MaxEntScan": "LOW", "SpliceAi": "0"})
+    assert r.count_passing() == len(r.flags)
+    cases_filter = [("MODERATE", "0", 2), ("HIGH", "0", 1), ("LOW", "0.2", 5),
+                    ("MODERATE", "0.4", 3)]
+    for mes, sai, expected in cases_filter:
+        r = _apply_filter(vl, "Splice effect",
+                          {"action": "FILTER", "MaxEntScan": mes, "SpliceAi": sai})
+        assert r.count_passing() == expected, (mes, sai)
+    cases_keep = [("MODERATE", "0.4", 3), ("MODERATE", "0", 2), ("LOW", "0.2", 5),
+                  ("LOW", "0", 0)]
+    for mes, sai, expected in cases_keep:
+        r = _apply_filter(vl, "Splice effect",
+                          {"action": "KEEP", "MaxEntScan": mes, "SpliceAi": sai},
+                          initial=False)
+        assert r.count_passing() == expected, (mes, sai)
+
+
+def test_fc_somatic_allele_frequency():
+    """FilterCascade_Test.cpp:1179-1220."""
+    vl = _load_gsvar("VariantFilter_in_somatic_tumor_only.GSvar")
+    r = _apply_filter(vl, "Somatic allele frequency",
+                      {"min_af_tum": "50.0", "max_af_nor": "100.0"})
+    assert r.count_passing() == 6
+    with pytest.raises(ValueError):
+        _apply_filter(vl, "Somatic allele frequency",
+                      {"min_af_tum": "50.0", "max_af_nor": "5.0"})
+
+    vl = _load_gsvar("VariantFilter_in_somatic_tumor_normal.GSvar")
+    r = _apply_filter(vl, "Somatic allele frequency",
+                      {"min_af_tum": "15.0", "max_af_nor": "100.0"})
+    assert r.count_passing() == 5
+    r = _apply_filter(vl, "Somatic allele frequency",
+                      {"min_af_tum": "15.0", "max_af_nor": "2.0"})
+    assert r.count_passing() == 4
+
+
+def test_fc_cnv_filters():
+    """FilterCascade_Test.cpp:1222-1440 — CNV filter pinned counts."""
+    cnvs = _load_cnvs("CnvList_ClinCNV_germline.tsv")
+    r = _apply_filter(cnvs, "CNV size", {"size": "20.0"})
+    assert r.count_passing() == 2
+    r = _apply_filter(cnvs, "CNV size", {"size": "17.0", "action": "KEEP"},
+                      initial=False)
+    assert r.count_passing() == 3
+    assert _apply_filter(cnvs, "CNV regions",
+                         {"regions": "4"}).count_passing() == 1
+    assert _apply_filter(cnvs, "CNV copy-number",
+                         {"cn": "1"}).count_passing() == 37
+    assert _apply_filter(cnvs, "CNV allele frequency",
+                         {"max_af": "0.02"}).count_passing() == 6
+    assert _apply_filter(cnvs, "CNV log-likelihood",
+                         {"min_ll": "11.0",
+                          "scale_by_regions": "false"}).count_passing() == 2
+    assert _apply_filter(cnvs, "CNV log-likelihood",
+                         {"min_ll": "7.0",
+                          "scale_by_regions": "true"}).count_passing() == 7
+    assert _apply_filter(cnvs, "CNV q-value",
+                         {"max_q": "0.0001"}).count_passing() == 2
+    assert _apply_filter(cnvs, "CNV OMIM genes", {}).count_passing() == 20
+    assert _apply_filter(cnvs, "CNV polymorphism region",
+                         {"max_ol": "0.001"}).count_passing() == 65
+
+    multi = _load_cnvs("CnvList_ClinCNV_germline_multi.tsv")
+    assert _apply_filter(multi, "CNV log-likelihood",
+                         {"min_ll": "200.0"}).count_passing() == 7
+    assert _apply_filter(multi, "CNV q-value",
+                         {"max_q": "0.0"}).count_passing() == 20
+
+    trio = _load_cnvs("CnvList_ClinCNV_germline_trio_with_regions.tsv")
+    assert _apply_filter(trio, "CNV log-likelihood",
+                         {"min_ll": "20.0",
+                          "scale_by_regions": "true"}).count_passing() == 7
+
+    som = _load_cnvs("CnvList_ClinCNV_somatic.tsv")
+    assert _apply_filter(som, "CNV pathogenic CNV overlap",
+                         {}).count_passing() == 3
+    assert _apply_filter(som, "CNV pathogenic CNV overlap",
+                         {"action": "KEEP"}, initial=False).count_passing() == 3
+
+
+def test_fc_cnv_comphet():
+    """FilterCascade_Test.cpp:1372-1385 (CNV-SNV/INDEL comp-het)."""
+    from ngsbits_tpu.filters.cascade import FilterResult, create_filter
+
+    cnvs = _load_cnvs("CnvList_ClinCNV_germline.tsv")
+    f = create_filter("CNV compound-heterozygous")
+    f.set_param("mode", "CNV-SNV/INDEL")
+    f.het_hit_genes = {b"SKI", b"PER3", b"BRCA1", b"BRCA2", b"TP53"}
+    r = FilterResult(len(cnvs))
+    f.apply(cnvs, r)
+    assert r.count_passing() == 2
+
+
+def test_fc_cnv_default_cascades():
+    """FilterCascade_Test.cpp:1442-1472 (default ClinCNV cascade)."""
+    from ngsbits_tpu.filters.cascade import FilterCascade
+
+    cascade = FilterCascade.load_from_file(f"{DIN}/CnvList_filters.ini",
+                                           "default filter (ClinCNV)")
+    cnvs = _load_cnvs("CnvList_ClinCNV_germline.tsv")
+    assert cascade.apply(cnvs, "cnv", True).count_passing() == 0
+
+    trio = _load_cnvs("CnvList_ClinCNV_germline_trio_with_regions.tsv")
+    assert cascade.apply(trio, "cnv", True).count_passing() == 116
+
+    som = _load_cnvs("CnvList_ClinCNV_somatic.tsv")
+    assert cascade.apply(som, "cnv", False).count_passing() == 31
+
+
+def test_fc_sv_filters():
+    """FilterCascade_Test.cpp:1475-1921 — SV filter pinned counts."""
+    svs = _load_svs("SV_Manta_germline.bedpe")
+    cases = [
+        ("SV type", {"Structural variant type": "DEL"}, 29),
+        ("SV remove chr type", {}, 74),
+        ("SV genotype affected", {"genotypes": "hom"}, 43),
+        ("SV quality", {"quality": "365"}, 72),
+        ("SV filter columns", {"entries": "AMBIGUOUS", "action": "REMOVE"}, 74),
+        ("SV filter columns", {"entries": "MaxDepth", "action": "FILTER"}, 2),
+        ("SV filter columns", {"entries": "MaxDepth,SampleFT",
+                               "action": "FILTER"}, 7),
+        ("SV paired read AF", {"Paired Read AF": "0.4"}, 8),
+        ("SV split read AF", {"Split Read AF": "0.2"}, 11),
+        ("SV PE read depth", {"PE Read Depth": "10"}, 35),
+        ("SV gene constraint", {}, 21),
+        ("SV size", {"min_size": "100", "max_size": "600"}, 33),
+        ("SV OMIM genes", {"action": "FILTER"}, 12),
+        ("SV OMIM genes", {"action": "REMOVE"}, 75),
+        ("SV count NGSD", {}, 84),
+        ("SV count NGSD", {"ignore_genotype": "true"}, 76),
+        ("SV count NGSD", {"max_count": "10", "ignore_genotype": "true"}, 71),
+        ("SV allele frequency NGSD", {}, 78),
+        ("SV allele frequency NGSD", {"max_af": "50.0"}, 83),
+        ("SV break point density NGSD", {}, 85),
+        ("SV break point density NGSD", {"max_density": "4",
+                                         "remove_strict": "true"}, 82),
+        ("SV break point density NGSD", {"max_density": "1",
+                                         "only_system_specific": "true"}, 84),
+        ("SV annotated pathogenic", {}, 1),
+    ]
+    for name, params, expected in cases:
+        r = _apply_filter(svs, name, params)
+        assert r.count_passing() == expected, (name, params)
+
+    r = _apply_filter(svs, "SV annotated pathogenic", {"action": "KEEP"},
+                      initial=False)
+    assert r.count_passing() == 1
+
+    # KEEP on a pre-filtered set (FilterSvFilterColumn_keep)
+    svs = _load_svs("SV_Manta_germline.bedpe")
+    r = _apply_filter(svs, "SV type", {"Structural variant type": "DEL"})
+    assert r.count_passing() == 29
+    r = _apply_filter(svs, "SV filter columns",
+                      {"entries": "AMBIGUOUS", "action": "KEEP"}, result=r)
+    assert r.count_passing() == 42
+
+    multi = _load_svs("SV_Manta_germline_multi.bedpe")
+    for name, params, expected in [
+            ("SV genotype affected", {"genotypes": "hom"}, 6),
+            ("SV genotype control", {"genotypes": "het,wt"}, 10),
+            ("SV paired read AF", {"Paired Read AF": "0.13"}, 2),
+            ("SV paired read AF", {"Paired Read AF": "0.13",
+                                   "only_affected": "true"}, 2),
+            ("SV split read AF", {"Split Read AF": "0.55"}, 2),
+            ("SV split read AF", {"Split Read AF": "0.55",
+                                  "only_affected": "true"}, 4),
+            ("SV PE read depth", {"PE Read Depth": "20"}, 2),
+            ("SV PE read depth", {"PE Read Depth": "20",
+                                  "only_affected": "true"}, 3)]:
+        r = _apply_filter(multi, name, params)
+        assert r.count_passing() == expected, (name, params)
+
+    som = _load_svs("SV_Manta_somatic.bedpe")
+    assert _apply_filter(som, "SV SomaticScore",
+                         {"Somaticscore": "60"}).count_passing() == 4
+
+    sniffles = _load_svs("SV_Sniffles_germline.bedpe")
+    assert _apply_filter(sniffles, "SV-lr AF",
+                         {"min_af": "0.2", "max_af": "0.4"}).count_passing() == 15
+    assert _apply_filter(sniffles, "SV-lr support reads", {}).count_passing() == 73
+    assert _apply_filter(sniffles, "SV-lr support reads",
+                         {"min_support": "15"}).count_passing() == 32
+
+
+def test_fc_sv_trio():
+    """FilterCascade_Test.cpp:1923-1948."""
+    trio = _load_svs("SV_Manta_germline_trio.bedpe")
+    for types, expected in [("de-novo", 10), ("recessive", 10),
+                            ("imprinting", 5)]:
+        r = _apply_filter(trio, "SV trio",
+                          {"gender_child": "female", "types": types})
+        assert r.count_passing() == expected, types
+
+
+def test_fc_sv_default_cascades():
+    """FilterCascade_Test.cpp:2013-2034."""
+    from ngsbits_tpu.filters.cascade import FilterCascade
+
+    germline = FilterCascade.load_from_file(f"{DIN}/SV_filters.ini", "germline")
+    svs = _load_svs("SV_Manta_germline.bedpe")
+    assert germline.apply(svs, "sv", True).count_passing() == 74
+
+    somatic = FilterCascade.load_from_file(f"{DIN}/SV_filters.ini", "somatic")
+    som = _load_svs("SV_Manta_somatic.bedpe")
+    assert somatic.apply(som, "sv", True).count_passing() == 8
+
+
+def test_fc_store_and_load_round_trip(tmp_path):
+    """FilterCascade_Test.cpp:2036-2054 (store_and_load)."""
+    from ngsbits_tpu.filters.cascade import (FilterCascade, create_filter,
+                                             filter_names)
+
+    for name in filter_names():
+        cascade = FilterCascade()
+        cascade.add(create_filter(name))
+        text = cascade.to_text()
+        cascade2 = FilterCascade.from_text(text)
+        assert cascade2.to_text() == text, name
+
+
+def test_fc_load_bug_empty_enum():
+    """FilterCascade_Test.cpp:2056-2064 (load_bug_empty_enum)."""
+    from ngsbits_tpu.filters.cascade import FilterCascade
+
+    vl = _load_gsvar("VariantFilter_in.GSvar")
+    with open(f"{DIN}/FilterCascade_bug_empty_enum.txt") as fh:
+        cascade = FilterCascade.from_text(fh.read().splitlines())
+    cascade.apply(vl, "snv", True)
