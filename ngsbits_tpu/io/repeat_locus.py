@@ -31,9 +31,44 @@ class RepeatLocus:
         self.filters: list[bytes] = []
         self.confidence_intervals = b""
         self.coverage = b""
+        self.overlapping_insertions: list[bytes] = []
+        self.ref_size = 0
 
     def region_string(self) -> str:
         return f"{self.chr.str_normalized(True)}:{self.start}-{self.end}"
+
+    def gene_symbol(self) -> bytes:
+        """RepeatLocus::geneSymbol (RepeatLocusList.cpp:19-22)."""
+        return self.name.split(b"_")[0]
+
+    def alleles(self) -> bytes:
+        """RepeatLocus::alleles (RepeatLocusList.cpp:54-59)."""
+        out = self.allele1
+        if self.allele2:
+            out += b"/" + self.allele2
+        return out
+
+    def allele1_as_int(self) -> int:
+        tmp = self.allele1.strip()
+        if b"." in tmp:
+            tmp = tmp[:tmp.index(b".")]
+        return int(tmp)
+
+    def allele2_as_int(self) -> int:
+        tmp = self.allele2.strip()
+        if b"." in tmp:
+            tmp = tmp[:tmp.index(b".")]
+        return int(tmp) if tmp else 0
+
+    def same_region_and_locus(self, rhs: "RepeatLocus") -> bool:
+        """RepeatLocus::sameRegionAndLocus."""
+        return (self.chr.num == rhs.chr.num and self.start == rhs.start
+                and self.end == rhs.end and self.unit == rhs.unit)
+
+    def set_region(self, bed_line):
+        self.chr = bed_line.chr
+        self.start = bed_line.start
+        self.end = bed_line.end
 
     def is_valid(self) -> bool:
         return (self.chr is not None and self.chr.is_valid() and self.start <= self.end
@@ -93,6 +128,21 @@ class RepeatLocusList:
         return {"invalid": "invalid", "expansionhunter": "ExpansionHunter",
                 "straglr": "Straglr"}[self.caller]
 
+    def find_match(self, re: RepeatLocus, fuzzy_match: bool = False) -> int:
+        """RepeatLocusList::findMatch (RepeatLocusList.cpp:365-386) — exact
+        alleles, or >=95% identity on the max allele."""
+        for i, v in enumerate(self.variants):
+            if not v.same_region_and_locus(re):
+                continue
+            if v.allele1 == re.allele1 and v.allele2 == re.allele2:
+                return i
+            if fuzzy_match:
+                a = max(v.allele1_as_int(), v.allele2_as_int())
+                b = max(re.allele1_as_int(), re.allele2_as_int())
+                if min(a / b, b / a) >= 0.95:
+                    return i
+        return -1
+
     @staticmethod
     def load(filename: str) -> "RepeatLocusList":
         out = RepeatLocusList()
@@ -129,6 +179,11 @@ class RepeatLocusList:
                 rl.end = int(re.info("END"))
                 rl.unit = re.info("REF_MOTIF").strip()
                 rl.set_filters(re.filters)
+                rl.overlapping_insertions = [
+                    x for x in re.info("OVERLAPPING_INS").strip().split(b",") if x]
+                ref_size = re.info("REF_SIZE").strip()
+                if ref_size:
+                    rl.ref_size = int(float(ref_size))
                 version = out.caller_version.decode()
                 if version in ("V1.5.0", "V1.5.1"):
                     genotypes = re.format_value("AC").strip().split(b"/")
@@ -137,6 +192,7 @@ class RepeatLocusList:
                         rl.set_allele2(genotypes[1])
                     elif len(genotypes) > 2:
                         raise ValueError(f"Invalid number of genotypes in {rl.name.decode()}")
+                    rl.confidence_intervals = re.format_value("ACR").strip()
                 elif version.startswith("V1.5."):
                     genotypes = re.info("RUC").strip().split(b",")
                     genotype_ci = re.info("CIRUC").strip().split(b",")

@@ -3851,3 +3851,325 @@ def test_fc_load_bug_empty_enum():
     with open(f"{DIN}/FilterCascade_bug_empty_enum.txt") as fh:
         cascade = FilterCascade.from_text(fh.read().splitlines())
     cascade.apply(vl, "snv", True)
+
+
+# ---- Graph_Test.cpp / PipelineSettings_Test.cpp / QcRuleMatcher_Test.cpp ---
+
+
+def _build_graph(directed):
+    from ngsbits_tpu.core.graph import TypedGraph
+
+    g = TypedGraph(directed)
+    for i in range(1, 21):
+        assert g.add_node(str(i), i % 4)
+    for i in range(1, 21):
+        if i < 20:
+            assert g.add_edge(g.get_node(str(i)), g.get_node(str(i + 1)), 1)
+            if i < 19 and i % 2 == 1:
+                assert g.add_edge(g.get_node(str(i)), g.get_node(str(i + 2)), 3)
+            elif i == 19:
+                assert g.add_edge(g.get_node("19"), g.get_node("1"), 3)
+        else:
+            assert g.add_edge(g.get_node("20"), g.get_node("1"), 1)
+
+    with pytest.raises(ValueError):
+        g.add_node("1", 2)
+    assert not g.add_node("1", 2, False)
+    assert not g.add_edge("3", 3, "4", 0, 1)
+    assert not g.add_edge(g.get_node("11"), g.get_node("13"), 3)
+
+    assert g.add_edge("2", 2, "21", 1, 2)
+    assert g.add_edge("22", 2, "23", 3, 1)
+    assert g.add_edge("1", 1, "11", 3, 10)
+    assert g.add_edge("20", 0, "22", 2, 1)
+
+    assert g.has_node("4")
+    assert g.has_node("23")
+    assert not g.has_node("24")
+    assert g.get_node("16").node_name() == "16"
+    with pytest.raises(ValueError):
+        g.get_node("99")
+    return g
+
+
+def test_graph_undirected():
+    """Graph_Test.cpp:22-144 (testUndirectedGraph)."""
+    g = _build_graph(False)
+    assert not g.directed()
+
+    assert g.has_edge("15", "17")
+    assert g.has_edge("17", "15")
+    assert not g.has_edge("14", "16")
+    assert not g.has_edge("16", "14")
+    assert not g.has_edge("20", "24")
+    assert g.get_edge("1", "11") is g.get_edge("11", "1")
+    with pytest.raises(ValueError):
+        g.get_edge("99", "20")
+    with pytest.raises(ValueError):
+        g.get_edge("2", "4")
+
+    assert g.get_node("5").node_content() == 1
+    assert g.get_node("16").node_content() == 0
+    assert g.get_edge("1", "11").edge_content() == 10
+    assert g.get_edge("11", "9").edge_content() == 3
+
+    assert g.is_adjacent("1", "11")
+    assert g.is_adjacent("11", "1")
+    assert g.is_adjacent("5", "7")
+    assert g.is_adjacent("7", "5")
+    assert not g.is_adjacent("8", "10")
+    with pytest.raises(ValueError):
+        g.is_adjacent("99", "20")
+
+    for i in range(1, 24):
+        if i % 2 == 0:
+            expected = 3 if i in (2, 20) else 2
+        else:
+            expected = {1: 5, 11: 5, 21: 1, 23: 1}.get(i, 4)
+        assert g.get_degree(str(i)) == expected, i
+
+
+def test_graph_directed():
+    """Graph_Test.cpp:146-260 (testDirectedGraph)."""
+    g = _build_graph(True)
+    assert g.directed()
+
+    assert g.has_edge("15", "17")
+    assert not g.has_edge("17", "15")
+    assert not g.has_edge("14", "16")
+    assert not g.has_edge("16", "14")
+    assert not g.has_edge("20", "24")
+    with pytest.raises(ValueError):
+        g.get_edge("99", "20")
+    with pytest.raises(ValueError):
+        g.get_edge("2", "4")
+    with pytest.raises(ValueError):
+        g.get_edge("2", "1")
+
+    assert g.get_node("5").node_content() == 1
+    assert g.get_node("16").node_content() == 0
+    assert g.get_edge("1", "11").edge_content() == 10
+    assert g.get_edge("9", "11").edge_content() == 3
+
+    assert g.is_adjacent("1", "11")
+    assert not g.is_adjacent("11", "1")
+    assert g.is_adjacent("5", "7")
+    assert not g.is_adjacent("7", "5")
+    assert not g.is_adjacent("8", "10")
+
+
+def test_pipeline_settings():
+    """PipelineSettings_Test.cpp:9-30 (loadSettings)."""
+    from ngsbits_tpu.core.pipeline_settings import PipelineSettings
+
+    PipelineSettings.load_settings(f"{DIN}/megSAP_settings.ini")
+    assert PipelineSettings.is_initialized()
+    assert PipelineSettings.root_dir() != ""
+    assert PipelineSettings.project_folder("diagnostic") == \
+        "/mnt/storage4/projects/diagnostic/"
+    assert PipelineSettings.project_folder("research") == \
+        "/mnt/storage4/projects/research/"
+    assert PipelineSettings.project_folder("test") == \
+        "/mnt/storage4/projects/test/"
+    assert PipelineSettings.project_folder("external") == \
+        "/mnt/storage4/projects/external/"
+    assert PipelineSettings.data_folder() == "/mnt/storage4/megSAP/data/"
+    assert "default_srv010" in PipelineSettings.queues_default()
+    assert "research_srv011" in PipelineSettings.queues_research()
+    assert "priority_srv010" in PipelineSettings.queues_high_priority()
+    assert "highmem_srv010" in PipelineSettings.queues_high_memory()
+    assert PipelineSettings.queues_dragen()[0] == "dragen_srv016"
+
+
+def test_qc_rule_matcher():
+    """QcRuleMatcher_Test.cpp:10-80 (checkEvaluation)."""
+    from ngsbits_tpu.core.qc_rules import QcRuleMatcher
+    from ngsbits_tpu.core.qcml import QCValue
+
+    with pytest.raises(Exception):
+        QcRuleMatcher(f"{DIN}/test_qc_cutoffs_invalid.xml")
+    m = QcRuleMatcher(f"{DIN}/test_qc_cutoffs.xml")
+
+    name_short, sys_type = "system", "WGS"
+
+    def qc(*pairs):
+        return [QCValue.from_double(n, v, "", a) for n, v, a in pairs]
+
+    assert m.evaluate(qc(("target region 20x percentage", 20.0, "QC:2000027"),
+                         ("target region read depth", 30.0, "QC:2000025")),
+                      name_short, sys_type, False) == "bad"
+    assert m.evaluate(qc(("target region 20x percentage", 98.0, "QC:2000027"),
+                         ("target region read depth", 30.0, "QC:2000025")),
+                      name_short, sys_type, False) == "medium"
+    assert m.evaluate(qc(("target region 20x percentage", 99.0, "QC:2000027"),
+                         ("target region read depth", 31.0, "QC:2000025")),
+                      name_short, sys_type, False) == "good"
+    assert m.evaluate(qc(("target region 20x percentage", 99.0, "QC:2000027"),
+                         ("target region read depth", 31.0, "QC:2000025"),
+                         ("mapped read percentage", 96.0, "QC:2000020")),
+                      name_short, sys_type, False) == "good"
+    assert m.evaluate(qc(("target region 20x percentage", 99.0, "QC:2000027")),
+                      name_short, sys_type, False) == "n/a"
+    assert m.evaluate(qc(("insert size", 363.22, "QC:2000023"),
+                         ("duplicate read percentage", 11.66, "QC:2000024")),
+                      name_short, sys_type, False) == "n/a"
+
+    assert m.evaluate_term("target region 20x percentage", 99.0, name_short,
+                           sys_type, False) == "good"
+    assert m.evaluate_term("target region 20x percentage", 95.0, name_short,
+                           sys_type, False) == "medium"
+    assert m.evaluate_term("target region 20x percentage", 89.0, name_short,
+                           sys_type, False) == "bad"
+
+    name_short = "RPGR-Ex15"
+    assert m.evaluate_term("target region read depth", 1100.0, name_short,
+                           sys_type, False) == "good"
+    assert m.evaluate_term("target region read depth", 450.0, name_short,
+                           sys_type, False) == "medium"
+
+
+# ---- RepeatLocusList_Test.cpp ----------------------------------------------
+
+
+def test_repeat_locus_expansionhunter():
+    """RepeatLocusList_Test.cpp:8-17 (base_tests_ExpansionHunter)."""
+    from ngsbits_tpu.io.repeat_locus import RepeatLocusList
+
+    res = RepeatLocusList.load(f"{DIN}/RepeatLocusList_ExpansionHunter.vcf")
+    assert res.caller_as_string() == "ExpansionHunter"
+    assert res.caller_version == b"v5.0.0"
+    assert res.call_date == "2024-04-16"
+    assert len(res) == 84
+
+
+def test_repeat_locus_straglr():
+    """RepeatLocusList_Test.cpp:20-42 (base_tests_Straglr)."""
+    from ngsbits_tpu.io.repeat_locus import RepeatLocusList
+
+    res = RepeatLocusList.load(f"{DIN}/RepeatLocusList_Straglr.vcf")
+    assert res.caller_as_string() == "Straglr"
+    assert res.caller_version == b"V1.5.0"
+    assert res.call_date == "2024-06-12"
+    assert len(res) == 30
+
+    rl = res[0]
+    assert rl.allele1 == b"12.6"
+    assert rl.allele2 == b"12.6"
+    assert rl.alleles() == b"12.6/12.6"
+    assert rl.confidence_intervals == b"7.0-16.7/7.0-16.7"
+    assert rl.coverage == b"87"
+    assert rl.filters == []
+    assert rl.gene_symbol() == b"GLS"
+    assert rl.name == b"GLS"
+    assert b",".join(rl.overlapping_insertions) == b"37.6 (het)"
+    assert rl.ref_size == 7
+
+
+def test_repeat_locus_find_match():
+    """RepeatLocusList_Test.cpp:45-61 (findMatch)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+    from ngsbits_tpu.io.repeat_locus import RepeatLocus, RepeatLocusList
+
+    res = RepeatLocusList.load(f"{DIN}/RepeatLocusList_findMatch.vcf")
+    rl = RepeatLocus()
+    rl.set_region(BedLine(Chromosome("chr4"), 3074876, 3074933))
+    rl.unit = b"CAG"
+    rl.set_allele1(b"34.4")
+    rl.set_allele2(b"17.2")
+    assert res.find_match(rl, False) == 3
+    rl.allele1 = b""
+    rl.set_allele1(b"35")
+    assert res.find_match(rl, False) == -1
+    assert res.find_match(rl, True) == 3
+
+
+# ---- BigWigReader_Test.cpp -------------------------------------------------
+
+
+def test_bigwig_read_local_values():
+    """BigWigReader_Test.cpp:14-115 (read_local_values)."""
+    from ngsbits_tpu.io.bigwig import BigWigError, BigWigReader
+
+    r = BigWigReader(f"{DIN}/BigWigReader.bw")
+    h = r.header
+    assert h.version == 4
+    assert h.zoom_levels == 1
+    assert h.chromosome_tree_offset == 0x158
+    assert h.full_data_offset == 0x190
+    assert h.full_index_offset == 0x1E7
+    assert h.auto_sql_offset == 0x0
+    assert h.total_summary_offset == 0x130
+    assert h.uncompress_buf_size == 32768
+
+    s = r.summary
+    assert s.bases_covered == 154
+    assert s.min_val == pytest.approx(0.1)
+    assert s.max_val == pytest.approx(2.0)
+    assert s.sum_data == pytest.approx(272.1, abs=1e-6)
+    assert s.sum_squares == pytest.approx(500.389992, abs=1e-6)
+
+    with pytest.raises(BigWigError):
+        r.read_value("chr1", 0, 0)
+    with pytest.raises(BigWigError):
+        r.read_values("chr1", 100, 150, 0)
+    with pytest.raises(BigWigError):
+        r.read_values_region("chr1:0-1", 0)
+
+    r.set_default_value(-50)
+    assert r.default_value == -50
+
+    assert r.read_value("chr1", 0, 0) == pytest.approx(0.1, abs=1e-6)
+    assert r.read_value("chr1", 1, 0) == pytest.approx(0.2, abs=1e-6)
+    assert r.read_value("chr1", 100, 0) == pytest.approx(1.4, abs=1e-6)
+    assert r.read_value("chr1", 99, 0) == pytest.approx(r.default_value)
+
+    vals = r.read_values("chr1", 100, 150, 0)
+    assert len(vals) == 50
+    assert all(v == pytest.approx(1.4, abs=1e-6) for v in vals)
+
+    vals = r.read_values_region("chr1:100-110", 0)
+    assert len(vals) == 10
+    assert all(v == pytest.approx(1.4, abs=1e-6) for v in vals)
+
+    vals = r.read_values("chr1", 80, 90, 0)
+    assert len(vals) == 10
+    assert all(v == pytest.approx(r.default_value) for v in vals)
+
+    vals = r.read_values("chr1", 90, 110, 0)
+    assert len(vals) == 20
+    for i, v in enumerate(vals):
+        expected = r.default_value if i < 10 else 1.4
+        assert v == pytest.approx(expected, abs=1e-6), i
+
+    r.set_default_value(-42)
+    assert r.default_value == -42
+    vals = r.read_values("chr1", 80, 90, 0)
+    assert len(vals) == 10
+    assert all(v == pytest.approx(-42) for v in vals)
+    assert r.read_value("chr1", 50, 0) == pytest.approx(-42)
+
+
+def test_bigwig_read_local_intervals():
+    """BigWigReader_Test.cpp:117-155 (read_local_intervals)."""
+    from ngsbits_tpu.io.bigwig import BigWigReader
+
+    r = BigWigReader(f"{DIN}/BigWigReader.bw")
+    iv = r.get_overlapping_intervals("chr1", 0, 1, 0)
+    assert len(iv) == 1
+    assert (iv[0][0], iv[0][1]) == (0, 1)
+    assert iv[0][2] == pytest.approx(0.1, abs=1e-6)
+
+    iv = r.get_overlapping_intervals("chr1", 1, 2, 0)
+    assert len(iv) == 1
+    assert (iv[0][0], iv[0][1]) == (1, 2)
+    assert iv[0][2] == pytest.approx(0.2, abs=1e-6)
+
+    assert len(r.get_overlapping_intervals("chr1", 0, 3, 0)) == 3
+
+    iv = r.get_overlapping_intervals("chr1", 100, 101, 0)
+    assert len(iv) == 1
+    assert (iv[0][0], iv[0][1]) == (100, 150)
+    assert iv[0][2] == pytest.approx(1.4, abs=1e-6)
+
+    assert len(r.get_overlapping_intervals("chr1", 99, 100, 0)) == 0
