@@ -53,23 +53,40 @@ class BamInfoTool(ToolBase):
                 fmt = "BAM"
             reader = BamReader(filename, ref=self.get("ref") or None)
             build = reader.build_from_chr1()
-            # masked false duplications: detected via specific contig (hg38 only)
-            masked = "no"
-            contains_alt = "yes" if any("_alt" in n for n in reader.ref_names) else "no"
-            # mapper from last @PG line
+            # false duplications masked: checked region empty for hg38 only;
+            # default true (BamReader::info, BamReader.h:342); fresh reader so
+            # the index seek does not disturb the paired-end scan below
+            masked = "yes"
+            if build == "hg38":
+                try:
+                    with BamReader(filename, ref=self.get("ref") or None) as r2:
+                        for batch in r2.region_batches("chr21", 5968000, 6160000):
+                            if len(batch):
+                                masked = "no"
+                                break
+                except Exception:
+                    pass
+            contains_alt = "yes" if any(
+                n.lower().endswith(("_alt", "_hap1")) for n in reader.ref_names) else "no"
+            # mapper from last @PG line (BamReader::info match order)
             mapper = ""
             mapper_version = ""
             for line in reversed(reader.header_text.splitlines()):
                 if not line.startswith("@PG"):
                     continue
                 for pn, label in (("PN:bwa-mem2", "bwa-mem2"), ("PN:bwa", "bwa"),
-                                  ("PN:minimap2", "minimap2"), ("PN:DRAGEN", "DRAGEN"),
-                                  ("PN:STAR", "STAR")):
+                                  ("ID: DRAGEN SW build", "DRAGEN"),
+                                  ("PN:minimap2", "minimap2"), ("PN:STAR", "STAR")):
                     if pn in line:
                         mapper = label
                         for part in line.split("\t"):
                             if part.startswith("VN:"):
-                                mapper_version = part[3:]
+                                mapper_version = part[3:].strip()
+                                if label == "STAR":
+                                    mapper_version = mapper_version.replace("STAR_", "")
+                                elif label == "DRAGEN":
+                                    mapper_version = ".".join(
+                                        mapper_version.split(".")[-3:])
                         break
                 if mapper:
                     break

@@ -4173,3 +4173,93 @@ def test_bigwig_read_local_intervals():
     assert iv[0][2] == pytest.approx(1.4, abs=1e-6)
 
     assert len(r.get_overlapping_intervals("chr1", 99, 100, 0)) == 0
+
+
+# ---- BamReader_Test.cpp / BamWriter_Test.cpp (fixture-available parts) -----
+
+
+def test_bam_reader_build():
+    """BamReader_Test.cpp:167-174 (BamReader_build) — panel.bam part gated
+    (stripped blob); insert-only fixture pins hg19."""
+    from ngsbits_tpu.io.bam import BamReader
+
+    reader = BamReader(f"{DIN}/BamReader_insert_only.bam")
+    assert reader.build_from_chr1() == "hg19"
+    reader.close()
+
+
+def test_bam_reader_pileup_rna():
+    """BamReader_Test.cpp:256-274 (BamReader_getPileup_RNA, SNP + no-coverage
+    parts; the indel-window part is covered by the CLI pileup goldens)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.qc.pileup import pileup_at_positions
+
+    c10 = Chromosome("chr10").num
+    r = pileup_at_positions(f"{DIN}/BamReader_rna.bam", np.array([c10]),
+                            np.array([90974727]), min_mapq=1, min_baseq=13)
+    assert int(r.depth(True)[0]) == 132
+    freq = float(r.frequency(np.array([0]), np.array([1]))[0])  # A -> C
+    assert freq == pytest.approx(0.4621, abs=0.001)
+
+    c11 = Chromosome("chr11").num
+    r = pileup_at_positions(f"{DIN}/BamReader_rna.bam", np.array([c11]),
+                            np.array([92675295]))
+    assert int(r.depth(True)[0]) == 0
+
+
+def test_bam_reader_pileup_insert_only():
+    """BamReader_Test.cpp:278-292 (BamReader_getPileup_insert_only)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.qc.pileup import pileup_at_positions
+
+    c19 = Chromosome("chr19").num
+    r = pileup_at_positions(f"{DIN}/BamReader_insert_only.bam",
+                            np.array([c19, c19]),
+                            np.array([5787214, 5787215]),
+                            min_mapq=1, min_baseq=13)
+    assert r.depth(True).tolist() == [111, 118]
+    assert float(r.frequency(np.array([3]), np.array([1]))[0]) == \
+        pytest.approx(0.556, abs=0.001)  # T -> C
+    assert float(r.frequency(np.array([2]), np.array([0]))[1]) == \
+        pytest.approx(0.389, abs=0.001)  # G -> A
+
+
+def test_bam_info():
+    """BamReader_Test.cpp:632-662 (info_bam) — via the BamInfo tool columns."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "-m", "ngsbits_tpu", "BamInfo", "-name", "-in",
+         f"{DIN}/BamReader_lr.bam", f"{DIN}/BamReader_rna.bam"],
+        capture_output=True, cwd="/root/repo")
+    rows = [l.split("\t") for l in p.stdout.decode().splitlines()[1:]]
+    # long-read DNA, HG38, masked, no ALT, minimap2, single-end
+    assert rows[0] == ["BamReader_lr.bam", "BAM", "hg38", "yes", "no",
+                      "minimap2 2.26-r1175", "no"]
+    # short-read RNA, HG19, masked, with ALT, STAR (version minus prefix)
+    assert rows[1] == ["BamReader_rna.bam", "BAM", "hg19", "yes", "yes",
+                      "STAR 2.3.0e_r291", "yes"]
+
+
+def test_bam_writer_round_trip(tmp_path):
+    """BamWriter_Test.cpp:6-53 (write_bam_test) — first alignment written to a
+    new BAM replays with the identical CIGAR."""
+    from ngsbits_tpu.io.bam import (BamReader, BamRecord, BamWriter,
+                                    write_record)
+
+    reader = BamReader(f"{DIN}/bamWriterTest.bam")
+    batch = reader.read_batch(1)
+    original = BamRecord.from_batch(batch, 0)
+    cigar = original.cigar_string()
+
+    out = str(tmp_path / "bamWriterTest.bam")
+    writer = BamWriter(out, reader)
+    write_record(writer, original)
+    writer.close()
+    reader.close()
+
+    new_reader = BamReader(out)
+    new_batch = new_reader.read_batch(1)
+    assert BamRecord.from_batch(new_batch, 0).cigar_string() == cigar
+    new_reader.close()
