@@ -4263,3 +4263,90 @@ def test_bam_writer_round_trip(tmp_path):
     new_batch = new_reader.read_batch(1)
     assert BamRecord.from_batch(new_batch, 0).cigar_string() == cigar
     new_reader.close()
+
+
+# ---- VariantScores_Test.cpp ------------------------------------------------
+
+
+def test_variant_scores_algorithms():
+    """VariantScores_Test.cpp:9-20 (algorithms/description)."""
+    from ngsbits_tpu.core import variant_scores
+
+    assert len(variant_scores.ALGORITHMS) >= 1
+    for algorithm in variant_scores.ALGORITHMS:
+        assert variant_scores.description(algorithm) != ""
+
+
+def _score_variants(use_ngsd_classifications):
+    from ngsbits_tpu.core import variant_scores
+    from ngsbits_tpu.core.intervals import BedFile
+    from ngsbits_tpu.io.gsvar import GSvarFile
+
+    roi = BedFile.from_file(f"{DIN}/VariantScores_HP0003002.bed")
+    vl = GSvarFile.from_file(f"{DIN}/VariantScores_in1.GSvar")
+    params = variant_scores.Parameters()
+    params.use_ngsd_classifications = use_ngsd_classifications
+    result = variant_scores.score("GSvar_v1", vl, {"HP0003002": roi}, params)
+    return vl, result
+
+
+def test_variant_scores_rank_gsvar_v1():
+    """VariantScores_Test.cpp:22-110 (rank_GSvar_v1)."""
+    vl, result = _score_variants(True)
+    assert result.algorithm == "GSvar_v1"
+    assert len(result.scores) == len(vl)
+    assert len(result.score_explanations) == len(vl)
+    assert len(result.ranks) == len(vl)
+    assert len(result.warnings) == 0
+
+    pinned = {
+        "chr2:178740622-178740622 A>C": (6.5, 1),
+        "chr9:116958287-116958287 C>T": (6.5, 2),
+        "chr2:29455199-29455199 A>T": (6.0, 3),
+        "chr11:6638385-6638385 C>T": (6.0, 4),
+        "chr16:3639230-3639230 G>A": (6.0, 5),
+        "chr5:131925483-131925483 G>C": (5.5, 6),
+    }
+    pinned_scores = {
+        "chr2:234737380-234737380 G>T": 2.0,
+        "chr14:106330070-106330070 G>A": 1.0,
+        "chr7:100806448-100806448 C>G": 1.0,
+        "chr1:866511-866511 ->CCCT": -1.0,
+    }
+    seen = 0
+    for i, v in enumerate(vl.variants):
+        s = v.to_string()
+        if s in pinned:
+            assert (result.scores[i], result.ranks[i]) == pinned[s], s
+            seen += 1
+        if s in pinned_scores:
+            assert result.scores[i] == pinned_scores[s], s
+    assert seen == len(pinned)
+
+    # score explanation sum equals the score
+    for i, score in enumerate(result.scores):
+        if score >= 0:
+            total = sum(float((e + ":").split(":")[1])
+                        for e in result.score_explanations[i])
+            assert total == pytest.approx(score), vl[i].to_string()
+
+
+def test_variant_scores_rank_gsvar_v1_no_ngsd():
+    """VariantScores_Test.cpp:112-170 (rank_GSvar_v1_noNGSD)."""
+    vl, result = _score_variants(False)
+    assert len(result.warnings) == 0
+    pinned = {
+        "chr9:116958287-116958287 C>T": (6.5, 1),
+        "chr2:29455199-29455199 A>T": (6.0, 2),
+        "chr2:178740622-178740622 A>C": (6.0, 3),  # no class 4 => -0.5
+        "chr11:6638385-6638385 C>T": (6.0, 4),
+        "chr16:3639230-3639230 G>A": (6.0, 5),
+        "chr5:131925483-131925483 G>C": (5.5, 6),
+    }
+    seen = 0
+    for i, v in enumerate(vl.variants):
+        s = v.to_string()
+        if s in pinned:
+            assert (result.scores[i], result.ranks[i]) == pinned[s], s
+            seen += 1
+    assert seen == len(pinned)
