@@ -634,3 +634,187 @@ def test_germline_evaluation_sheet_structure(ngsd, tmp_path, monkeypatch):
     import re
     ET.fromstring(re.sub(r"&[a-zA-Z]+[0-9]*;", "x", html))  # well-formed
     # (named HTML entities are opaque to a bare XML parser)
+
+
+def test_somatic_cfdna_report_structure(tmp_path):
+    """SomaticcfDNAReport.cpp structural replay (no reference goldens exist):
+    result table with MRD verdict, SNV table over the latest <=3 cfDNA
+    samples, explanation paragraph; German labels and layout constants."""
+    from ngsbits_tpu.ngsd.cfdna_report import (CfdnaDiseaseCourseTable,
+                                               CfdnaEntry, CfdnaLine, PSInfo,
+                                               SomaticcfDnaReport,
+                                               clean_consequence_string,
+                                               format_digits)
+
+    class FakeVcfLine:
+        def __init__(self, vid, tumor_af):
+            self.id = vid
+            self._af = tumor_af
+
+        def info(self, key):
+            assert key == "tumor_af"
+            return self._af
+
+    data = CfdnaDiseaseCourseTable()
+    data.tumor_sample = PSInfo(name="DX000001_01")
+    data.cfdna_samples = [
+        PSInfo(name="DX000002_01", ps_id="1", sampling_date="2024-01-15"),
+        PSInfo(name="DX000003_01", ps_id="2", sampling_date="2024-03-02"),
+    ]
+    data.mrd_tables = [
+        {"MRD_log10": ["-3.1"], "MRD_pval": ["0.004"], "SUM_DP": ["10000"],
+         "SUM_ALT": ["12"], "Mean_AF": ["0.0012"], "Median_AF": ["0.0009"]},
+        {"MRD_log10": ["-1.0"], "MRD_pval": ["0.51"], "SUM_DP": ["9000"],
+         "SUM_ALT": ["1"], "Mean_AF": ["0.0001"], "Median_AF": ["0.0001"]},
+    ]
+    data.lines = [
+        CfdnaLine(FakeVcfLine(b".", "0.37"),
+                  [CfdnaEntry(0.0021, 12, 9988, 0.004),
+                   CfdnaEntry(0.0, 0, 9000, 0.51)],
+                  coding_anno=(b"TP53", b"c.215C>G, p.Pro72Arg\n\\line\nENST00000269305.9",
+                               b"missense_variant")),
+        CfdnaLine(FakeVcfLine(b"ID_SNP", "0.5"),
+                  [CfdnaEntry(0.5, 10, 10, 0.0), CfdnaEntry(0.5, 10, 10, 0.0)]),
+        CfdnaLine(FakeVcfLine(b".", "0.12"),
+                  [CfdnaEntry(float("nan"), 0, 0, 1.0),
+                   CfdnaEntry(0.0005, 3, 5997, 0.07)],
+                  coding_anno=(b"KRAS", b"c.35G>A, p.Gly12Asp\n\\line\nENST00000311936.8",
+                               b"missense_variant&coding_sequence_variant")),
+    ]
+
+    report = SomaticcfDnaReport(data)
+
+    # ID SNPs are excluded from AF aggregation (getMaxAf/getMeanAf)
+    assert report.get_max_af(0) == pytest.approx(0.0021)
+    assert report.get_mean_af(1) == b"0.000"  # mean(0.0, 0.0005) -> 3 digits
+    assert report.get_mrd_table_value("MRD p-value", 0) == b"0.004"
+    with pytest.raises(ValueError):
+        report.get_mrd_table_value("bogus", 0)
+
+    # formatting helpers
+    assert format_digits(float("nan"), 3) == b"n/a"
+    assert format_digits(0.1234, 3) == b"0.123"
+    assert clean_consequence_string(
+        b"missense_variant&coding_sequence_variant") == b"missense, coding_sequence"
+
+    out = str(tmp_path / "cfdna_report.rtf")
+    report.write_rtf(out)
+    with open(out, "rb") as fh:
+        rtf = fh.read()
+
+    assert rtf.startswith(b"{\\rtf")
+    for needle in (b"Proben\\u252;bersicht", b"Tumornachweis",
+                   b"Punktmutationen (SNVs) und kleine Insertionen/Deletionen",
+                   b"ja (p=<0.01)", b"nein (p=0.51)", b"TP53", b"KRAS",
+                   b"not found", b"Anteil Plasma", b"15.01.2024",
+                   b"*AF: Allelfrequenz"):
+        assert needle in rtf or needle.replace(b"\\u252;", b"\xc3\xbc") in rtf, needle
+
+
+def test_somatic_rna_report_structure(tmp_path):
+    """SomaticRnaReport.cpp structural replay (no reference goldens exist):
+    fusion/SV tables, oncogenic + uncertain SNV tables joined with expression
+    data, pathway gene expression, top-10 differential expression, rank() and
+    expressionChange() semantics, German translation dictionary."""
+    from ngsbits_tpu.ngsd.rna_report import (ArribaSv, ExpressionData,
+                                             RnaCnvRow, RnaSnvRow,
+                                             SomaticRnaReport,
+                                             SomaticRnaReportData,
+                                             format_digits, rank, trans)
+
+    # rank (SomaticRnaReport.cpp:235-251)
+    assert rank(float("nan"), 10, "activating") == 3
+    assert rank(5, 10, "activating") == 3
+    assert rank(30, 10, "activating") == 1          # ratio 3 >= 1.5
+    assert rank(12, 10, "activating") == 2
+    assert rank(12, 20, "loss_of_function") == 1    # ratio 0.6 <= 0.8
+    assert rank(30, 10, "loss_of_function") == 2
+
+    assert trans("deletion") == b"Deletion"
+    assert trans("RAS signaling pathway") == b"RAS Signalweg"
+    assert b"highlight" in trans("unknown entry")  # highlighted passthrough
+    assert format_digits(float("nan")) == b"n/a"
+
+    data = SomaticRnaReportData(
+        rna_ps_name="DX000004_01", tumor_ps="DX000001_01",
+        normal_ps="DX000002_01", rna_hpa_ref_tissue="liver",
+        cohort_size=20, expression_correlation=0.87, icd10="C34.1",
+        phenotype="Lungenkarzinom", evaluation_date="2024-05-10",
+        pipeline="megSAP 2024_02")
+    data.svs = [
+        ArribaSv(b"EML4", b"ALK", b"ENST00000318522", b"ENST00000389048",
+                 b"2:42295516", b"2:29223528", b"translocation", b"in-frame"),
+        ArribaSv(b"EGFR", b"EGFR", b"ENST00000275493", b"ENST00000275493",
+                 b"7:55087058", b"7:55223522", b"deletion/read-through",
+                 b"out-of-frame"),
+    ]
+    data.expression_per_gene = {
+        b"TP53": ExpressionData(b"TP53", tumor_tpm=55.0, hpa_ref_tpm=30.0,
+                                cohort_mean_tpm=40.0, log2fc=0.5, pvalue=0.01),
+        b"EGFR": ExpressionData(b"EGFR", tumor_tpm=300.0, hpa_ref_tpm=20.0,
+                                cohort_mean_tpm=50.0, log2fc=2.5, pvalue=0.001),
+    }
+    data.snv_rows = [
+        RnaSnvRow(b"TP53", b"c.215C>G", b"p.Pro72Arg", b"ENST00000269305",
+                  b"missense_variant", 0.41, 120, 0.38, "ONCOGENIC"),
+        RnaSnvRow(b"KRAS", b"c.35G>A", b"p.Gly12Asp", b"ENST00000311936",
+                  b"missense_variant", 0.12, 3, float("nan"),
+                  "UNCERTAIN_SIGNIFICANCE"),
+    ]
+    data.cnv_rows = [RnaCnvRow(b"EGFR", b"chr7", b"focal", 12, 0.81,
+                               "activating")]
+    data.pathways = [
+        ExpressionData(b"EGFR", b"RTK signaling pathway", "activating",
+                       300.0, 20.0, 50.0, 2.5, 0.001),
+        ExpressionData(b"CDKN2A", b"CDK4/6 signaling pathway",
+                       "loss_of_function", 2.0, 15.0, 12.0, -2.0, 0.2),
+    ]
+    data.high_confidence_expression = [
+        ExpressionData(b"EGFR", b"", "activating", 300.0, 20.0, 50.0, 2.5, 0.001),
+        ExpressionData(b"RB1", b"", "loss_of_function", 11.0, 30.0, 44.0,
+                       -1.8, 0.02),
+    ]
+
+    report = SomaticRnaReport(data)
+    # expressionChange: significant -> superscript star
+    assert report.expression_change(data.expression_per_gene[b"EGFR"]) == \
+        b"5.7\\super*"
+    # not significant but expressed + cohort large enough -> plain number
+    d = ExpressionData(b"X", tumor_tpm=20.0, cohort_mean_tpm=10.0,
+                       log2fc=1.0, pvalue=0.5)
+    assert report.expression_change(d) == b"2.0"
+    d.tumor_tpm = 5.0
+    assert report.expression_change(d) == b"-"
+
+    out = str(tmp_path / "rna_report.rtf")
+    report.write_rtf(out, qc={"QC:2000005": "100000000", "QC:2000025": "50",
+                              "QC:2000102": "98.5"})
+    with open(out, "rb") as fh:
+        rtf = fh.read()
+
+    assert rtf.startswith(b"{\\rtf")
+    for needle in (b"Fusionen", b"EML4::ALK", b"Translokation",
+                   b"Strukturvarianten", b"Deletion/Read-through",
+                   b"Punktmutationen (SNVs)", b"TP53",
+                   b"Expression der Gene mit unklaren Varianten", b"KRAS",
+                   b"Top 10 Gene", b"RTK signaling pathway",
+                   b"Korrelation der Expression", b"0.87 (n=20)",
+                   b"10.05.2024"):
+        assert needle in rtf, needle
+
+
+def test_rna_report_arriba_loader(tmp_path):
+    """SomaticRnaReport ctor fusion TSV parsing (SomaticRnaReport.cpp:44-63)."""
+    from ngsbits_tpu.ngsd.rna_report import load_arriba_fusions
+
+    p = tmp_path / "fusions.tsv"
+    p.write_text("#gene1\tgene2\ttranscript_id1\ttranscript_id2\t"
+                 "breakpoint1\tbreakpoint2\ttype\treading_frame\n"
+                 "EML4\tALK\tT1\tT2\t2:42295516\t2:29223528\t"
+                 "translocation\tin-frame\n")
+    svs = load_arriba_fusions(str(p))
+    assert len(svs) == 1
+    assert svs[0].gene_left == b"EML4"
+    assert svs[0].gene_right == b"ALK"
+    assert svs[0].type == b"translocation"
+    assert svs[0].reading_frame == b"in-frame"
