@@ -297,6 +297,14 @@ def read_block(br: ByteReader) -> Block:
         data = lzma.decompress(payload)
     elif method == BLOCK_RANS:
         data = rans_uncompress(payload, raw_size)
+    elif method == 5:  # CRAM 3.1: rANS Nx16
+        from .rans_nx16 import decode as rans_nx16_decode
+        data = rans_nx16_decode(payload, raw_size)
+    elif method in (6, 7, 8):
+        names = {6: "adaptive arithmetic", 7: "fqzcomp", 8: "name tokenizer"}
+        raise CramError(f"CRAM 3.1 codec '{names[method]}' (method {method}) "
+                        "is not implemented — only rANS-Nx16/gzip/bzip2/lzma/"
+                        "rANS-4x8 blocks are supported")
     else:
         raise CramError(f"Unsupported block compression method {method}")
     if len(data) != raw_size:
@@ -867,15 +875,10 @@ class CramReader:
         if magic != b"CRAM":
             raise CramError(f"Not a CRAM file: {filename}")
         major, minor = self._fh.read(1)[0], self._fh.read(1)[0]
-        if major != 3 or minor != 0:
-            # CRAM 3.1 containers use the rANS-Nx16 / adaptive-arithmetic /
-            # name-tokenizer codec set this reader does not implement —
-            # reject at header time instead of failing mid-stream with an
-            # opaque codec error (no 3.1 fixtures exist in this environment
-            # to verify an implementation against)
+        if major != 3 or minor not in (0, 1):
             raise CramError(
-                f"Unsupported CRAM version {major}.{minor}: only CRAM 3.0 is "
-                "supported (3.1 adds the rANS-Nx16/arith/tok3 codecs)")
+                f"Unsupported CRAM version {major}.{minor}: only CRAM 3.0 "
+                "and 3.1 are supported")
         self.version = f"CRAM {major}.{minor}"
         self._fh.read(20)  # file id
         self._pending: list = []

@@ -95,10 +95,15 @@ def _enc_byte_array_len(len_cid: int, val_cid: int) -> bytes:
 
 
 def _block(content_type: int, content_id: int, data: bytes,
-           compress: bool = True) -> bytes:
+           compress: bool = True, use_rans_nx16: bool = False) -> bytes:
     if compress and len(data) > 64:
-        payload = _gzip.compress(data, 4)
-        method = BLOCK_GZIP
+        if use_rans_nx16:
+            from .rans_nx16 import encode as rans_nx16_encode
+            payload = rans_nx16_encode(data, order=0)
+            method = 5  # CRAM 3.1 rANS Nx16
+        else:
+            payload = _gzip.compress(data, 4)
+            method = BLOCK_GZIP
         if len(payload) >= len(data):
             payload, method = data, BLOCK_RAW
     else:
@@ -185,9 +190,16 @@ class CramWriter:
 
     RECORDS_PER_CONTAINER = 10000
 
-    def __init__(self, filename: str, reader):
+    def __init__(self, filename: str, reader, version: str | None = None):
+        import os
+        if version is None:
+            version = os.environ.get("NGSBITS_CRAM_VERSION", "3.0")
+        if version not in ("3.0", "3.1"):
+            raise ValueError(f"Unsupported CRAM write version '{version}'")
+        # 3.1 containers compress external blocks with rANS Nx16 (codec 5)
+        self._use_nx16 = version == "3.1"
         self._fh = open(filename, "wb")
-        self._fh.write(b"CRAM\x03\x00")
+        self._fh.write(b"CRAM\x03" + (b"\x01" if self._use_nx16 else b"\x00"))
         fid = (filename.encode()[-20:] if filename else b"")
         self._fh.write(fid.ljust(20, b"\x00"))
         self._record_counter = 0
@@ -316,14 +328,16 @@ class CramWriter:
 
         # compression header
         comp = self._compression_header(td_lines, tag_keys)
-        comp_blk = _block(CT_COMPRESSION_HEADER, 0, comp)
+        comp_blk = _block(CT_COMPRESSION_HEADER, 0, comp,
+                          use_rans_nx16=self._use_nx16)
 
         # slice: header + core + externals
         ext_blocks = []
         content_ids = []
         for cid in sorted(s.by_cid):
             content_ids.append(cid)
-            ext_blocks.append(_block(CT_EXTERNAL, cid, bytes(s.by_cid[cid])))
+            ext_blocks.append(_block(CT_EXTERNAL, cid, bytes(s.by_cid[cid]),
+                                     use_rans_nx16=self._use_nx16))
         core_blk = _block(CT_CORE, 0, b"", compress=False)
         slice_hdr = (itf8(-2) + itf8(0) + itf8(0) + itf8(len(records))
                      + ltf8(self._record_counter) + itf8(1 + len(ext_blocks))

@@ -121,14 +121,14 @@ def test_mate_pos_consistent_across_containers():
     assert mismatched == 0
 
 
-def test_cram_31_rejected_at_header(tmp_path):
-    """A CRAM 3.1 magic is rejected with a clear version message at open
-    time, not an opaque codec error mid-stream (io/cram.py version gate)."""
+def test_cram_version_gate(tmp_path):
+    """3.0/3.1 are accepted (3.1 via the rANS-Nx16 codec, test_cram31.py);
+    other versions are rejected with a clear message at open time."""
     import pytest
 
     from ngsbits_tpu.io.cram import CramError, CramReader
 
-    p = tmp_path / "v31.cram"
-    p.write_bytes(b"CRAM\x03\x01" + bytes(20) + b"\x00" * 64)
-    with pytest.raises(CramError, match="Unsupported CRAM version 3.1"):
+    p = tmp_path / "v40.cram"
+    p.write_bytes(b"CRAM\x04\x00" + bytes(20) + b"\x00" * 64)
+    with pytest.raises(CramError, match="Unsupported CRAM version 4.0"):
         CramReader(str(p))
