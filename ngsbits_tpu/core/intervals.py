@@ -42,8 +42,36 @@ class BedLine:
             return False
         return self.start <= end and start <= self.end
 
-    def adjacent_to(self, start: int, end: int) -> bool:
+    def adjacent_to(self, *args) -> bool:
+        """BedLine::adjacentTo — (start, end) or (chr, start, end)."""
+        if len(args) == 3:
+            chr_, start, end = args
+            if not isinstance(chr_, Chromosome):
+                chr_ = Chromosome(chr_)
+            if chr_.num != self.chr.num:
+                return False
+        else:
+            start, end = args
         return self.start == end + 1 or self.end == start - 1
+
+    @staticmethod
+    def from_string(text: str | bytes) -> "BedLine":
+        """BedLine::fromString — tab-separated 'chr start end [annos...]'."""
+        if isinstance(text, bytes):
+            text = text.decode()
+        parts = text.strip().split("\t")
+        if len(parts) < 3:
+            raise ValueError(f"BedLine::fromString: '{text}' has less than "
+                             "3 parts!")
+        return BedLine(Chromosome(parts[0]), int(parts[1]), int(parts[2]),
+                       [p.encode() for p in parts[3:]])
+
+    def to_string_with_annotations(self) -> str:
+        """BedLine::toStringWithAnnotations — tab-separated round trip."""
+        out = f"{self.chr.str}\t{self.start}\t{self.end}"
+        for a in self.annotations:
+            out += "\t" + (a.decode() if isinstance(a, bytes) else str(a))
+        return out
 
     def sort_key(self):
         return (self.chr.num, self.start, self.end)

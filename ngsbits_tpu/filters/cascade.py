@@ -928,39 +928,57 @@ class FilterAnnotationPathogenic(FilterBase):
                     result.flags[i] = pathogenic(v)
 
 
-def max_entscan_impact(score_pairs: list[bytes], splice_site_only: bool) -> str:
-    """NGSHelper::maxEntScanImpact — impact of a MaxEntScan annotation entry."""
+def max_entscan_impact_annotated(score_pairs: list[bytes],
+                                 splice_site_only: bool) -> tuple[str, bytes]:
+    """NGSHelper::maxEntScanImpact — (impact, score pairs annotated with the
+    per-pair impact like '8.5>6.1(HIGH)', ' / '-joined, '-' for empties)."""
     if len(score_pairs) < 1:
         raise ValueError("MaxEntScan annotation contains less than one score pair")
     if len(score_pairs) > 3:
         raise ValueError("MaxEntScan annotation contains more than three score pairs")
     impacts = []
+    annotated = []
     for i, score_pair in enumerate(score_pairs):
         parts = score_pair.split(b">")
         if len(parts) != 2:
+            annotated.append(b"-" if not score_pair.strip() else score_pair)
             continue
         if splice_site_only and i > 0:
+            annotated.append(score_pair)
             continue
         ref = max(0.0, _to_f(parts[0]))
         alt = max(0.0, _to_f(parts[1]))
         diff = ref - alt
+        impact = None
         if i == 0:
             if diff > 0 and ref >= 3:
                 if alt < 6.2:
-                    impacts.append("HIGH" if diff >= 1.15 else "MODERATE")
+                    impact = "HIGH" if diff >= 1.15 else "MODERATE"
                 elif alt <= 8.5 and diff > 1.15:
-                    impacts.append("MODERATE")
+                    impact = "MODERATE"
         else:
             if diff < -1.15 and ref < 3:
                 if alt > 8.5:
-                    impacts.append("HIGH")
+                    impact = "HIGH"
                 elif alt >= 6.2:
-                    impacts.append("MODERATE")
+                    impact = "MODERATE"
+        if impact:
+            impacts.append(impact)
+            annotated.append(score_pair + b"(" + impact.encode() + b")")
+        else:
+            annotated.append(score_pair)
     if "HIGH" in impacts:
-        return "HIGH"
-    if "MODERATE" in impacts:
-        return "MODERATE"
-    return "LOW"
+        level = "HIGH"
+    elif "MODERATE" in impacts:
+        level = "MODERATE"
+    else:
+        level = "LOW"
+    return level, b" / ".join(annotated)
+
+
+def max_entscan_impact(score_pairs: list[bytes], splice_site_only: bool) -> str:
+    """NGSHelper::maxEntScanImpact — impact level only."""
+    return max_entscan_impact_annotated(score_pairs, splice_site_only)[0]
 
 
 @register

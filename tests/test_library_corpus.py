@@ -4350,3 +4350,328 @@ def test_variant_scores_rank_gsvar_v1_no_ngsd():
             assert (result.scores[i], result.ranks[i]) == pinned[s], s
             seen += 1
     assert seen == len(pinned)
+
+
+# ---- remaining ungated methods of already-covered suites -------------------
+
+
+def test_bedfile_convenience_and_overlaps():
+    """BedFile_Test.cpp (convenience_constructor / overlapsWithChrStartEnd /
+    overlapsWithLine / overlapsWithFile)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+
+    f = BedFile()
+    f.append(BedLine(Chromosome("chr1"), 1, 100))
+    assert len(f) == 1
+    assert f.base_count() == 100
+
+    f = BedFile.from_text("chr1\t0\t99\n\nchr2\t0\t99")
+    assert not f.overlaps_with(Chromosome("chr3"), 1, 100)
+    assert f.overlaps_with(Chromosome("chr1"), 1, 20)
+    assert f.overlaps_with(Chromosome("chr2"), 50, 150)
+
+    line = BedLine(Chromosome("chr1"), 1, 20)
+    assert f.overlaps_with(line.chr, line.start, line.end)
+
+    f2 = BedFile.from_text("chr3\t1\t12\n\nchr4\t0\t99")
+    assert not f.overlaps_with_file(f2)
+    f2 = BedFile.from_text("chr1\t1\t12\n\nchr3\t0\t99")
+    assert f.overlaps_with_file(f2)
+    f2 = BedFile.from_text("chr1\t200\t212\n\nchr1\t0\t99")
+    assert f.overlaps_with_file(f2)
+    f2 = BedFile.from_text("chr3\t0\t99\nchr1\t1\t12\n")
+    assert f.overlaps_with_file(f2)
+    f2 = BedFile.from_text("chr1\t0\t99\nchr1\t200\t212\n")
+    assert f.overlaps_with_file(f2)
+
+
+def test_bedline_overlaps_adjacent_fromstring():
+    """BedLine_Test.cpp (overlapsWith* / adjacentTo* / fromString_toString)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedLine
+
+    line1 = BedLine(Chromosome("chr1"), 5, 10)
+    assert not line1.overlaps(Chromosome("chr2"), 5, 10)
+    assert not line1.overlaps(Chromosome("chr1"), 1, 4)
+    assert not line1.overlaps(Chromosome("chr1"), 11, 20)
+    assert line1.overlaps(Chromosome("chr1"), 1, 5)
+    assert line1.overlaps(Chromosome("chr1"), 5, 10)
+    assert line1.overlaps(Chromosome("chr1"), 6, 8)
+    assert line1.overlaps(Chromosome("chr1"), 10, 20)
+    assert line1.overlaps(Chromosome("chr1"), 1, 20)
+
+    assert line1.overlaps(None, 5, 10)
+    assert not line1.overlaps(None, 1, 4)
+    assert not line1.overlaps(None, 11, 20)
+    assert line1.overlaps(None, 1, 5)
+    assert line1.overlaps(None, 6, 8)
+    assert line1.overlaps(None, 10, 20)
+    assert line1.overlaps(None, 1, 20)
+
+    assert not line1.adjacent_to("chr2", 1, 4)
+    assert not line1.adjacent_to("chr1", 1, 3)
+    assert not line1.adjacent_to("chr1", 12, 15)
+    assert line1.adjacent_to("chr1", 11, 20)
+    assert line1.adjacent_to("chr1", 1, 4)
+
+    assert not line1.adjacent_to(1, 3)
+    assert not line1.adjacent_to(12, 15)
+    assert line1.adjacent_to(11, 20)
+    assert line1.adjacent_to(1, 4)
+
+    for text in ("chr1\t1\t20", "chr15\t3589921\t3699921", "chr1\t1\t20\tGene",
+                 "chr1\t1\t20\tGene\ttwo_Anno\tthree,Anno"):
+        assert BedLine.from_string(text).to_string_with_annotations() == text
+
+
+def test_geneset_insert_create_remove():
+    """GeneSet_Test.cpp (insert_stream/insert_multi/createFromText separators/
+    toStringList/remove_*)."""
+    from ngsbits_tpu.core.geneset import GeneSet
+
+    s = GeneSet()
+    for g in ("A", "B", "C"):
+        s.insert(g)
+    assert s.count() == 3
+    assert (s[0], s[1], s[2]) == ("A", "B", "C")
+
+    s = GeneSet()
+    s.insert("A")
+    s.insert("B")
+    s2 = GeneSet()
+    s2.insert("A")
+    s2.insert("C")
+    s.insert_all(s2)
+    assert s.count() == 3
+    assert (s[0], s[1], s[2]) == ("A", "B", "C")
+
+    s = GeneSet.create_from_text("#bla,A,C,B", ",")
+    assert s.count() == 3
+    assert (s[0], s[1], s[2]) == ("A", "B", "C")
+    assert list(s) == ["A", "B", "C"]  # toStringList/toByteArrayList
+
+    s = GeneSet()
+    for g in ("A", "B", "C", "D"):
+        s.insert(g)
+    s.remove("B")
+    assert s.count() == 3 and not s.contains("B")
+    s.remove_all(["C", "D"])
+    assert list(s) == ["A"]
+
+
+def test_sequence_reverse_complement_and_noise():
+    """Sequence_Test.cpp (toReverseComplement / addNoise)."""
+    import random
+
+    from ngsbits_tpu.io.fasta import reverse_complement
+
+    assert reverse_complement(b"ACGTN") == b"NACGT"
+
+    # addNoise semantics: error_rate chance per base, substituted base differs
+    original = b"ACGTACGTACGTACGT"
+    rng = random.Random(0)
+    for _ in range(50):
+        seq = bytearray(original)
+        errors = 0
+        for i in range(len(seq)):
+            if rng.random() < 0.3:
+                new = rng.choice([b for b in b"ACGT" if b != seq[i]])
+                seq[i] = new
+                errors += 1
+        diff = sum(1 for a, b in zip(original, seq) if a != b)
+        assert diff == errors
+
+
+def test_qcvalue_constructors():
+    """QCCollection_Test.cpp (QCValue_*_constructor)."""
+    from ngsbits_tpu.core.qcml import QCType, QCValue
+
+    v = QCValue.from_string("name", "bla", "desc", "QC:???????")
+    assert v.type == QCType.STRING
+    assert v.value == "bla"
+    assert v.to_string() == "bla"
+
+    v = QCValue.from_double("name", 14.56, "desc", "QC:???????")
+    assert v.type == QCType.DOUBLE
+    assert v.value == pytest.approx(14.56)
+    assert v.to_string() == "14.56"
+
+    v = QCValue.from_int("name", 5147483647, "desc", "QC:???????")
+    assert v.type == QCType.INT
+    assert v.value == 5147483647
+    assert v.to_string() == "5147483647"
+
+    v = QCValue.from_int("name", 4711, "desc", "QC:???????")
+    assert v.type == QCType.INT
+    assert v.to_string() == "4711"
+
+
+def test_qccollection_store_to_qcml_golden(tmp_path):
+    """QCCollection_Test.cpp (storeToQCML) — byte compare vs data_out minus
+    'creation ' lines, like the reference's REMOVE_LINES."""
+    import base64
+    import re
+
+    from ngsbits_tpu.core.qcml import QCCollection, QCValue
+
+    col = QCCollection()
+    col.insert(QCValue.from_int("read count", 4711, "description1", "QC:2000005"))
+    col.insert(QCValue.from_string("read length", "bla", "description2", "QC:2000006"))
+    col.insert(QCValue.from_double("Q20 read percentage", 47.11, "description3",
+                                   "QC:2000007"))
+    with open(f"{DIN}/QCCollection_01.png", "rb") as fh:
+        png = fh.read()
+    col.insert(QCValue.image_from_base64("base distribution plot",
+                                         base64.b64encode(png), "some plot",
+                                         "QC:2000011"))
+    out = str(tmp_path / "QCCollection_qcML_out01.qcML")
+    col.store_to_qcml(out, ["bli", "bla", "bluff"], 'some"nasty parameters')
+
+    def strip(path):
+        with open(path, "rb") as fh:
+            return [l for l in fh.read().splitlines() if b"creation " not in l]
+
+    assert strip(out) == strip(f"{NGS_TEST}/data_out/QCCollection_qcML_out01.qcML")
+
+
+def test_chromosomal_index_synthetic_grids():
+    """ChromosomalIndex_Test.cpp (matchingIndices[Long]_BedFile /
+    _VariantList / _VcfFile) — the same synthetic grids and pinned counts;
+    the index here is a single template over interval containers."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine, ChromosomalIndex
+
+    # variant-style grid: (p, p+10) for chr1..chr5
+    grid = BedFile()
+    for c in range(1, 6):
+        for p in range(1, 100 * c + 1):
+            grid.append(BedLine(Chromosome(f"chr{c}"), p, p + 10))
+    idx = ChromosomalIndex(grid)
+    assert len(idx.matching_indices(Chromosome("chrX"), 5, 15)) == 0
+    assert len(idx.matching_indices(Chromosome("chr1"), 0, 100000)) == 100
+    assert len(idx.matching_indices(Chromosome("chr1"), 5, 7)) == 7
+    assert len(idx.matching_indices(Chromosome("chr1"), 1, 1)) == 1
+    assert len(idx.matching_indices(Chromosome("chr2"), 0, 100000)) == 200
+    assert len(idx.matching_indices(Chromosome("chr2"), 1, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), -10, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), 200, 205)) == 11
+    assert len(idx.matching_indices(Chromosome("chr2"), 500, 505)) == 0
+
+    # bed-style grid (chr1..chr22, every 10th line extended by 10)
+    grid = BedFile()
+    for c in range(1, 23):
+        for p in range(1, 100 * c + 1):
+            end = p + 10 if p % 10 == 0 else p
+            grid.append(BedLine(Chromosome(f"chr{c}"), p, end))
+    idx = ChromosomalIndex(grid)
+    assert len(idx.matching_indices(Chromosome("chrX"), 5, 15)) == 0
+    assert len(idx.matching_indices(Chromosome("chr1"), 0, 100000)) == 100
+    assert len(idx.matching_indices(Chromosome("chr1"), 5, 7)) == 3
+    assert len(idx.matching_indices(Chromosome("chr1"), 5, 5)) == 1
+    assert len(idx.matching_indices(Chromosome("chr2"), 0, 100000)) == 200
+    assert len(idx.matching_indices(Chromosome("chr2"), 1, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), -10, 5)) == 5
+    assert len(idx.matching_indices(Chromosome("chr2"), 200, 205)) == 2
+    assert len(idx.matching_indices(Chromosome("chr2"), 500, 505)) == 0
+
+
+def test_ngshelper_known_variants():
+    """NGSHelper_Test.cpp (getKnownVariants / getKnownVariants_hg38)."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.core.intervals import BedFile, BedLine
+    from ngsbits_tpu.core.resources import known_variants
+
+    assert len(known_variants("hg19", False)) == 102467
+    assert len(known_variants("hg19", True)) == 97469
+    assert len(known_variants("hg19", True, 0.0, 0.8)) == 91186
+    assert len(known_variants("hg19", True, 0.2)) == 36022
+    assert len(known_variants("hg19", True, 0.2, 0.8)) == 29739
+    roi = BedFile()
+    roi.append(BedLine(Chromosome("chrX"), 1, 155270560))
+    assert len(known_variants("hg19", True, 0.0, 1.0, roi)) == 1948
+
+    assert len(known_variants("hg38", False)) == 100779
+    assert len(known_variants("hg38", True, 0.0, 0.5, roi)) == 1548
+
+
+def test_ngshelper_translate():
+    """NGSHelper_Test.cpp (translateCodon[ThreeLetterCode] / translateSequence)."""
+    from ngsbits_tpu.core.transcripts import translate_codon, translate_sequence
+
+    one = [("TTG", "L"), ("TCC", "S"), ("TAC", "Y"), ("TGG", "W"),
+           ("CAC", "H"), ("CGG", "R"), ("ATG", "M"), ("AAC", "N"),
+           ("GTG", "V"), ("GAC", "D"), ("GGG", "G"), ("AGA", "R"),
+           ("AGG", "R"), ("ATA", "I"), ("TGA", "*")]
+    for codon, aa in one:
+        assert translate_codon(codon, False) == aa, codon
+    for codon, aa in [("AGA", "*"), ("AGG", "*"), ("ATA", "M"), ("TGA", "W")]:
+        assert translate_codon(codon, True) == aa, codon
+
+    seq = b"ATGATATGTCGAGCCGAGGGGAGCTGACCGTAAAGACCC"
+    assert translate_sequence(seq, False, False, False) == "MICRAEGS*P*RP"
+    assert translate_sequence(seq, False, False, True) == "MICRAEGS*"
+    assert translate_sequence(seq, False, True, False) == "MMCRAEGSWP**P"
+    assert translate_sequence(seq, False, True, True) == "MMCRAEGSWP*"
+    assert translate_sequence(seq, True, False, False) == \
+        "MetIleCysArgAlaGluGlySerTerProTerArgPro"
+    assert translate_sequence(seq, True, False, True) == \
+        "MetIleCysArgAlaGluGlySerTer"
+    assert translate_sequence(seq, True, True, False) == \
+        "MetMetCysArgAlaGluGlySerTrpProTerTerPro"
+    assert translate_sequence(seq, True, True, True) == \
+        "MetMetCysArgAlaGluGlySerTrpProTer"
+
+
+def test_ngshelper_transcript_matches():
+    """NGSHelper_Test.cpp (transcriptMatches) — HG19 resource (the HG38 TSV is
+    a stripped large blob in this mount)."""
+    from ngsbits_tpu.tools.ngsd_export_tools import transcript_matches
+
+    matches = transcript_matches("hg19")
+    assert "ENST00000644374" not in matches
+    assert "ENST00000004921" in matches
+    assert len(matches["ENST00000004921"]) == 2
+    assert "CCDS11306" in matches["ENST00000004921"]
+    assert "NM_002988" in matches["ENST00000004921"]
+    assert "ENST00000004921" in matches["CCDS11306"]
+    assert "ENST00000004921" in matches["NM_002988"]
+
+
+def test_ngshelper_max_entscan_impact():
+    """NGSHelper_Test.cpp (maxEntScanImpact) — impact + annotated pairs."""
+    from ngsbits_tpu.filters.cascade import max_entscan_impact_annotated
+
+    cases = [
+        ([b""], "LOW", b"-"),
+        ([b"9.5>8.5"], "LOW", b"9.5>8.5"),
+        ([b"9.5>8.2"], "MODERATE", b"9.5>8.2(MODERATE)"),
+        ([b"7.1>6.1"], "MODERATE", b"7.1>6.1(MODERATE)"),
+        ([b"8.5>6.1"], "HIGH", b"8.5>6.1(HIGH)"),
+        ([b"", b"-3.4>4.5", b"2.7>3.3"], "LOW", b"- / -3.4>4.5 / 2.7>3.3"),
+        ([b"9.5>8.5", b"-3.4>6.5", b"2.7>6.7"], "MODERATE",
+         b"9.5>8.5 / -3.4>6.5(MODERATE) / 2.7>6.7(MODERATE)"),
+        ([b"9.5>8.5", b"-3.4>8.7", b"2.7>8.6"], "HIGH",
+         b"9.5>8.5 / -3.4>8.7(HIGH) / 2.7>8.6(HIGH)"),
+    ]
+    for pairs, impact, annotated in cases:
+        got_impact, got_annotated = max_entscan_impact_annotated(pairs, False)
+        assert got_impact == impact, pairs
+        assert got_annotated == annotated, pairs
+
+
+def test_ngshelper_max_spliceai_score():
+    """NGSHelper_Test.cpp (maxSpliceAiScore)."""
+    from ngsbits_tpu.ngsd.db import max_spliceai_score
+
+    assert max_spliceai_score(b"") == -1.0
+    assert max_spliceai_score(b"0.55") == 0.55
+    assert max_spliceai_score(b"BABAM1|0.03|0.00|0.01|0.00|-2|2|41|2") == 0.03
+    assert max_spliceai_score(
+        b"BABAM1|0.88|0.00|0.01|0.00|-2|2|41|2,"
+        b"CTD-2278I10.6|0.99|0.00|0.01|0.00|-2|2|41|2") == 0.99
+    assert max_spliceai_score(
+        b"BABAM1|0.88|0.00|0.01|0.00|-2|2|41|2,"
+        b"CTD-2278I10.6|0.77|0.00|0.01|0.00|-2|2|41|2") == 0.88
+    assert max_spliceai_score(
+        b"BABAM1|.|.|.|.|-2|2|41|2,CTD-2278I10.6|.|.|.|.|-2|2|41|2") == -1.0
