@@ -4675,3 +4675,26 @@ def test_ngshelper_max_spliceai_score():
         b"CTD-2278I10.6|0.77|0.00|0.01|0.00|-2|2|41|2") == 0.88
     assert max_spliceai_score(
         b"BABAM1|.|.|.|.|-2|2|41|2,CTD-2278I10.6|.|.|.|.|-2|2|41|2") == -1.0
+
+
+def test_vcffile_store_after_adding_samples(tmp_path):
+    """VcfFile_Test.cpp (storeAfterAddingSample / storeAfterAddingThreeSamples)
+    — byte-exact vs sort_out2.vcf / sort_out3.vcf."""
+    from ngsbits_tpu.io.vcf import VcfFile, vcf_store
+
+    for golden, sample_names in (("sort_out2.vcf", [b"Sample_1"]),
+                                 ("sort_out3.vcf", [b"Sample_1", b"Sample_2",
+                                                    b"Sample_3"])):
+        vl = VcfFile.from_file(f"{DIN}/sort_in.vcf")
+        vl.sort()
+        # setSampleNames + per-line setFormatKeys/addFormatValues
+        vl.column_headers = vl.column_headers[:8] + [b"FORMAT"] + sample_names
+        for i in range(len(vl)):
+            vl.format_keys[i] = b"CT"
+            vl.samples[i] = [str(i).encode()] * len(sample_names)
+        out = str(tmp_path / golden)
+        vcf_store(vl, out)
+        with open(out, "rb") as fh:
+            got = fh.read().rstrip(b"\n")
+        with open(f"{NGS_TEST}/data_out/{golden}", "rb") as fh:
+            assert got == fh.read().rstrip(b"\n"), golden
