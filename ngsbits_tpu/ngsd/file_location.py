@@ -13,6 +13,104 @@ import os
 from dataclasses import dataclass
 
 
+# PathType enum order (FileLocation.h:11-70); names double as the
+# typeToString() representation
+PATH_TYPES = [
+    "SAMPLE_FOLDER", "FUSIONS_PIC_DIR", "BAM", "VIRAL_BAM", "CRAM",
+    "VCF", "GSVAR", "COPY_NUMBER_CALLS", "COPY_NUMBER_CALLS_MOSAIC",
+    "STRUCTURAL_VARIANTS", "REPEAT_EXPANSIONS", "UPD",
+    "LOWCOV_BED", "MSI", "BAF", "ROH", "PRS", "MANTA_EVIDENCE",
+    "COPY_NUMBER_RAW_DATA", "CNV_RAW_DATA_CALL_REGIONS", "CIRCOS_PLOT",
+    "REPEAT_EXPANSION_IMAGE", "REPEAT_EXPANSION_HISTOGRAM", "FUSIONS",
+    "FUSIONS_BAM", "MANTA_FUSIONS", "COUNTS", "EXPRESSION",
+    "EXPRESSION_COHORT", "EXPRESSION_STATS", "EXPRESSION_CORR",
+    "EXPRESSION_EXON", "SPLICING_BED", "SPLICING_ANN", "VIRAL",
+    "VCF_CF_DNA", "MRD_CF_DNA", "CFDNA_CANDIDATES", "QC",
+    "IGV_SCREENSHOT", "HLA_GENOTYPER", "SIGNATURE_SBS", "SIGNATURE_ID",
+    "SIGNATURE_DBS", "SIGNATURE_CNV", "METHYLATION", "METHYLATION_IMAGE",
+    "METHYLATION_COHORT_IMAGE", "PARAPHASE_EVIDENCE", "OTHER",
+]
+
+# FileLocation::typeToHumanReadableString (FileLocation.h:318-424)
+PATH_TYPE_HUMAN_READABLE = {
+    "SAMPLE_FOLDER": "sample/analysis folder",
+    "BAM": "BAM file",
+    "CRAM": "compressed version of a BAM file",
+    "VIRAL_BAM": "viral BAM file",
+    "VCF": "small variant calls",
+    "GSVAR": "GSvar file",
+    "BAF": "b-allele frequency file",
+    "COPY_NUMBER_CALLS": "copy-number calls",
+    "COPY_NUMBER_CALLS_MOSAIC": "copy-number calls (mosaic)",
+    "COPY_NUMBER_RAW_DATA": "copy-number raw data",
+    "CNV_RAW_DATA_CALL_REGIONS": "copy-number raw data for call regions",
+    "MANTA_EVIDENCE": "evidence BAM file for structural variants",
+    "REPEAT_EXPANSIONS": "repeat expansions",
+    "LOWCOV_BED": "low coverage regions",
+    "MSI": "MSI files",
+    "ROH": "runs of homozygosity",
+    "PRS": "polygenic risk scores",
+    "CIRCOS_PLOT": "circos plot",
+    "STRUCTURAL_VARIANTS": "structural variant calls",
+    "UPD": "uniparental disomy regions",
+    "REPEAT_EXPANSION_IMAGE": "repeat expansion visualization",
+    "REPEAT_EXPANSION_HISTOGRAM":
+        "repeat expansion length distribution visualization",
+    "FUSIONS": "gene fusions",
+    "FUSIONS_PIC_DIR": "arriba fusions pictures directory",
+    "FUSIONS_BAM": "gene fusions evidence alignments",
+    "SPLICING_BED": "splicing junctions",
+    "SPLICING_ANN": "annotated splicing junctions",
+    "MANTA_FUSIONS": "gene fusions called by Manta",
+    "COUNTS": "RNA counts",
+    "VIRAL": "viral DNA",
+    "OTHER": "other files",
+    "VCF_CF_DNA": "cfDNA small variant calls",
+    "QC": "variant list QC (qcML) files",
+    "EXPRESSION": "RNA relative expression",
+    "EXPRESSION_COHORT": "RNA relative expression of cohort",
+    "EXPRESSION_STATS": "RNA expression cohort statistics",
+    "EXPRESSION_CORR": "RNA epxression correlation to cohort",
+    "EXPRESSION_EXON": "RNA relative exon expression",
+    "MRD_CF_DNA": "measurable residual disease value (umiVar 2)",
+    "CFDNA_CANDIDATES": "pre-selected variants for cfDNA panel design.",
+    "IGV_SCREENSHOT": "IGV screenshot",
+    "HLA_GENOTYPER": "HLA called by hla genotyper",
+    "SIGNATURE_SBS": "SBS signature",
+    "SIGNATURE_ID": "ID signature",
+    "SIGNATURE_DBS": "DBS signature",
+    "SIGNATURE_CNV": "CNV signature",
+    "METHYLATION": "methylation calls",
+    "METHYLATION_IMAGE": "image of a given methylation locus",
+    "METHYLATION_COHORT_IMAGE": "cohort plot of a given methylation locus",
+    "PARAPHASE_EVIDENCE": "Mapping of pseudo gene regions (Paraphase)",
+}
+
+
+def type_to_string(path_type: str) -> str:
+    """FileLocation::typeToString (FileLocation.h:152-259)."""
+    if path_type not in PATH_TYPES:
+        raise ValueError(f"Unhandled path type '{path_type}' in typeToString()!")
+    return path_type
+
+
+def string_to_type(text: str) -> str:
+    """FileLocation::stringToType (FileLocation.h:261-316)."""
+    upper = text.upper().strip()
+    if upper not in PATH_TYPES:
+        raise ValueError(f"Unhandled path type string '{upper}' in "
+                         "stringToType()!")
+    return upper
+
+
+def type_to_human_readable_string(path_type: str) -> str:
+    """FileLocation::typeToHumanReadableString (FileLocation.h:318-424)."""
+    if path_type not in PATH_TYPE_HUMAN_READABLE:
+        raise ValueError(f"Unhandled path type '{path_type}' in "
+                         "typeToHumanReadableString()!")
+    return PATH_TYPE_HUMAN_READABLE[path_type]
+
+
 @dataclass
 class FileLocation:
     """cppNGSD/FileLocation.h — id + type + path + existence."""

@@ -227,12 +227,80 @@ class ReportVariantConfiguration:
                     or self.exclude_phenotype or self.exclude_mechanism
                     or self.exclude_other)
 
+    # per-field validators (ReportConfiguration.cpp:254-400)
+    @staticmethod
+    def _pos_int(value: str) -> bool:
+        try:
+            return int(value) > 0
+        except (TypeError, ValueError):
+            return False
+
+    @staticmethod
+    def _nonneg_int(value: str) -> bool:
+        try:
+            return int(value) >= 0
+        except (TypeError, ValueError):
+            return False
+
+    def manual_var_geno_is_valid(self) -> bool:
+        return self.manual_genotype in ("hom", "het")
+
+    def manual_cnv_start_is_valid(self) -> bool:
+        return bool(self.manual_cnv_start) and self._pos_int(self.manual_cnv_start)
+
+    def manual_cnv_end_is_valid(self) -> bool:
+        return bool(self.manual_cnv_end) and self._pos_int(self.manual_cnv_end)
+
+    def manual_cnv_cn_is_valid(self) -> bool:
+        return bool(self.manual_cnv_cn) and self._nonneg_int(self.manual_cnv_cn)
+
+    def manual_sv_start_is_valid(self) -> bool:
+        return bool(self.manual_sv_start) and self._pos_int(self.manual_sv_start)
+
+    def manual_sv_end_is_valid(self) -> bool:
+        return bool(self.manual_sv_end) and self._pos_int(self.manual_sv_end)
+
+    def manual_sv_geno_is_valid(self) -> bool:
+        return self.manual_sv_genotype in ("hom", "het")
+
+    def manual_sv_start_bnd_is_valid(self) -> bool:
+        return bool(self.manual_sv_start_bnd) and self._pos_int(self.manual_sv_start_bnd)
+
+    def manual_sv_end_bnd_is_valid(self) -> bool:
+        return bool(self.manual_sv_end_bnd) and self._pos_int(self.manual_sv_end_bnd)
+
+    def manual_re_allele1_is_valid(self) -> bool:
+        return bool(self.manual_re_allele1) and self._nonneg_int(self.manual_re_allele1)
+
+    def manual_re_allele2_is_valid(self) -> bool:
+        return bool(self.manual_re_allele2) and self._nonneg_int(self.manual_re_allele2)
+
     def is_manually_curated(self) -> bool:
-        return any([self.manual_var, self.manual_genotype, self.manual_cnv_start,
-                    self.manual_cnv_end, self.manual_cnv_cn, self.manual_sv_start,
-                    self.manual_sv_end, self.manual_sv_genotype,
-                    self.manual_sv_start_bnd, self.manual_sv_end_bnd,
-                    self.manual_re_allele1, self.manual_re_allele2])
+        """ReportVariantConfiguration::isManuallyCurated
+        (ReportConfiguration.cpp:232-252) — per variant type."""
+        if self.variant_type == "SNVS_INDELS":
+            return bool(self.manual_var) or self.manual_var_geno_is_valid()
+        if self.variant_type == "CNVS":
+            return (self.manual_cnv_start_is_valid()
+                    or self.manual_cnv_end_is_valid()
+                    or bool(self.manual_cnv_cn)
+                    or bool(self.manual_cnv_hgvs_type)
+                    or bool(self.manual_cnv_hgvs_suffix))
+        if self.variant_type == "SVS":
+            return (self.manual_sv_start_is_valid()
+                    or self.manual_sv_end_is_valid()
+                    or self.manual_sv_geno_is_valid()
+                    or self.manual_sv_start_bnd_is_valid()
+                    or self.manual_sv_end_bnd_is_valid()
+                    or bool(self.manual_sv_hgvs_type)
+                    or bool(self.manual_sv_hgvs_suffix)
+                    or bool(self.manual_sv_hgvs_type_bnd)
+                    or bool(self.manual_sv_hgvs_suffix_bnd))
+        if self.variant_type == "RES":
+            return (self.manual_re_allele1_is_valid()
+                    or self.manual_re_allele2_is_valid())
+        raise ValueError("ReportVariantConfiguration::isManuallyCurated() "
+                         "called on invalid variant type!")
 
 
 @dataclass

@@ -818,3 +818,113 @@ def test_rna_report_arriba_loader(tmp_path):
     assert svs[0].gene_right == b"ALK"
     assert svs[0].type == b"translocation"
     assert svs[0].reading_frame == b"in-frame"
+
+
+def test_report_variant_configuration_is_manually_curated():
+    """ReportConfiguration_Test.cpp:70-178 (ReportVariantConfiguration_
+    isManuallyCurated) — per-variant-type manual-curation detection."""
+    from ngsbits_tpu.ngsd.germline_report import ReportVariantConfiguration
+
+    rvc = ReportVariantConfiguration()
+    rvc.variant_type = "SNVS_INDELS"
+    rvc.variant_index = 0
+    rvc.report_type = "diagnostic variant"
+    assert not rvc.is_manually_curated()
+
+    rvc.manual_var = "chr1:1-1 N>T"
+    assert rvc.is_manually_curated()
+    rvc.manual_var = ""
+    rvc.manual_genotype = "het"
+    assert rvc.is_manually_curated()
+
+    rvc.manual_genotype = ""
+    rvc.variant_type = "CNVS"
+    for f in ("manual_cnv_start", "manual_cnv_end"):
+        setattr(rvc, f, "1")
+        assert rvc.is_manually_curated(), f
+        setattr(rvc, f, "")
+    rvc.manual_cnv_cn = "0"
+    assert rvc.is_manually_curated()
+    rvc.manual_cnv_cn = ""
+    rvc.manual_cnv_hgvs_type = "delins"
+    assert rvc.is_manually_curated()
+    rvc.manual_cnv_hgvs_type = ""
+    rvc.manual_cnv_hgvs_suffix = "delins"
+    assert rvc.is_manually_curated()
+    rvc.manual_cnv_hgvs_suffix = ""
+    assert not rvc.is_manually_curated()
+
+    rvc.variant_type = "SVS"
+    for f, v in (("manual_sv_start", "1"), ("manual_sv_end", "1"),
+                 ("manual_sv_genotype", "het"), ("manual_sv_start_bnd", "1"),
+                 ("manual_sv_end_bnd", "1"), ("manual_sv_hgvs_type", "delins"),
+                 ("manual_sv_hgvs_suffix", "(bla|bluff)"),
+                 ("manual_sv_hgvs_type_bnd", "delins2"),
+                 ("manual_sv_hgvs_suffix_bnd", "(bla2|bluff2)")):
+        setattr(rvc, f, v)
+        assert rvc.is_manually_curated(), f
+        setattr(rvc, f, "")
+
+    rvc.variant_type = "RES"
+    rvc.manual_re_allele1 = "11"
+    assert rvc.is_manually_curated()
+    rvc.manual_re_allele1 = ""
+    rvc.manual_re_allele2 = "21"
+    assert rvc.is_manually_curated()
+    rvc.manual_re_allele2 = ""
+    assert not rvc.is_manually_curated()
+
+
+def test_report_variant_configuration_field_validators():
+    """ReportConfiguration_Test.cpp:201-360 (manual*IsValid, genome-free
+    subset — manualVarIsValid needs the hg38 FASTA like the reference)."""
+    from ngsbits_tpu.ngsd.germline_report import ReportVariantConfiguration
+
+    rvc = ReportVariantConfiguration()
+    assert not rvc.manual_var_geno_is_valid()
+    rvc.manual_genotype = "hom"
+    assert rvc.manual_var_geno_is_valid()
+    rvc.manual_genotype = "het"
+    assert rvc.manual_var_geno_is_valid()
+    rvc.manual_genotype = "bla"
+    assert not rvc.manual_var_geno_is_valid()
+
+    for setter, check, valid, invalid in (
+            ("manual_cnv_start", "manual_cnv_start_is_valid", "1", ["", "0", "-1", "bla"]),
+            ("manual_cnv_end", "manual_cnv_end_is_valid", "17", ["", "0", "bla"]),
+            ("manual_cnv_cn", "manual_cnv_cn_is_valid", "0", ["", "-1", "bla"]),
+            ("manual_sv_start", "manual_sv_start_is_valid", "2", ["", "0", "x"]),
+            ("manual_sv_end", "manual_sv_end_is_valid", "3", ["", "-5"]),
+            ("manual_sv_start_bnd", "manual_sv_start_bnd_is_valid", "4", ["", "0"]),
+            ("manual_sv_end_bnd", "manual_sv_end_bnd_is_valid", "5", ["", "0"]),
+            ("manual_re_allele1", "manual_re_allele1_is_valid", "0", ["", "-1", "x"]),
+            ("manual_re_allele2", "manual_re_allele2_is_valid", "12", ["", "-2"])):
+        setattr(rvc, setter, valid)
+        assert getattr(rvc, check)(), setter
+        for bad in invalid:
+            setattr(rvc, setter, bad)
+            assert not getattr(rvc, check)(), (setter, bad)
+        setattr(rvc, setter, "")
+
+    rvc.manual_sv_genotype = "hom"
+    assert rvc.manual_sv_geno_is_valid()
+    rvc.manual_sv_genotype = "wt"
+    assert not rvc.manual_sv_geno_is_valid()
+
+
+def test_file_location_type_round_trip():
+    """FileLocation_Test.cpp:7-26 (typeToString/stringToType round trip +
+    non-empty human-readable strings for every type before OTHER)."""
+    from ngsbits_tpu.ngsd.file_location import (PATH_TYPES, string_to_type,
+                                                type_to_human_readable_string,
+                                                type_to_string)
+
+    for t in PATH_TYPES[:-1]:  # every type before OTHER
+        assert string_to_type(type_to_string(t)) == t
+        assert type_to_human_readable_string(t) != ""
+
+    import pytest
+    with pytest.raises(ValueError):
+        type_to_string("NOT_A_TYPE")
+    with pytest.raises(ValueError):
+        string_to_type("NOT_A_TYPE")
