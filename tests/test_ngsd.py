@@ -1321,3 +1321,141 @@ def test_ngsd_export_study_ghga(ngsd, tmp_path, ref_data_in, ref_data_out, sampl
         "-data", ref_data_in / "NGSDExportStudyGHGA_in1.json",
         "-samples", ref_data_in / samples, "-test", "-out", out] + extra) == 0
     compare_files(out, ref_data_out / golden)
+
+
+NGSD_DIN = "/root/reference/src/cppNGSD-TEST/data_in"
+
+
+def test_rna_expression_cohorts_and_statistics(ngsd):
+    """NGSD_Test.cpp:3068-3230 (rna_expression) — ENSG<->gene mapping, gene +
+    exon expression import counts, RNA cohort determination and cohort
+    expression statistics with the reference's pinned values."""
+    import pytest
+
+    db = ngsd
+    db.run_mysql_file(f"{NGSD_DIN}/NGSD_in3.sql")
+
+    ensg = {e: s for e, s in db.get_rows(
+        "SELECT ensembl_id, symbol FROM gene WHERE ensembl_id IS NOT NULL")}
+    assert ensg["ENSG00000204518"] == "AADACL4"
+    assert ensg["ENSG00000171735"] == "CAMTA1"
+    assert ensg["ENSG00000127463"] == "EMC1"
+    assert ensg["ENSG00000231510"] == "LINC02782"
+    assert ensg["ENSG00000263793"] == "MIR3115"
+    assert ensg["ENSG00000187583"] == "PLEKHN1"
+    gene_ensg = {s: e for e, s in ensg.items()}
+    assert gene_ensg["AADACL4"] == "ENSG00000204518"
+    assert gene_ensg["PLEKHN1"] == "ENSG00000187583"
+
+    # gene expression import: 8 samples x 102 rows
+    for i in range(1, 9):
+        assert execute("NGSDImportExpressionData",
+                       ["-test", "-expression", f"{NGSD_DIN}/NGSD_expr_in{i}.tsv",
+                        "-ps", f"RX00{i}_01"]) == 0
+        assert db.get_value("SELECT count(*) FROM expression") == 102 * i
+    # re-import with -force keeps the count
+    assert execute("NGSDImportExpressionData",
+                   ["-test", "-expression", f"{NGSD_DIN}/NGSD_expr_in8.tsv",
+                    "-ps", "RX008_01", "-force"]) == 0
+    assert db.get_value("SELECT count(*) FROM expression") == 816
+
+    # pinned imported values
+    gene2id = dict(db.get_rows("SELECT symbol, id FROM expression_gene"))
+
+    def val(col, ps_id, ensg_id):
+        # like the reference QMap::value(): unknown ENSG/symbol -> id 0 ->
+        # empty query result -> 0
+        sym_id = gene2id.get(ensg.get(ensg_id, ""), 0)
+        v = db.get_value(
+            f"SELECT {col} FROM expression WHERE processed_sample_id={ps_id} "
+            f"AND symbol_id={sym_id}")
+        return 0 if v is None else v
+
+    assert int(val("raw", 5001, "ENSG00000049249")) == 20934
+    assert float(val("tpm", 5001, "ENSG00000215720")) == pytest.approx(116.816, abs=0.001)
+    assert int(val("raw", 5002, "ENSG00000229716")) == 1371
+    assert float(val("tpm", 5002, "ENSG00000159189")) == pytest.approx(204.76, abs=0.001)
+    assert int(val("raw", 5005, "ENSG00000227634")) == 15679
+    assert float(val("tpm", 5005, "ENSG00000282740")) == pytest.approx(0.0, abs=0.001)
+
+    # exon expression import: 4 samples x 71 rows; duplicate without -force fails
+    for i in range(1, 5):
+        assert execute("NGSDImportExpressionData",
+                       ["-test", "-mode", "exons",
+                        "-expression", f"{NGSD_DIN}/NGSD_expr_exon_in{i}.tsv",
+                        "-ps", f"RX00{i}_01"]) == 0
+        assert db.get_value("SELECT count(*) FROM expression_exon") == 71 * i
+    assert execute("NGSDImportExpressionData",
+                   ["-test", "-mode", "exons",
+                    "-expression", f"{NGSD_DIN}/NGSD_expr_exon_in1.tsv",
+                    "-ps", "RX001_01"]) != 0
+    assert execute("NGSDImportExpressionData",
+                   ["-test", "-mode", "exons",
+                    "-expression", f"{NGSD_DIN}/NGSD_expr_exon_in1.tsv",
+                    "-ps", "RX001_01", "-force"]) == 0
+    assert db.get_value("SELECT count(*) FROM expression_exon") == 284
+
+    # cohort determination (NGSD::getRNACohort)
+    cohort = db.get_rna_cohort(1, "blood", "", "", "RNA_COHORT_GERMLINE")
+    assert cohort == {5005, 5006, 5007, 5008}
+
+    cohort = db.get_rna_cohort(1, "blood", "", "", "RNA_COHORT_GERMLINE",
+                               "genes", ("bad", "medium", "n/a"))
+    assert cohort == {5006, 5008}
+
+    cohort = db.get_rna_cohort(1, "skin", "KontrollDNACoriell", "5001",
+                               "RNA_COHORT_GERMLINE_PROJECT")
+    assert cohort == {5003}
+
+    cohort = db.get_rna_cohort(1, "", "KontrollDNACoriell", "5001",
+                               "RNA_COHORT_SOMATIC")
+    assert cohort == {5003, 5005, 5007}
+
+    cohort = db.get_rna_cohort(1, "blood", "", "", "RNA_COHORT_GERMLINE",
+                               "genes", ("bad",), "female")
+    assert cohort == {5005, 5006}
+
+    cohort = db.get_rna_cohort(1, "skin", "KontrollDNACoriell", "5001",
+                               "RNA_COHORT_GERMLINE_PROJECT", "genes",
+                               ("bad",), "male")
+    assert cohort == {5003}
+
+    cohort = db.get_rna_cohort(1, "", "KontrollDNACoriell", "5001",
+                               "RNA_COHORT_SOMATIC", "genes", ("bad",), "female")
+    assert cohort == {5005}
+
+    # cohort expression statistics (NGSD::calculateCohortExpressionStatistics)
+    def stat(stats, ensg_id):
+        # QMap::value() default: missing gene -> zeroed ExpressionStats
+        return stats.get(ensg.get(ensg_id, ""), (0.0, 0.0, 0.0))
+
+    cohort = db.get_rna_cohort(1, "blood", "", "", "RNA_COHORT_GERMLINE")
+    stats = db.calculate_gene_expression_statistics(cohort)
+    mean, mean_log2, std_log2 = stat(stats, "ENSG00000232596")
+    assert mean == pytest.approx(121.091, abs=0.001)
+    assert mean_log2 == pytest.approx(5.373, abs=0.001)
+    assert std_log2 == pytest.approx(3.167, abs=0.001)
+    mean, mean_log2, std_log2 = stat(stats, "ENSG00000049245")
+    assert (mean, mean_log2, std_log2) == (pytest.approx(0, abs=0.001),) * 3
+    assert len(cohort) == 4
+
+    cohort = db.get_rna_cohort(1, "blood", "KontrollDNACoriell", "5001",
+                               "RNA_COHORT_GERMLINE_PROJECT")
+    stats = db.calculate_gene_expression_statistics(cohort)
+    mean, mean_log2, std_log2 = stat(stats, "ENSG00000232596")
+    assert mean == pytest.approx(204.681, abs=0.001)
+    assert mean_log2 == pytest.approx(7.6221, abs=0.001)
+    assert std_log2 == pytest.approx(0.427, abs=0.001)
+    assert len(cohort) == 2
+
+    cohort = db.get_rna_cohort(1, "skin", "", "", "RNA_COHORT_GERMLINE")
+    stats = db.calculate_gene_expression_statistics(cohort)
+    assert stat(stats, "ENSG00000157916")[0] == pytest.approx(47.9532, abs=0.001)
+    assert stat(stats, "ENSG00000283234")[0] == pytest.approx(0.0, abs=0.001)
+    assert len(cohort) == 4
+
+    stats = db.calculate_gene_expression_statistics(cohort)
+    mean, mean_log2, std_log2 = stat(stats, "ENSG00000157916")
+    assert mean == pytest.approx(47.953, abs=0.001)
+    assert mean_log2 == pytest.approx(1.898, abs=0.001)
+    assert std_log2 == pytest.approx(3.287, abs=0.001)
