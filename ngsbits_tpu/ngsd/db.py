@@ -2282,3 +2282,229 @@ def login(user_login: str):
 def current_user_login() -> str:
     """LoginManager::userLogin."""
     return _CURRENT_USER_LOGIN
+
+
+def _create_sample_sheet(self, run_id: int, warnings: list,
+                         adapter_trimming: bool = True,
+                         dragen_analysis: bool = True) -> str:
+    """NGSD::createSampleSheet (NGSD.cpp:6141-6420) — NovaSeq X sample sheet
+    (BCLConvert + DragenGermline/DragenEnrichment sections).
+
+    Software versions come from settings keys ``nova_seq_x_sw_version`` /
+    ``nova_seq_x_app_version`` / ``nova_seq_x_keep_fastq`` (defaults pinned to
+    the reference test settings)."""
+    from ..core import settings as _settings
+
+    def _setting(key, default):
+        try:
+            v = _settings.string(key, optional=True)
+            return v if v else default
+        except Exception:
+            return default
+
+    sw_version = _setting("nova_seq_x_sw_version", "4.4.12")
+    app_version = _setting("nova_seq_x_app_version", "1.4.52")
+    keep_fastq = _setting("nova_seq_x_keep_fastq", "true").lower() in ("true", "1")
+    keep_fastq = "true" if keep_fastq else "false"
+    fastq_compression_format = "dragen"
+    barcode_mismatch_index1 = 1
+    barcode_mismatch_index2 = 1
+
+    sheet: list[str] = []
+    run = self.get_rows(
+        "SELECT r.name, r.recipe, r.flowcell_type, d.type FROM sequencing_run r, "
+        "device d WHERE r.device_id=d.id AND r.id=?", params=(run_id,))[0]
+    run_name, recipe_str, flowcell_type, device_type = (str(x) for x in run)
+    recipe = recipe_str.split("+")
+    if len(recipe) != 4:
+        raise NgsdError(f"Invalid recipe '{recipe_str}' provided! It has to "
+                        "contain 4 read lengths (forward, index1, index2, "
+                        "reverse), divided by '+'.")
+    forward_read_length = int(recipe[0])
+    index1_read_length = int(recipe[1])
+    index2_read_length = int(recipe[2])
+    reverse_read_length = int(recipe[3])
+
+    sheet.append("[Header],")
+    sheet.append("FileFormatVersion,2")
+    if run_name.startswith("#"):
+        run_name = run_name[1:]
+    sheet.append("RunName," + run_name)
+    sheet.append("InstrumentPlatform,NovaSeqXSeries")
+    sheet.append("InstrumentType," + device_type)
+    sheet.append("IndexOrientation,Forward")
+    sheet.append("")
+
+    sheet.append("[Reads]")
+    sheet.append(f"Read1Cycles,{forward_read_length}")
+    sheet.append(f"Read2Cycles,{reverse_read_length}")
+    sheet.append(f"Index1Cycles,{index1_read_length}")
+    sheet.append(f"Index2Cycles,{index2_read_length}")
+    sheet.append("")
+
+    adapter_read1: set[str] = set()
+    adapter_read2: set[str] = set()
+    used_lanes: set[int] = set()
+    bcl_convert: list[str] = []
+    germline_analysis: list[str] = []
+    enrichment_analysis: list[str] = []
+    rna_analysis: list[str] = []
+    mid1_chopped = mid2_chopped = False
+
+    rows = self.get_rows(
+        "SELECT ps.id, ps.lane, (s.name || '_' || substr('00' || ps.process_id, -2, 2)) as ps_name, "
+        "s.tumor, s.sample_type, "
+        "(SELECT sequence FROM mid WHERE id=ps.mid1_i7) as mid1, "
+        "(SELECT sequence FROM mid WHERE id=ps.mid2_i5) as mid2, "
+        "(SELECT name_short FROM processing_system WHERE id=ps.processing_system_id) as system_name, "
+        "(SELECT type FROM processing_system WHERE id=ps.processing_system_id) as system_type, "
+        "(SELECT name FROM project WHERE id=ps.project_id) as project "
+        "FROM processed_sample ps, sample s WHERE ps.sample_id=s.id AND "
+        "ps.sequencing_run_id=? ORDER BY ps.lane ASC, ps.id", params=(run_id,))
+    for (_psid, lane_str, ps_name, tumor, sample_type, mid1, mid2,
+         system_name, system_type, _project) in rows:
+        lanes = str(lane_str).split(",")
+        mid1 = (mid1 or "").strip()
+        mid2 = (mid2 or "").strip()
+        is_tumor = str(tumor) == "1"
+
+        variant_calling_mode = "AllVariantCallers"
+        target_region = f"DragenEnrichment/{system_name}.bed"
+        if is_tumor:
+            variant_calling_mode = "None"
+            target_region = "na"
+
+        # QByteArray::chopped(n) = drop the last n bytes (bug-faithful)
+        if len(mid1) > index1_read_length:
+            mid1 = mid1[:len(mid1) - index1_read_length]
+            mid1_chopped = True
+        if len(mid2) > index2_read_length:
+            mid2 = mid2[:len(mid2) - index2_read_length]
+            mid2_chopped = True
+
+        sys_info = self.get_processing_system_data(
+            self.processing_system_id(system_name))
+        if (sys_info["adapter1_p5"] or "").strip():
+            adapter_read1.add(sys_info["adapter1_p5"])
+        if (sys_info["adapter2_p7"] or "").strip():
+            adapter_read2.add(sys_info["adapter2_p7"])
+
+        if dragen_analysis:
+            if sample_type in ("DNA", "cfDNA"):
+                if system_type == "WGS":
+                    germline_analysis.append(f"{ps_name},{variant_calling_mode}")
+                elif system_type == "WES":
+                    enrichment_analysis.append(
+                        f"{ps_name},{target_region},{variant_calling_mode}")
+            elif sample_type == "RNA":
+                rna_analysis.append(ps_name)
+            else:
+                raise NgsdError(f"Invalid sample type '{sample_type}'!")
+
+        for lane in lanes:
+            umi_length = 0
+            used_lanes.add(int(lane))
+            oc = f"Y{forward_read_length};"
+            oc += f"I{len(mid1)}"
+            umi_type = sys_info["umi_type"]
+            if umi_type == "IDT-UDI-UMI":
+                oc += "U11"
+                umi_length = 11
+            elif umi_type in ("IDT-xGen-Prism", "Twist"):
+                pass  # UMI processing in megSAP
+            elif umi_type != "n/a":
+                raise NgsdError(f"Unsupported UMI type '{umi_type}!")
+            if index1_read_length - (len(mid1) + umi_length) < 0:
+                raise NgsdError("Index1 (+ UMI) read longer than seqeuncing length!")
+            if index1_read_length - (len(mid1) + umi_length) > 0:
+                oc += f"N{index1_read_length - len(mid1)}"
+            oc += ";"
+            if index2_read_length - len(mid2) < 0:
+                raise NgsdError("Index2 read longer than seqeuncing length!")
+            if index2_read_length - len(mid2) > 0:
+                oc += f"N{index2_read_length - len(mid2)}"
+            oc += f"I{len(mid2)};"
+            oc += f"Y{reverse_read_length}"
+            bcl_convert.append(
+                f"{lane},{ps_name},{mid1},{mid2},{oc},"
+                f"{barcode_mismatch_index1},{barcode_mismatch_index2}")
+
+    if flowcell_type in ("Illumina NovaSeqX 25B", "Illumina NovaSeqX 10B",
+                         "Illumina NovaSeqX 5B"):
+        if len(used_lanes) != 8:
+            warnings.append(f"WARNING: The number of lanes covered by samples "
+                            f"({len(used_lanes)}) and the number of lanes on "
+                            "the flow cell (8) does not match!")
+    elif len(used_lanes) != 2:  # "Illumina NovaSeqX 1.5B"
+        warnings.append(f"WARNING: The number of lanes covered by samples "
+                        f"({len(used_lanes)}) and the number of lanes on the "
+                        "flow cell (2) does not match!")
+
+    sheet.append("[BCLConvert_Settings]")
+    sheet.append("SoftwareVersion," + sw_version)
+    if adapter_trimming:
+        r1 = sorted(adapter_read1)
+        if r1:
+            sheet.append("AdapterRead1," + "+".join(r1))
+        else:
+            warnings.append("WARNING: No adapter for read 1 provided! "
+                            "Adapter trimming will not work.")
+        r2 = sorted(adapter_read2)
+        if r2:
+            sheet.append("AdapterRead2," + "+".join(r2))
+        else:
+            warnings.append("WARNING: No adapter for read 2 provided! "
+                            "Adapter trimming will not work.")
+    else:
+        sheet.append("AdapterRead1,na")
+        sheet.append("AdapterRead2,na")
+
+    sheet.append("FastqCompressionFormat," + fastq_compression_format)
+    sheet.append("")
+    sheet.append("[BCLConvert_Data]")
+    sheet.append("Lane,Sample_ID,Index,Index2,OverrideCycles,"
+                 "BarcodeMismatchesIndex1,BarcodeMismatchesIndex2")
+    sheet.extend(bcl_convert)
+    sheet.append("")
+
+    if mid1_chopped:
+        warnings.append("WARNING: At least one Sample has a i7 MID which is "
+                        "longer than recipe. It will be shorted according to recipe.")
+    if mid2_chopped:
+        warnings.append("WARNING: At least one Sample has a i5 MID which is "
+                        "longer than recipe. It will be shorted according to recipe.")
+
+    if germline_analysis:
+        sheet.append("[DragenGermline_Settings]")
+        sheet.append("SoftwareVersion," + sw_version)
+        sheet.append("AppVersion," + app_version)
+        sheet.append("KeepFastq," + keep_fastq)
+        sheet.append("MapAlignOutFormat,cram")
+        sheet.append("ReferenceGenomeDir,GRCh38")
+        sheet.append("")
+        sheet.append("[DragenGermline_Data]")
+        sheet.append("Sample_ID,VariantCallingMode")
+        sheet.extend(germline_analysis)
+        sheet.append("")
+
+    if enrichment_analysis:
+        sheet.append("[DragenEnrichment_Settings]")
+        sheet.append("SoftwareVersion," + sw_version)
+        sheet.append("AppVersion," + app_version)
+        sheet.append("KeepFastq," + keep_fastq)
+        sheet.append("MapAlignOutFormat,cram")
+        sheet.append("ReferenceGenomeDir,GRCh38")
+        sheet.append("GermlineOrSomatic,germline")
+        sheet.append("")
+        sheet.append("[DragenEnrichment_Data]")
+        sheet.append("Sample_ID,BedFile,VariantCallingMode")
+        sheet.extend(enrichment_analysis)
+        sheet.append("")
+
+    return "\n".join(sheet)
+
+
+try:
+    NGSD.create_sample_sheet = _create_sample_sheet
+except NameError:
+    pass

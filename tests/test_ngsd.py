@@ -1459,3 +1459,55 @@ def test_rna_expression_cohorts_and_statistics(ngsd):
     assert mean == pytest.approx(47.953, abs=0.001)
     assert mean_log2 == pytest.approx(1.898, abs=0.001)
     assert std_log2 == pytest.approx(3.287, abs=0.001)
+
+
+def test_create_sample_sheet_for_novaseqx(ngsd):
+    """NGSD_Test.cpp:3342-3390 (test_create_sample_sheet_for_novaseqx) —
+    three runs byte-compared to the NovaSeqX_samplesheet*.csv goldens."""
+    db = ngsd
+    db.run_mysql_file(f"{NGSD_DIN}/NGSD_in5.sql")
+
+    def golden(name):
+        with open(f"/root/reference/src/cppNGSD-TEST/data_out/{name}", "rb") as fh:
+            return fh.read().rstrip(b"\n")
+
+    warnings: list[str] = []
+    sheet = db.create_sample_sheet(1, warnings)
+    assert warnings[0] == ("WARNING: The number of lanes covered by samples (5) "
+                          "and the number of lanes on the flow cell (8) does "
+                          "not match!")
+    assert sheet.encode().rstrip(b"\n") == golden("NovaSeqX_samplesheet.csv")
+
+    warnings = []
+    sheet = db.create_sample_sheet(2, warnings)
+    assert warnings[0] == ("WARNING: The number of lanes covered by samples (4) "
+                          "and the number of lanes on the flow cell (2) does "
+                          "not match!")
+    assert warnings[1] == ("WARNING: No adapter for read 1 provided! Adapter "
+                           "trimming will not work.")
+    assert warnings[2] == ("WARNING: No adapter for read 2 provided! Adapter "
+                           "trimming will not work.")
+    assert sheet.encode().rstrip(b"\n") == golden("NovaSeqX_samplesheet2.csv")
+
+    warnings = []
+    sheet = db.create_sample_sheet(3, warnings)
+    assert warnings[0] == ("WARNING: The number of lanes covered by samples (6) "
+                          "and the number of lanes on the flow cell (8) does "
+                          "not match!")
+    assert sheet.encode().rstrip(b"\n") == golden("NovaSeqX_samplesheet3.csv")
+
+
+def test_overriding_the_processed_sample_data_folder(ngsd, monkeypatch):
+    """NGSD_Test.cpp:3327-3340 (test_overriding_the_processed_sample_data_
+    folder) — ps.folder_override changes processedSamplePath."""
+    monkeypatch.setenv("NGSBITS_PROJECTS_FOLDER", "/mnt/projects")
+    db = ngsd
+    db.run_mysql_file(f"{NGSD_DIN}/NGSD_in4.sql")
+
+    with_override = db.processed_sample_path(
+        db.processed_sample_id("NA12878_02"), "GSVAR")
+    assert with_override.endswith("new/folder/NA12878_02.GSvar")
+
+    without_override = db.processed_sample_path(
+        db.processed_sample_id("NA12878_03"), "GSVAR")
+    assert without_override.endswith("somatic/Sample_NA12878_03/NA12878_03.GSvar")
