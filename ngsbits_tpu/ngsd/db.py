@@ -2508,3 +2508,97 @@ try:
     NGSD.create_sample_sheet = _create_sample_sheet
 except NameError:
     pass
+
+
+def _export_sample_data(self, ps_id, sql_data: list):
+    """NGSD::exportSampleData (NGSD.cpp:10466-10900) — serialize one
+    processed sample (with its sample, processing system, run, device, MIDs
+    and QC values) as INSERT OR IGNORE statements (SQLite dialect of the reference
+    MySQL INSERT IGNORE dump) importable into another NGSD;
+    user/project/sender references are remapped to dummy entries."""
+    dummy_user_id = "99999"
+    dummy_project_id = "99999"
+    dummy_sender = "99999"
+
+    sql_data.append(
+        "INSERT OR IGNORE INTO `user` (`id`, `user_id`, `password`, `user_role`, "
+        "`name`, `email`, `created`, `last_login`, `active`, `salt`, `comment`) "
+        f"VALUES ('{dummy_user_id}', 'dummy_user', 'pass', 'user_restricted', "
+        f"'Dummy User', 'no_valid@email{dummy_user_id}.de', "
+        "'2024-08-07 10:06:28', '2025-08-26 12:00:25', '1', NULL, NULL)")
+    sql_data.append(
+        "INSERT OR IGNORE INTO `project` (`id`, `name`, `aliases`, `type`, "
+        "`internal_coordinator_id`, `comment`, `analysis`, `preserve_fastqs`, "
+        "`email_notification`, `archived`, `folder_override`) VALUES "
+        f"('{dummy_project_id}', 'Dummy', NULL, 'test', '{dummy_user_id}', "
+        "NULL, 'variants', '0', NULL, '1', NULL)")
+    sql_data.append(
+        "INSERT OR IGNORE INTO `sender` (`id`, `name`, `phone`, `email`, "
+        "`affiliation`) VALUES "
+        f"('{dummy_sender}', 'Dummy Senders', NULL, NULL, 'Fake sender')")
+
+    def esc(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def dump_row(table: str, where: str, remap: dict | None = None):
+        cols = [r[1] for r in self.get_rows(f"PRAGMA table_info({table})")]
+        emitted = []
+        for row in self.get_rows(f"SELECT * FROM {table} WHERE {where}"):
+            values = []
+            for col, val in zip(cols, row):
+                if remap and col in remap:
+                    val = remap[col]
+                values.append(esc(val))
+            emitted.append(
+                f"INSERT OR IGNORE INTO `{table}` "
+                "(" + ", ".join(f"`{c}`" for c in cols) + ") VALUES "
+                "(" + ", ".join(values) + ")")
+        return emitted
+
+    # QC terms first, then the per-sample QC rows (after the sample exists)
+    ps_qc_rows = []
+    for row in self.get_rows(
+            "SELECT id, qc_terms_id, value FROM processed_sample_qc "
+            "WHERE processed_sample_id=?", params=(ps_id,)):
+        qc_id, qc_terms_id, value = row
+        sql_data.extend(dump_row("qc_terms", f"id={qc_terms_id}"))
+        ps_qc_rows.append(
+            "INSERT OR IGNORE INTO `processed_sample_qc` (`id`, "
+            "`processed_sample_id`, `qc_terms_id`, `value`) VALUES "
+            f"({esc(qc_id)}, {esc(ps_id)}, {esc(qc_terms_id)}, {esc(value)})")
+
+    ps = self.get_rows("SELECT sample_id, processing_system_id, "
+                       "sequencing_run_id FROM processed_sample WHERE id=?",
+                       params=(ps_id,))
+    if not ps:
+        raise NgsdError(f"Processed sample with id '{ps_id}' not found in NGSD!")
+    sample_id, sys_id, run_id = ps[0]
+
+    sql_data.extend(dump_row("sample", f"id={sample_id}",
+                             remap={"received_by": dummy_user_id,
+                                    "sender_id": dummy_sender}))
+    genome_id = self.get_value(
+        "SELECT genome_id FROM processing_system WHERE id=?", params=(sys_id,))
+    sql_data.extend(dump_row("genome", f"id={genome_id}"))
+    sql_data.extend(dump_row("processing_system", f"id={sys_id}"))
+    if run_id is not None:
+        device_id = self.get_value(
+            "SELECT device_id FROM sequencing_run WHERE id=?", params=(run_id,))
+        if device_id is not None:
+            sql_data.extend(dump_row("device", f"id={device_id}"))
+        sql_data.extend(dump_row("sequencing_run", f"id={run_id}"))
+    for mid_col in ("mid1_i7", "mid2_i5"):
+        mid_id = self.get_value(
+            f"SELECT {mid_col} FROM processed_sample WHERE id=?", params=(ps_id,))
+        if mid_id is not None:
+            sql_data.extend(dump_row("mid", f"id={mid_id}"))
+    sql_data.extend(dump_row("processed_sample", f"id={ps_id}",
+                             remap={"operator_id": dummy_user_id,
+                                    "project_id": dummy_project_id,
+                                    "normal_id": None}))
+    sql_data.extend(ps_qc_rows)
+
+
+NGSD.export_sample_data = _export_sample_data

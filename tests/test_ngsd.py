@@ -1511,3 +1511,27 @@ def test_overriding_the_processed_sample_data_folder(ngsd, monkeypatch):
     without_override = db.processed_sample_path(
         db.processed_sample_id("NA12878_03"), "GSVAR")
     assert without_override.endswith("somatic/Sample_NA12878_03/NA12878_03.GSvar")
+
+
+def test_export_sample_data(ngsd):
+    """NGSD_Test.cpp:3392-3420 (test_export_sample_data) — dump processed
+    sample 3999 from an NGSD_in2 instance, import into an NGSD_in5 instance,
+    sample resolvable with its data intact."""
+    db = ngsd
+    db.run_mysql_file(f"{NGSD_DIN}/NGSD_in2.sql")
+
+    dump: list[str] = []
+    db.export_sample_data("3999", dump)
+    assert len(dump) > 0
+
+    db.init()
+    db.run_mysql_file(f"{NGSD_DIN}/NGSD_in5.sql")
+    for query in dump:
+        db.execute(query)
+    db.commit()
+
+    assert str(db.processed_sample_id("NA12878_03")) == "3999"
+    rows = db.get_rows("SELECT sample_id, quality FROM processed_sample WHERE id=3999")
+    assert len(rows) == 1
+    assert int(rows[0][0]) == 1
+    assert rows[0][1] == "medium"
