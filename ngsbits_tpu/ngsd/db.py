@@ -130,6 +130,38 @@ class NGSD:
             "SELECT count(*) FROM sqlite_master WHERE type='table' AND name=?",
             params=(name,)) > 0
 
+    @staticmethod
+    def escape_text(text: str) -> str:
+        """NGSD::escapeText — SQL string literal ('...' with doubled quotes)."""
+        return "'" + str(text).replace("'", "''") + "'"
+
+    def row_exists(self, table: str, row_id: int) -> bool:
+        """NGSD::rowExists."""
+        return self.get_value(
+            f"SELECT count(*) FROM {table} WHERE id=?", params=(row_id,)) > 0
+
+    def next_processing_id(self, sample_id) -> str:
+        """NGSD::nextProcessingId — max(process_id)+1 for the sample."""
+        max_num = self.get_value(
+            "SELECT MAX(process_id) FROM processed_sample WHERE sample_id=?",
+            params=(sample_id,))
+        return "1" if max_num is None else str(int(max_num) + 1)
+
+    def genes_overlapping_by_exon(self, chr_, start: int, end: int,
+                                  extend: int = 0):
+        """NGSD::genesOverlappingByExon — genes with an exon overlapping the
+        (extended) region."""
+        from ..core.geneset import GeneSet
+        genes = GeneSet()
+        for t in self._transcript_cache()[0]:
+            if t.chr != chr_:
+                continue
+            for line in t.regions.lines:
+                if line.start <= end + extend and line.end >= start - extend:
+                    genes.insert(t.gene)
+                    break
+        return genes
+
     def tables(self) -> list[str]:
         return self.get_values(
             "SELECT name FROM sqlite_master WHERE type='table' AND name NOT LIKE 'sqlite_%'")
@@ -286,6 +318,31 @@ class NGSD:
             raise NgsdError(f"No transcript with name '{name}' found in NGSD!")
         return int(v)
 
+    def longest_coding_transcript(self, gene_id: int, source: str,
+                                  fallback_alt_source: bool = False,
+                                  fallback_noncoding: bool = False):
+        """NGSD::longestCodingTranscript — coding transcript with the most
+        coding bases; None when the gene has no coding transcript."""
+        trans = [t for t in self.transcripts(gene_id, source, True)
+                 if t.is_coding()]
+        if not trans and fallback_alt_source:
+            alt = "ccds" if source == "ensembl" else "ensembl"
+            trans = [t for t in self.transcripts(gene_id, alt, True)
+                     if t.is_coding()]
+        if not trans:
+            return None
+        return max(trans, key=lambda t: t.coding_regions().base_count())
+
+    def gene_id_of_transcript(self, name: str, throw_on_error: bool = True) -> int:
+        """NGSD::geneIdOfTranscript."""
+        v = self.get_value("SELECT gene_id FROM gene_transcript WHERE name=?",
+                           params=(name,))
+        if v is None:
+            if not throw_on_error:
+                return -1
+            raise NgsdError(f"No transcript with name '{name}' found in NGSD!")
+        return int(v)
+
     # ---- transcript cache (NGSD::initTranscriptCache, NGSD.cpp:10998-11100) ----
     def _transcript_cache(self):
         if getattr(self, "_tcache", None) is not None:
@@ -410,20 +467,44 @@ class NGSD:
             output.remove_duplicates()
         return output
 
-    def best_transcript(self, gene_id: int):
-        """NGSD::bestTranscript(gene_id) — preferred > MANE select > MANE plus
-        clinical > Ensembl canonical > longest coding > longest; None if no
+    @staticmethod
+    def highest_impact_transcript(transcripts: list, var_transcripts: list):
+        """NGSD::highestImpactTranscript (NGSD.cpp:7733-7764) — among the
+        candidate transcripts pick the one with the highest variant impact."""
+        if not transcripts:
+            return None
+        if not var_transcripts or len(transcripts) == 1:
+            return transcripts[0]
+        impact_rank = {"HIGH": 3, "MODERATE": 2, "LOW": 1, "MODIFIER": 0}
+        by_name = {t.name: t for t in transcripts}
+        current_impact = "MODIFIER"
+        current = None
+        for vt in var_transcripts:
+            name = vt.id_without_version()
+            if isinstance(name, bytes):
+                name = name.decode()
+            if name in by_name and (current is None
+                                    or impact_rank.get(current_impact, 0)
+                                    < impact_rank.get(vt.impact, 0)):
+                current_impact = vt.impact
+                current = by_name[name]
+        return current if current is not None else transcripts[0]
+
+    def best_transcript(self, gene_id: int, var_transcripts: list = ()):
+        """NGSD::bestTranscript(gene_id[, var_transcripts]) — preferred >
+        MANE select > MANE plus clinical > Ensembl canonical > longest coding
+        > longest; ties broken by the highest variant impact; None if no
         transcripts."""
         trans = self.transcripts(gene_id, "ensembl", False)
         for pred in (lambda t: t.is_preferred, lambda t: t.is_mane_select,
                      lambda t: t.is_mane_plus_clinical, lambda t: t.is_ensembl_canonical):
             tmp = [t for t in trans if pred(t)]
             if tmp:
-                return tmp[0]
+                return self.highest_impact_transcript(tmp, list(var_transcripts))
         by_coding = sorted(trans, key=lambda t: -t.coding_regions().base_count())
         tmp = [t for t in by_coding if t.is_coding()]
         if tmp:
-            return tmp[0]
+            return self.highest_impact_transcript(tmp, list(var_transcripts))
         by_bases = sorted(trans, key=lambda t: -t.regions.base_count())
         return by_bases[0] if by_bases else None
 
@@ -866,12 +947,17 @@ class NGSD:
                 "type": r[9], "tissue": r[10], "patient_identifier": r[11],
                 "year_of_birth": str(r[12]) if r[12] is not None else "",
                 "received_date": _qt_date(r[13]), "order_date": _qt_date(r[14]),
-                "sampling_date": _qt_date(r[15])}
+                "sampling_date": _qt_date(r[15]),
+                # HPO phenotypes (SampleData::phenotypes): "HP:... - name"
+                "phenotypes": [
+                    f"{acc} - {self.get_value('SELECT name FROM hpo_term WHERE hpo_id=?', params=(acc,)) or ''}"
+                    for _t, acc in self.get_sample_disease_info(sample_id, "HPO term id")]}
 
     def get_processed_sample_data(self, ps_id) -> dict:
         rows = self.get_rows(
             "SELECT CONCAT(s.name,'_',LPAD(ps.process_id,2,'0')), sys.name_manufacturer, sys.type, "
-            "ps.quality, ps.comment, p.name, p.type, r.name, ps.normal_id, s.gender "
+            "ps.quality, ps.comment, p.name, p.type, r.name, ps.normal_id, s.gender, "
+            "ps.processing_modus, ps.batch_number "
             "FROM sample s, project p, processing_system sys, "
             "processed_sample ps LEFT JOIN sequencing_run r ON ps.sequencing_run_id=r.id "
             "WHERE ps.sample_id=s.id AND ps.project_id=p.id AND ps.processing_system_id=sys.id AND ps.id=?",
@@ -885,6 +971,8 @@ class NGSD:
                 "project_type": (r[6] or "").strip(), "run_name": (r[7] or "").strip(),
                 "normal_sample_name": self.processed_sample_name(r[8]) if r[8] is not None else "",
                 "gender": (r[9] or "").strip(),
+                "processing_modus": (r[10] or "").strip(),
+                "batch_number": (r[11] or "").strip(),
                 "ancestry": str(self.get_value(
                     "SELECT population FROM processed_sample_ancestry WHERE processed_sample_id=?",
                     params=(ps_id,)) or "")}
@@ -2187,7 +2275,7 @@ def _ngsd_somatic_pathways_ext(cls):
 
     def get_diagnostic_status(self, ps_id) -> dict:
         """NGSD::getDiagnosticStatus (NGSD.cpp:7847-7868)."""
-        default = {"status": "n/a", "user": "", "date": "", "outcome": "n/a",
+        default = {"status": "", "user": "", "date": "", "outcome": "n/a",
                    "comments": ""}
         if ps_id in ("", None):
             return default
@@ -2201,6 +2289,141 @@ def _ngsd_somatic_pathways_ext(cls):
         return {"status": str(status or ""), "user": str(user or ""),
                 "date": str(date or ""), "outcome": str(outcome or "n/a"),
                 "comments": str(comment or "")}
+
+    def set_diagnostic_status(self, ps_id, status: dict,
+                              user_login: str = "ahmustm1"):
+        """NGSD::setDiagnosticStatus (NGSD.cpp:7869-7882) — upsert."""
+        user_id = self.get_value("SELECT id FROM user WHERE user_id=?",
+                                 params=(current_user_login() or user_login,))
+        self.execute(
+            "INSERT INTO diag_status (processed_sample_id, status, user_id, "
+            "outcome, comment, date) VALUES (?, ?, ?, ?, ?, "
+            "datetime('now')) ON CONFLICT(processed_sample_id) DO UPDATE SET "
+            "status=excluded.status, user_id=excluded.user_id, "
+            "outcome=excluded.outcome, comment=excluded.comment, "
+            "date=datetime('now')",
+            (ps_id, status["status"], user_id, status["outcome"],
+             status["comments"]))
+        self.commit()
+
+    def set_sample_disease_data(self, sample_id, disease_group: str,
+                                disease_status: str):
+        """NGSD::setSampleDiseaseData (NGSD.cpp:1128-1131)."""
+        self.execute("UPDATE sample SET disease_group=?, disease_status=? "
+                     "WHERE id=?", (disease_group, disease_status, sample_id))
+        self.commit()
+
+    def set_gene_info(self, info: dict):
+        """NGSD::setGeneInfo (NGSD.cpp:9997-10005) — only inheritance and
+        comments are persisted."""
+        self.execute(
+            "INSERT INTO geneinfo_germline (symbol, inheritance, comments) "
+            "VALUES (?, ?, ?) ON CONFLICT(symbol) DO UPDATE SET "
+            "inheritance=excluded.inheritance, comments=excluded.comments",
+            (info["symbol"], info["inheritance"], info["comments"]))
+        self.commit()
+
+    def phenotypes(self, search_terms: list) -> list[str]:
+        """NGSD::phenotypes (NGSD.cpp:6959-7005) — accessions of HPO terms
+        matching ALL search terms (name/hpo_id/synonyms, case-insensitive)."""
+        terms = [t.strip() for t in search_terms if t.strip()]
+        if not terms:
+            return self.get_values(
+                "SELECT hpo_id FROM hpo_term ORDER BY name ASC")
+        result = None
+        for term in terms:
+            like = f"%{term}%"
+            ids = set(self.get_values(
+                "SELECT hpo_id FROM hpo_term WHERE name LIKE ? OR hpo_id "
+                "LIKE ? OR synonyms LIKE ?", params=(like, like, like)))
+            result = ids if result is None else (result & ids)
+        return sorted(result or ())
+
+    def phenotype_replacement_by_accession(self, accession: str) -> int:
+        """NGSD::phenotypeReplacementByAccession (NGSD.cpp:7388-7392)."""
+        v = self.get_value("SELECT replaced_by FROM hpo_obsolete WHERE hpo_id=?",
+                           params=(accession,))
+        return -1 if v is None else int(v)
+
+    def phenotype_replacement_by_name(self, name: str) -> int:
+        """NGSD::phenotypeReplacementByName (NGSD.cpp:7394-7407)."""
+        v = self.get_value("SELECT replaced_by FROM hpo_obsolete WHERE name=?",
+                           params=(f"obsolete {name}",))
+        if v is None:
+            v = self.get_value("SELECT replaced_by FROM hpo_obsolete WHERE name=?",
+                               params=(name,))
+        return -1 if v is None else int(v)
+
+    def phenotype_parent_terms(self, term_id: int, recursive: bool) -> list[int]:
+        """NGSD::phenotypeParentTerms (NGSD.cpp:7202-7232)."""
+        out = []
+        todo = [term_id]
+        while todo:
+            tid = todo.pop()
+            for parent, in self.get_rows(
+                    "SELECT parent FROM hpo_parent WHERE child=?", params=(tid,)):
+                out.append(int(parent))
+                if recursive:
+                    todo.append(int(parent))
+        return out
+
+    def get_qc_values(self, accession: str, ps_id) -> list[float]:
+        """NGSD::getQCValues (NGSD.cpp:4732-4754) — numeric values of the
+        metric over all samples of the same processing system."""
+        sys_id = self.get_value(
+            "SELECT processing_system_id FROM processed_sample WHERE id=?",
+            params=(ps_id,))
+        qc_id = self.get_value("SELECT id FROM qc_terms WHERE qcml_id=?",
+                               params=(accession,))
+        out = []
+        for value, in self.get_rows(
+                "SELECT nm.value FROM processed_sample_qc as nm, "
+                "processed_sample as ps WHERE ps.processing_system_id=? AND "
+                "nm.qc_terms_id=? AND nm.processed_sample_id=ps.id",
+                params=(sys_id, qc_id)):
+            try:
+                out.append(float(value))
+            except (TypeError, ValueError):
+                continue
+        return out
+
+    def comment(self, variant) -> str:
+        """NGSD::comment (NGSD.cpp:5535-5538)."""
+        return str(self.get_value(
+            "SELECT comment FROM variant WHERE id=?",
+            params=(self.variant_id(variant),)) or "")
+
+    def set_comment(self, variant, text: str):
+        """NGSD::setComment."""
+        self.execute("UPDATE variant SET comment=? WHERE id=?",
+                     (text, self.variant_id(variant)))
+        self.commit()
+
+    def get_classification(self, variant) -> dict:
+        """NGSD::getClassification (NGSD.cpp:4793-4812)."""
+        default = {"classification": "", "comments": ""}
+        vid = self.variant_id(variant, False)
+        if vid in ("", None, -1):
+            return default
+        rows = self.get_rows(
+            "SELECT class, comment FROM variant_classification WHERE "
+            "variant_id=?", params=(vid,))
+        if not rows:
+            return default
+        return {"classification": str(rows[0][0] or "").strip(),
+                "comments": str(rows[0][1] or "").strip()}
+
+    def set_classification(self, variant, variant_list, info: dict):
+        """NGSD::setClassification (NGSD.cpp:4835-4848)."""
+        vid = self.variant_id(variant, False)
+        if vid in ("", None, -1):
+            vid = self.add_variant(variant, variant_list)
+        self.execute(
+            "INSERT INTO variant_classification (variant_id, class, comment) "
+            "VALUES (?, ?, ?) ON CONFLICT(variant_id) DO UPDATE SET "
+            "class=excluded.class, comment=excluded.comment",
+            (vid, info["classification"], info["comments"]))
+        self.commit()
 
     def omim_preferred_phenotype(self, symbol, disease_group) -> str:
         """NGSD::omimPreferredPhenotype (NGSD.cpp:7268-7283)."""
@@ -2253,6 +2476,18 @@ def _ngsd_somatic_pathways_ext(cls):
         return GeneSet.create_from_text(str(genes or ""))
 
     cls.get_diagnostic_status = get_diagnostic_status
+    cls.set_diagnostic_status = set_diagnostic_status
+    cls.set_sample_disease_data = set_sample_disease_data
+    cls.set_gene_info = set_gene_info
+    cls.phenotypes = phenotypes
+    cls.phenotype_replacement_by_accession = phenotype_replacement_by_accession
+    cls.phenotype_replacement_by_name = phenotype_replacement_by_name
+    cls.phenotype_parent_terms = phenotype_parent_terms
+    cls.get_qc_values = get_qc_values
+    cls.comment = comment
+    cls.set_comment = set_comment
+    cls.get_classification = get_classification
+    cls.set_classification = set_classification
     cls.omim_preferred_phenotype = omim_preferred_phenotype
     cls.cnv_callset_metrics = cnv_callset_metrics
     cls.phenotype_name = phenotype_name

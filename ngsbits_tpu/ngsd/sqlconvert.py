@@ -245,6 +245,14 @@ def convert_create_table(stmt: str) -> str | None:
         if em:
             enum_values = [v.strip()[1:-1] for v in _split_top_level(em.group(1)) if v.strip()]
             enums.append((table, name, enum_values))
+        else:
+            # SET columns expose their value list through getEnum() too
+            sm = re.search(r"\bSET\s*\(((?:[^)(]|\([^)]*\))*)\)", rest,
+                           re.IGNORECASE | re.DOTALL)
+            if sm:
+                set_values = [v.strip()[1:-1]
+                              for v in _split_top_level(sm.group(1)) if v.strip()]
+                enums.append((table, name, set_values))
         rest = re.sub(r"ENUM\s*\(((?:[^)(]|\([^)]*\))*)\)", "TEXT", rest,
                       flags=re.IGNORECASE | re.DOTALL)
         rest = re.sub(r"\bSET\s*\(((?:[^)(]|\([^)]*\))*)\)", "TEXT", rest,
