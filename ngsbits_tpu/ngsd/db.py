@@ -1143,6 +1143,17 @@ class NGSD:
                             tmp.append(entry)
                     row.append("; ".join(tmp))
             headers += ["disease_details_" + t.replace(" ", "_") for t in types]
+        if p.get("add_path"):
+            # path column right after the base columns (reference inserts it
+            # before the outcome/disease/qc blocks)
+            idx = 20
+            headers.insert(idx, "path")
+            for row in rows:
+                try:
+                    path = self.processed_sample_path(row[0], p["add_path"])
+                except Exception:
+                    path = ""
+                row.insert(idx + 1, path)
         if p.get("add_qc"):
             # move the quality columns to the start of the qc block
             # (DBTable::takeColumn + addColumn in the reference)
@@ -1979,6 +1990,67 @@ def _ngsd_analysis_jobs_ext(cls):
             return self.target_file_path() + rel[:-4] + "_genes.txt"
         return ""
 
+    def queue_analysis(self, type_: str, high_priority: bool, use_dragen: bool,
+                       args: list, samples: list):
+        """NGSD::queueAnalysis (NGSD.cpp:5590-5606)."""
+        self.execute(
+            "INSERT INTO analysis_job (type, high_priority, use_dragen, args) "
+            "VALUES (?, ?, ?, ?)",
+            (type_, 1 if high_priority else 0, 1 if use_dragen else 0,
+             " ".join(args)))
+        job_id = self.last_insert_id()
+        for sample in samples:
+            self.execute(
+                "INSERT INTO analysis_job_sample (analysis_job_id, "
+                "processed_sample_id, info) VALUES (?, ?, ?)",
+                (job_id, self.processed_sample_id(sample["name"]),
+                 sample.get("info", "")))
+        user_id = self.get_value("SELECT id FROM user WHERE user_id=?",
+                                 params=(current_user_login() or "ahmustm1",))
+        self.execute(
+            "INSERT INTO analysis_job_history (analysis_job_id, time, "
+            "user_id, status, output) VALUES (?, datetime('now', "
+            "'localtime'), ?, 'queued', '')", (job_id, user_id))
+        self.commit()
+        return job_id
+
+    def cancel_analysis(self, job_id: int) -> bool:
+        """NGSD::cancelAnalysis (NGSD.cpp:5608-5618) — only running jobs."""
+        job = self.analysis_info(job_id, False)
+        history = job.get("history") or []
+        if not history or history[-1]["status"] not in ("queued", "started"):
+            return False
+        user_id = self.get_value("SELECT id FROM user WHERE user_id=?",
+                                 params=(current_user_login() or "ahmustm1",))
+        self.execute(
+            "INSERT INTO analysis_job_history (analysis_job_id, time, "
+            "user_id, status, output) VALUES (?, datetime('now', "
+            "'localtime'), ?, 'cancel', '')", (job_id, user_id))
+        self.commit()
+        return True
+
+    def delete_analysis(self, job_id: int) -> bool:
+        """NGSD::deleteAnalysis (NGSD.cpp:5620-5629)."""
+        self.execute("DELETE FROM analysis_job_sample WHERE analysis_job_id=?",
+                     (job_id,))
+        self.execute("DELETE FROM analysis_job_history WHERE analysis_job_id=?",
+                     (job_id,))
+        cur = self.execute("DELETE FROM analysis_job WHERE id=?", (job_id,))
+        self.commit()
+        return cur.rowcount > 0
+
+    def last_analysis_of(self, ps_id) -> int:
+        """NGSD::lastAnalysisOf (NGSD.cpp:5540-5550) — single-sample only."""
+        v = self.get_value(
+            "SELECT j.id FROM analysis_job j, analysis_job_sample js WHERE "
+            "js.analysis_job_id=j.id AND js.processed_sample_id=? AND "
+            "j.type='single sample' ORDER BY j.id DESC LIMIT 1", params=(ps_id,))
+        return -1 if v is None else int(v)
+
+    cls.queue_analysis = queue_analysis
+    cls.cancel_analysis = cancel_analysis
+    cls.delete_analysis = delete_analysis
+    cls.last_analysis_of = last_analysis_of
     cls.analysis_info = analysis_info
     cls.analysis_job_folder = analysis_job_folder
     cls.analysis_job_gsvar_file = analysis_job_gsvar_file
@@ -2024,6 +2096,79 @@ def _ngsd_reports_ext(cls):
         """NGSD::geneHgncId — 'HGNC:<id>' for a gene table row id."""
         v = self.get_value("SELECT hgnc_id FROM gene WHERE id=?", params=(gene_row_id,))
         return "" if v is None else f"HGNC:{v}"
+
+    def add_pubmed_id(self, variant_id, pubmed_id: str):
+        """NGSD::addPubmedId (NGSD.cpp:1959-1966) — duplicates ignored."""
+        self.execute(
+            "INSERT OR IGNORE INTO variant_literature (variant_id, pubmed) "
+            "VALUES (?, ?)", (variant_id, pubmed_id))
+        self.commit()
+
+    def pubmed_ids(self, variant_id) -> list[str]:
+        """NGSD::pubmedIds (NGSD.cpp:1968-1971)."""
+        return [str(v) for v in self.get_values(
+            "SELECT pubmed FROM variant_literature WHERE variant_id=?",
+            params=(variant_id,))]
+
+    def variant(self, variant_id):
+        """NGSD::variant — GSvarVariant from the variant table row."""
+        from ..core.chromosome import Chromosome
+        from ..io.gsvar import GSvarVariant
+        rows = self.get_rows(
+            "SELECT chr, start, end, ref, obs FROM variant WHERE id=?",
+            params=(variant_id,))
+        if not rows:
+            raise NgsdError(f"Variant with identifier '{variant_id}' does not "
+                            "exist!")
+        c, s, e, ref, obs = rows[0]
+        return GSvarVariant(Chromosome(str(c)), int(s), int(e),
+                            str(ref).encode(), str(obs).encode(), [])
+
+    def genotype_counts(self, variant_id) -> tuple[int, int, int]:
+        """NGSD::genotypeCounts (NGSD.cpp:1736-1790) — (hom, het, mosaic),
+        deduplicated per sample, bad-quality samples excluded."""
+        c_het = c_hom = c_mosaic = 0
+        done_het = set()
+        done_hom = set()
+        done_mosaic = set()
+        for sample_id, genotype, mosaic in self.get_rows(
+                "SELECT ps.sample_id, dv.genotype, dv.mosaic FROM "
+                "detected_variant dv, processed_sample ps WHERE "
+                "dv.variant_id=? AND dv.processed_sample_id=ps.id AND "
+                "ps.quality!='bad'", params=(variant_id,)):
+            is_mosaic = str(mosaic) == "1"
+            if genotype == "het":
+                if not is_mosaic and sample_id not in done_het:
+                    c_het += 1
+                    done_het.add(sample_id)
+                if is_mosaic and sample_id not in done_mosaic:
+                    c_mosaic += 1
+                    done_mosaic.add(sample_id)
+            elif genotype == "hom" and sample_id not in done_hom:
+                c_hom += 1
+                done_hom.add(sample_id)
+        return c_hom, c_het, c_mosaic
+
+    def genotype_counts_cached(self, variant_id) -> tuple[int, int, int]:
+        """NGSD::genotypeCountsCached — from the variant table columns."""
+        rows = self.get_rows(
+            "SELECT germline_hom, germline_het, germline_mosaic FROM variant "
+            "WHERE id=?", params=(variant_id,))
+        hom, het, mosaic = rows[0]
+        return (int(hom or 0), int(het or 0), int(mosaic or 0))
+
+    def set_sample_disease_info(self, sample_id, disease_info: list):
+        """NGSD::setSampleDiseaseInfo — replace all entries of the sample."""
+        self.execute("DELETE FROM sample_disease_info WHERE sample_id=?",
+                     (sample_id,))
+        for entry in disease_info:
+            user_id = self.get_value("SELECT id FROM user WHERE user_id=?",
+                                     params=(entry.get("user", "ahmustm1"),))
+            self.execute(
+                "INSERT INTO sample_disease_info (sample_id, disease_info, "
+                "type, user_id, date) VALUES (?, ?, ?, ?, datetime('now'))",
+                (sample_id, entry["disease_info"], entry["type"], user_id))
+        self.commit()
 
     def variant_id(self, variant, throw_if_fails: bool = True) -> str:
         """NGSD::variantId (NGSD.cpp:1693-1717)."""
@@ -2218,6 +2363,12 @@ def _ngsd_reports_ext(cls):
     cls.gene_hgnc_id = gene_hgnc_id
     cls.variant_id = variant_id
     cls.add_variant = add_variant
+    cls.add_pubmed_id = add_pubmed_id
+    cls.pubmed_ids = pubmed_ids
+    cls.variant = variant
+    cls.genotype_counts = genotype_counts
+    cls.genotype_counts_cached = genotype_counts_cached
+    cls.set_sample_disease_info = set_sample_disease_info
     cls.somatic_cnv_id = somatic_cnv_id
     cls.somatic_sv_id = somatic_sv_id
     cls.get_qc_collection = get_qc_collection

@@ -586,3 +586,181 @@ def test_diag_status_qc_and_classification(db):
     db.set_classification(variant, None, info)
     info = db.get_classification(variant)
     assert info == {"classification": "2", "comments": "class_comm1"}
+
+
+def test_classification_update_pubmed_and_jobs(db):
+    """NGSD_Test.cpp:760-900 — classification update, PubMed IDs, analysis
+    job info/queue/cancel/delete, job folders and GSvar paths."""
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarVariant
+    from ngsbits_tpu.ngsd.db import login
+
+    login("ahmustm1")
+
+    variant = GSvarVariant(Chromosome("chr10"), 43613843, 43613843, b"G", b"T", [])
+    db.set_classification(variant, None,
+                          {"classification": "5", "comments": "class_comm2"})
+    assert db.get_classification(variant) == \
+        {"classification": "5", "comments": "class_comm2"}
+
+    db.add_pubmed_id(199844, "12345678")
+    db.add_pubmed_id(199844, "87654321")
+    assert sorted(db.pubmed_ids("199844")) == ["12345678", "87654321"]
+    db.add_pubmed_id(199844, "12345678")
+    assert len(db.pubmed_ids("199844")) == 2
+
+    assert db.analysis_info(-1, False) == {}
+
+    job = db.analysis_info(1)
+    assert job["type"] == "single sample"
+    assert job["high_priority"] is False
+    assert job["args"] == ""
+    assert job["sge_id"] == "4711"
+    assert job["sge_queue"] == "default_srv018"
+    assert [s["name"] for s in job["samples"]] == ["NA12878_03"]
+    assert job["samples"][0]["info"] == ""
+    assert len(job["history"]) == 3
+    assert (job["history"][0]["status"], job["history"][0]["user"]) == \
+        ("queued", "ahmustm1")
+    assert job["history"][0]["time"].replace("T", " ") == "2018-02-12 10:20:00"
+    assert job["history"][1]["status"] == "started"
+    assert job["history"][1]["user"] == ""
+    assert job["history"][1]["time"].replace("T", " ") == "2018-02-12 10:20:45"
+    assert job["history"][2]["status"] == "finished"
+    assert job["history"][2]["time"].replace("T", " ") == "2018-02-12 10:34:09"
+    assert "\n".join(job["history"][2]["output"]) == "warning: bla bla bla"
+
+    db.queue_analysis("single sample", True, False, ["-steps ma,vc,an"],
+                      [{"name": "NA12878_03", "info": "index"}])
+    job = db.analysis_info(2)
+    assert job["type"] == "single sample"
+    assert job["high_priority"] is True
+    assert job["args"] == "-steps ma,vc,an"
+    assert job["sge_id"] == "" and job["sge_queue"] == ""
+    assert job["samples"] == [{"name": "NA12878_03", "info": "index"}]
+    assert len(job["history"]) == 1
+    assert (job["history"][0]["status"], job["history"][0]["user"]) == \
+        ("queued", "ahmustm1")
+
+    assert db.cancel_analysis(2) is True
+    job = db.analysis_info(2)
+    assert [h["status"] for h in job["history"]] == ["queued", "cancel"]
+    assert job["history"][1]["user"] == "ahmustm1"
+    assert db.cancel_analysis(2) is False
+
+    assert db.last_analysis_of(db.processed_sample_id("NA12878_03")) == 2
+
+    assert db.delete_analysis(2) is True
+    assert db.analysis_info(2, False) == {}
+    assert db.delete_analysis(2) is False
+
+    import os
+    os.environ["NGSBITS_PROJECTS_FOLDER"] = "/mnt/projects"
+    try:
+        folder = db.analysis_job_folder(1)
+        assert folder.endswith("test/KontrollDNACoriell/Sample_NA12878_03/")
+        db.queue_analysis("somatic", False, False, [],
+                          [{"name": "NA12345_01", "info": "tumor"},
+                           {"name": "NA12878_03", "info": "normal"}])
+        assert db.analysis_job_folder(3).endswith(
+            "test/KontrollDNACoriell/Somatic_NA12345_01-NA12878_03/")
+        db.queue_analysis("trio", False, False, [],
+                          [{"name": "NA12878_03", "info": "child"},
+                           {"name": "NA12123_04", "info": "father"},
+                           {"name": "NA12345_01", "info": "mother"}])
+        assert db.analysis_job_folder(4).endswith(
+            "test/KontrollDNACoriell/Trio_NA12878_03_NA12123_04_NA12345_01/")
+        db.queue_analysis("multi sample", False, False, [],
+                          [{"name": "NA12123_04", "info": "affected"},
+                           {"name": "NA12345_01", "info": "affected"}])
+        assert db.analysis_job_folder(5).endswith(
+            "test/KontrollDNACoriell/Multi_NA12123_04_NA12345_01/")
+
+        assert db.analysis_job_gsvar_file(1).endswith(
+            "test/KontrollDNACoriell/Sample_NA12878_03/NA12878_03.GSvar")
+        assert db.analysis_job_gsvar_file(3).endswith(
+            "test/KontrollDNACoriell/Somatic_NA12345_01-NA12878_03/"
+            "NA12345_01-NA12878_03.GSvar")
+        assert db.analysis_job_gsvar_file(4).endswith(
+            "test/KontrollDNACoriell/Trio_NA12878_03_NA12123_04_NA12345_01/"
+            "trio.GSvar")
+        assert db.analysis_job_gsvar_file(5).endswith(
+            "test/KontrollDNACoriell/Multi_NA12123_04_NA12345_01/multi.GSvar")
+    finally:
+        os.environ.pop("NGSBITS_PROJECTS_FOLDER", None)
+
+
+def test_update_qc_variants_and_disease_info(db):
+    """NGSD_Test.cpp:880-940 — updateQC, addVariant/variant, genotype counts
+    (live + cached), sample disease info."""
+    db.update_qc(f"{DIN}/qcml.obo", False)
+    assert db.get_value("SELECT count(*) FROM qc_terms") == 43
+    assert db.get_value("SELECT count(*) FROM qc_terms WHERE obsolete=0") == 39
+    db.update_qc(f"{DIN}/qcml.obo", False)
+    assert db.get_value("SELECT count(*) FROM qc_terms") == 43
+    assert db.get_value("SELECT count(*) FROM qc_terms WHERE obsolete=0") == 39
+
+    from ngsbits_tpu.core.chromosome import Chromosome
+    from ngsbits_tpu.io.gsvar import GSvarFile, GSvarVariant
+
+    vl = GSvarFile.from_file(
+        "/root/reference/src/cppNGS-TEST/data_in/panel_vep.GSvar")
+    assert len(vl) == 329
+    var_id = db.add_variant(vl[0], vl)
+    v = db.variant(var_id)
+    assert (v.chr.num, v.start, v.end, v.ref, v.obs) == \
+        (vl[0].chr.num, vl[0].start, vl[0].end, vl[0].ref, vl[0].obs)
+
+    variant_id = db.variant_id(
+        GSvarVariant(Chromosome("chr10"), 43613843, 43613843, b"G", b"T", []))
+    assert db.genotype_counts(variant_id) == (1, 0, 0)  # hom
+
+    variant_id = db.variant_id(
+        GSvarVariant(Chromosome("chr17"), 7579472, 7579472, b"G", b"C", []))
+    assert db.genotype_counts(variant_id) == (0, 1, 0)  # het
+
+    assert db.genotype_counts_cached(variant_id) == (0, 0, 0)
+    db.execute(f"UPDATE variant SET germline_het=17, germline_hom=7 WHERE id={variant_id}")
+    db.commit()
+    assert db.genotype_counts_cached(variant_id) == (7, 17, 0)
+
+    sample_id = db.sample_id("NA12878")
+    assert db.get_sample_disease_info(sample_id) == []
+    db.set_sample_disease_info(sample_id, [
+        {"disease_info": "HP:0001251", "type": "HPO term id", "user": "ahmustm1"},
+        {"disease_info": "G11.9", "type": "ICD10 code", "user": "ahmustm1"}])
+    info = db.get_sample_disease_info(sample_id)
+    assert len(info) == 2
+    assert info[0] == ("HPO term id", "HP:0001251")
+    info = db.get_sample_disease_info(sample_id, "ICD10 code")
+    assert info == [("ICD10 code", "G11.9")]
+
+
+def test_processed_sample_search(db):
+    """NGSD_Test.cpp:940-965 — processedSampleSearch column growth."""
+    import os
+    os.environ["NGSBITS_PROJECTS_FOLDER"] = "/mnt/projects"
+    try:
+        headers, rows = db.processed_sample_search({})
+        assert len(rows) == 9
+        assert len(headers) == 20
+
+        headers, rows = db.processed_sample_search({"add_path": "SAMPLE_FOLDER"})
+        assert len(rows) == 9 and len(headers) == 21
+
+        headers, rows = db.processed_sample_search(
+            {"add_path": "SAMPLE_FOLDER", "add_outcome": True})
+        assert len(rows) == 9 and len(headers) == 23
+
+        headers, rows = db.processed_sample_search(
+            {"add_path": "SAMPLE_FOLDER", "add_outcome": True,
+             "add_disease_details": True})
+        assert len(rows) == 9 and len(headers) == 33
+
+        headers, rows = db.processed_sample_search(
+            {"add_path": "SAMPLE_FOLDER", "add_outcome": True,
+             "add_disease_details": True, "add_qc": True})
+        assert len(rows) == 9 and len(headers) == 74
+        assert headers[33] == "sample_quality"
+    finally:
+        os.environ.pop("NGSBITS_PROJECTS_FOLDER", None)
