@@ -2988,3 +2988,352 @@ def _export_sample_data(self, ps_id, sql_data: list):
 
 
 NGSD.export_sample_data = _export_sample_data
+
+
+# ---- table metadata + value checking (NGSD::tableInfo/checkValue) ----------
+
+_TABLE_REGEXPS = {
+    # hard-coded per-column patterns (NGSD.cpp:4045-4052)
+    ("sample", "name"): r"^[A-Za-z0-9-]*$",
+    ("mid", "sequence"): r"^[ACGT]*$",
+    ("project", "name"): r"^[A-Za-z0-9_-]*$",
+    ("processing_system", "name_short"): r"^[A-Za-z0-9_\.-]*$",
+    ("processing_system", "adapter1_p5"): r"^[ACGTN]*$",
+    ("processing_system", "adapter2_p7"): r"^[ACGTN]*$",
+    ("processed_sample", "lane"): r"^[1-8](,[1-8])*$",
+    ("user", "user_id"): r"^[A-Za-z0-9_]+$",
+}
+
+_SCHEMA_META_CACHE: dict | None = None
+
+
+def _schema_meta() -> dict:
+    """{(table, column): meta} parsed from the shipped MySQL schema."""
+    global _SCHEMA_META_CACHE
+    if _SCHEMA_META_CACHE is not None:
+        return _SCHEMA_META_CACHE
+    import gzip
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "resources",
+                        "ngsd_schema.sql.gz")
+    with gzip.open(path, "rt", encoding="utf-8", errors="replace") as fh:
+        sql = fh.read()
+
+    meta: dict = {}
+    for m in re.finditer(r"CREATE\s+TABLE\s+(?:IF NOT EXISTS\s+)?`?(\w+)`?\s*"
+                         r"\((.*?)\)\s*ENGINE", sql, re.DOTALL | re.IGNORECASE):
+        table, body = m.group(1), m.group(2)
+        unique_cols = set(re.findall(
+            r"UNIQUE\s+INDEX\s+`?\w+`?\s*\(\s*`?(\w+)`?", body, re.IGNORECASE))
+        fk_refs = {c: ref for c, ref in re.findall(
+            r"FOREIGN\s+KEY\s*\(\s*`?(\w+)`?\s*\)\s*REFERENCES\s+`?(\w+)`?",
+            body, re.IGNORECASE | re.DOTALL)}
+        for line in body.split("\n"):
+            line = line.strip().rstrip(",")
+            cm = re.match(r"`(\w+)`\s+(.*)", line)
+            if not cm:
+                continue
+            col, rest = cm.group(1), cm.group(2)
+            upper = rest.upper()
+            info = {
+                "nullable": "NOT NULL" not in upper,
+                "unsigned": "UNSIGNED" in upper,
+                "unique": col in unique_cols,
+                "fk": fk_refs.get(col),
+                "max_length": 0,
+                "enum_values": None,
+                "type": "TEXT",
+            }
+            lm = re.match(r"VARCHAR\s*\((\d+)\)", upper)
+            if lm:
+                info["type"] = "VARCHAR"
+                info["max_length"] = int(lm.group(1))
+            elif re.match(r"ENUM\s*\(", upper):
+                em = re.match(r"ENUM\s*\(((?:[^)(]|\([^)]*\))*)\)", rest,
+                              re.IGNORECASE | re.DOTALL)
+                vals = [v.strip()[1:-1] for v in em.group(1).split(",")
+                        if v.strip()]
+                info["type"] = "ENUM"
+                info["enum_values"] = vals
+            elif re.match(r"TINYINT\s*\(\s*1\s*\)", upper) or upper.startswith("BOOLEAN"):
+                info["type"] = "BOOL"
+            elif upper.startswith("BIGINT"):
+                info["type"] = "LONG"
+            elif re.match(r"(INT|MEDIUMINT|SMALLINT|TINYINT)", upper):
+                info["type"] = "INT"
+            elif re.match(r"(FLOAT|DOUBLE|DECIMAL)", upper):
+                info["type"] = "FLOAT"
+            elif upper.startswith("DATETIME") or upper.startswith("TIMESTAMP"):
+                info["type"] = "DATETIME"
+            elif upper.startswith("DATE"):
+                info["type"] = "DATE"
+            if info["fk"]:
+                info["type"] = "FK"
+            meta[(table, col)] = info
+    _SCHEMA_META_CACHE = meta
+    return meta
+
+
+def _check_value(self, table: str, field: str, value: str,
+                 check_unique: bool) -> list[str]:
+    """NGSD::checkValue (NGSD.cpp:10200-10420) — validation errors for a
+    candidate column value."""
+    import datetime
+    import re
+
+    info = _schema_meta().get((table, field))
+    if info is None:
+        raise NgsdError(f"Unknown field '{table}.{field}' in checkValue!")
+    errors: list[str] = []
+    t = info["type"]
+
+    if t in ("INT", "LONG"):
+        if value == "" and not info["nullable"]:
+            errors.append("Cannot be empty!")
+        if value != "":
+            try:
+                num = int(value)
+                if info["unsigned"] and num < 0:
+                    errors.append("Must not be negative!")
+            except ValueError:
+                errors.append("Cannot be converted to a integer number!")
+    elif t == "FLOAT":
+        if value == "" and not info["nullable"]:
+            errors.append("Cannot be empty!")
+        if value != "":
+            try:
+                num = float(value)
+                if info["unsigned"] and num < 0:
+                    errors.append("Must not be negative!")
+            except ValueError:
+                errors.append("Cannot be converted to a floating-point number!")
+    elif t == "DATE":
+        if value == "" and not info["nullable"]:
+            errors.append("Cannot be empty!")
+        if value != "":
+            try:
+                datetime.date.fromisoformat(value)
+            except ValueError:
+                errors.append("Invalid format! The correct format is YYYY-MM-DD")
+    elif t == "VARCHAR":
+        if not info["nullable"] and value == "":
+            errors.append("Field must not be empty!")
+        if len(value) > info["max_length"]:
+            errors.append(f"Maximum length is {info['max_length']}")
+        pattern = _TABLE_REGEXPS.get((table, field))
+        if pattern and not re.search(pattern, value):
+            errors.append(f"Regular expression mismatch of value '{value}' "
+                          f"(pattern={pattern})")
+        if check_unique and info["unique"]:
+            if self.get_value(f"SELECT id FROM {table} WHERE {field}=?",
+                              params=(value,)) is not None:
+                errors.append("Value already present in database "
+                              "(this field is unique!)")
+    elif t == "BOOL":
+        if value not in ("0", "1"):
+            errors.append("Can only be '0' or '1'!")
+    elif t == "ENUM":
+        if value == "":
+            if not info["nullable"]:
+                errors.append("Cannot be empty!")
+        else:
+            if value not in info["enum_values"]:
+                errors.append(f"Invalid value '{value}'. Valid are: '"
+                              + "', '".join(info["enum_values"]) + "'")
+    elif t == "FK":
+        if value == "" and not info["nullable"]:
+            errors.append("Cannot be empty!")
+        if value != "":
+            if self.get_value(f"SELECT id FROM {info['fk']} WHERE id=?",
+                              params=(value,)) is None:
+                errors.append(f"Invalid reference to table {info['fk']}!")
+    return errors
+
+
+def _table_info(self, table: str) -> dict:
+    """NGSD::tableInfo (field-metadata subset used by checkValue)."""
+    cols = {c: m for (t, c), m in _schema_meta().items() if t == table}
+    if not cols:
+        raise NgsdError(f"Unknown table '{table}' in tableInfo!")
+    return cols
+
+
+def _sv_table_name(sv_type: bytes | str) -> str:
+    """NGSD::svTableName."""
+    t = sv_type.decode() if isinstance(sv_type, bytes) else str(sv_type)
+    return {"DEL": "sv_deletion", "DUP": "sv_duplication",
+            "INV": "sv_inversion", "INS": "sv_insertion",
+            "BND": "sv_translocation"}[t]
+
+
+def _user_name(self, user_id: int) -> str:
+    """NGSD::userName."""
+    return str(self.get_value("SELECT name FROM user WHERE id=?",
+                              params=(user_id,)) or "")
+
+
+def _user_email(self, user_id: int) -> str:
+    """NGSD::userEmail."""
+    return str(self.get_value("SELECT email FROM user WHERE id=?",
+                              params=(user_id,)) or "")
+
+
+def _cnv_id(self, cnv, callset_id: int, throw_if_fails: bool = True) -> str:
+    """NGSD::cnvId."""
+    v = self.get_value(
+        "SELECT id FROM cnv WHERE cnv_callset_id=? AND chr=? AND start=? AND "
+        "end=?", params=(callset_id, cnv.chr.str_normalized(True), cnv.start,
+                         cnv.end))
+    if v is None:
+        if throw_if_fails:
+            raise NgsdError(f"CNV {cnv.to_string()} not found in NGSD!")
+        return ""
+    return str(v)
+
+
+def _delete_variants(self, ps_id):
+    """NGSD::deleteVariants — all small variant/CNV/SV/RE calls of a sample."""
+    self.execute("DELETE FROM detected_variant WHERE processed_sample_id=?",
+                 (ps_id,))
+    callset_ids = self.get_values(
+        "SELECT id FROM cnv_callset WHERE processed_sample_id=?", params=(ps_id,))
+    for cid in callset_ids:
+        self.execute("DELETE FROM cnv WHERE cnv_callset_id=?", (cid,))
+    self.execute("DELETE FROM cnv_callset WHERE processed_sample_id=?", (ps_id,))
+    sv_callsets = self.get_values(
+        "SELECT id FROM sv_callset WHERE processed_sample_id=?", params=(ps_id,))
+    for cid in sv_callsets:
+        for table in ("sv_deletion", "sv_duplication", "sv_inversion",
+                      "sv_insertion", "sv_translocation"):
+            self.execute(f"DELETE FROM {table} WHERE sv_callset_id=?", (cid,))
+    self.execute("DELETE FROM sv_callset WHERE processed_sample_id=?", (ps_id,))
+    if self.table_exists("re_callset"):
+        self.execute("DELETE FROM re_callset WHERE processed_sample_id=?",
+                     (ps_id,))
+    self.commit()
+
+
+def _add_preferred_transcript(self, transcript_name: str) -> bool:
+    """NGSD::addPreferredTranscript — True if added, False if already there;
+    unknown transcript names throw."""
+    tid = self.transcript_id(transcript_name, False)
+    if tid == -1:
+        raise NgsdError(f"Transcript '{transcript_name}' not found in NGSD!")
+    exists = self.get_value(
+        "SELECT count(*) FROM preferred_transcripts WHERE name=?",
+        params=(transcript_name,)) > 0
+    if exists:
+        return False
+    self.execute("INSERT INTO preferred_transcripts (name, added_by, "
+                 "added_date) VALUES (?, 99, datetime('now'))",
+                 (transcript_name,))
+    self.commit()
+    return True
+
+
+def _add_sample_relation(self, sample1: str, sample2: str, relation: str,
+                         user_login: str = "ahmustm1"):
+    """NGSD::addSampleRelation."""
+    user_id = self.get_value("SELECT id FROM user WHERE user_id=?",
+                             params=(current_user_login() or user_login,))
+    self.execute(
+        "INSERT OR IGNORE INTO sample_relations (sample1_id, relation, "
+        "sample2_id, user_id) VALUES (?, ?, ?, ?)",
+        (self.sample_id(sample1), relation, self.sample_id(sample2), user_id))
+    self.commit()
+
+
+def _user_role_in(self, user_id: int, roles: list) -> bool:
+    """NGSD::userRoleIn."""
+    role = self.get_value("SELECT user_role FROM user WHERE id=?",
+                          params=(user_id,))
+    if role is None:
+        raise NgsdError(f"User with id '{user_id}' not found in NGSD!")
+    return str(role) in set(roles)
+
+
+_ESD_FIELDS = [
+    "dna_rna", "reviewer1", "review_date1", "reviewer2", "review_date2",
+    "analysis_scope", "acmg_requested", "acmg_noticeable", "acmg_analyzed",
+    "filtered_by_freq_based_dominant", "filtered_by_freq_based_recessive",
+    "filtered_by_mito", "filtered_by_x_chr", "filtered_by_cnv",
+    "filtered_by_svs", "filtered_by_res", "filtered_by_mosaic",
+    "filtered_by_phenotype", "filtered_by_multisample",
+    "filtered_by_trio_stringent", "filtered_by_trio_relaxed",
+]
+
+
+def _store_evaluation_sheet_data(self, esd: dict, overwrite: bool = False):
+    """NGSD::storeEvaluationSheetData — insert (or overwrite) the evaluation
+    sheet row of a processed sample."""
+    exists = self.get_value(
+        "SELECT count(*) FROM evaluation_sheet_data WHERE processed_sample_id=?",
+        params=(esd["ps_id"],)) > 0
+    if exists:
+        if not overwrite:
+            raise NgsdError("Evaluation sheet data for this sample already "
+                            "exists in the NGSD!")
+        self.execute("DELETE FROM evaluation_sheet_data WHERE "
+                     "processed_sample_id=?", (esd["ps_id"],))
+
+    def uid(name):
+        return self.get_value("SELECT id FROM user WHERE name=?", params=(name,))
+
+    cols = ["processed_sample_id", "dna_rna", "reviewer1", "review_date1",
+            "reviewer2", "review_date2", "analysis_scope", "acmg_requested",
+            "acmg_noticeable", "acmg_analyzed",
+            "filtered_by_freq_based_dominant",
+            "filtered_by_freq_based_recessive", "filtered_by_mito",
+            "filtered_by_x_chr", "filtered_by_cnv", "filtered_by_svs",
+            "filtered_by_res", "filtered_by_mosaic", "filtered_by_phenotype",
+            "filtered_by_multisample", "filtered_by_trio_stringent",
+            "filtered_by_trio_relaxed"]
+    values = [esd["ps_id"], esd["dna_rna"], uid(esd["reviewer1"]),
+              esd["review_date1"], uid(esd["reviewer2"]), esd["review_date2"],
+              esd["analysis_scope"]]
+    values += [1 if esd[f] else 0 for f in _ESD_FIELDS[6:]]
+    placeholders = ", ".join("?" for _ in cols)
+    self.execute(f"INSERT INTO evaluation_sheet_data ({', '.join(cols)}) "
+                 f"VALUES ({placeholders})", tuple(values))
+    self.commit()
+
+
+def _evaluation_sheet_data(self, ps_id) -> dict:
+    """NGSD::evaluationSheetData."""
+    rows = self.get_rows(
+        "SELECT processed_sample_id, dna_rna, reviewer1, review_date1, "
+        "reviewer2, review_date2, analysis_scope, acmg_requested, "
+        "acmg_noticeable, acmg_analyzed, filtered_by_freq_based_dominant, "
+        "filtered_by_freq_based_recessive, filtered_by_mito, "
+        "filtered_by_x_chr, filtered_by_cnv, filtered_by_svs, "
+        "filtered_by_res, filtered_by_mosaic, filtered_by_phenotype, "
+        "filtered_by_multisample, filtered_by_trio_stringent, "
+        "filtered_by_trio_relaxed FROM evaluation_sheet_data WHERE "
+        "processed_sample_id=?", params=(ps_id,))
+    if not rows:
+        raise NgsdError(f"No evaluation sheet data for processed sample "
+                        f"'{ps_id}'!")
+    r = rows[0]
+    out = {"ps_id": str(r[0]), "dna_rna": r[1],
+           "reviewer1": self.user_name(r[2]), "review_date1": str(r[3]),
+           "reviewer2": self.user_name(r[4]), "review_date2": str(r[5]),
+           "analysis_scope": r[6]}
+    for i, f in enumerate(_ESD_FIELDS[6:], start=7):
+        out[f] = str(r[i]) == "1"
+    return out
+
+
+NGSD.check_value = _check_value
+NGSD.table_info = _table_info
+NGSD.sv_table_name = staticmethod(_sv_table_name)
+NGSD.user_name = _user_name
+NGSD.user_email = _user_email
+NGSD.cnv_id = _cnv_id
+NGSD.delete_variants = _delete_variants
+NGSD.add_preferred_transcript = _add_preferred_transcript
+NGSD.add_sample_relation = _add_sample_relation
+NGSD.user_role_in = _user_role_in
+NGSD.store_evaluation_sheet_data = _store_evaluation_sheet_data
+NGSD.evaluation_sheet_data = _evaluation_sheet_data
